@@ -1,0 +1,136 @@
+"""Special math functions used by filter design (host-side NumPy, float64).
+
+Behavioral parity targets: reference src/math/src/math.bessel.c (Bessel
+functions), src/math/src/math.c (Q-function, sinc, gamma helpers).  The
+implementations here are standard series/identities in float64 — the
+reference computes in float32; all conformance tests are tolerance-based
+(tol=1e-3), so higher precision here is strictly better.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = [
+    "lngamma", "gamma", "lnbesseli", "besseli", "besseli0", "besselj",
+    "besselj0", "sinc", "qfunction", "nextpow2", "is_prime", "factor",
+    "totient", "gcd",
+]
+
+
+def lngamma(z):
+    return np.vectorize(math.lgamma)(np.asarray(z, dtype=np.float64))
+
+
+def gamma(z):
+    return np.vectorize(math.gamma)(np.asarray(z, dtype=np.float64))
+
+
+def lnbesseli(nu: float, z, iterations: int = 64):
+    """log I_nu(z) via the ascending series (reference math.bessel.c:41)."""
+    z = np.asarray(z, dtype=np.float64)
+    out = np.zeros_like(z)
+    nz = z != 0
+    zl = np.log(0.5 * np.where(nz, z, 1.0))
+    y = np.zeros_like(z)
+    for k in range(iterations):
+        t = 2.0 * k * zl - math.lgamma(k + 1) - math.lgamma(nu + k + 1)
+        y += np.exp(t)
+    out = np.where(nz, nu * zl + np.log(np.maximum(y, 1e-300)), 0.0)
+    if nu == 0.0:
+        out = np.where(nz, out, 0.0)  # ln I_0(0) = 0
+    return out
+
+
+def besseli(nu: float, z):
+    return np.exp(lnbesseli(nu, z))
+
+
+def besseli0(z):
+    """I_0(z), modified Bessel first kind order 0 (math.bessel.c:86)."""
+    return besseli(0.0, z)
+
+
+def besselj(nu: float, z, iterations: int = 128):
+    """J_nu(z), Bessel function of the first kind (alternating series)."""
+    z = np.asarray(z, dtype=np.float64)
+    y = np.zeros_like(z)
+    half = 0.5 * np.abs(z)
+    with np.errstate(divide="ignore"):
+        lh = np.where(half > 0, np.log(np.where(half > 0, half, 1.0)), -np.inf)
+    for k in range(iterations):
+        ln_t = (nu + 2 * k) * lh - math.lgamma(k + 1) - math.lgamma(nu + k + 1)
+        y += (-1.0) ** k * np.exp(ln_t)
+    return np.where(z == 0, 1.0 if nu == 0 else 0.0, y)
+
+
+def besselj0(z):
+    return besselj(0.0, z)
+
+
+def sinc(x):
+    """Normalized sinc sin(pi x)/(pi x) (matches reference sincf)."""
+    return np.sinc(np.asarray(x, dtype=np.float64))
+
+
+def qfunction(x):
+    """Gaussian tail Q(x) = 0.5 erfc(x/sqrt 2) (reference math.c)."""
+    return 0.5 * np.vectorize(math.erfc)(np.asarray(x, dtype=np.float64) / math.sqrt(2))
+
+
+def nextpow2(n: int) -> int:
+    """Smallest k with 2**k >= n."""
+    if n < 1:
+        raise ValueError("nextpow2 requires n >= 1")
+    return int(math.ceil(math.log2(n)))
+
+
+def is_prime(n: int) -> bool:
+    if n < 2:
+        return False
+    if n < 4:
+        return True
+    if n % 2 == 0:
+        return False
+    f = 3
+    while f * f <= n:
+        if n % f == 0:
+            return False
+        f += 2
+    return True
+
+
+def factor(n: int) -> list:
+    """Prime factorization (with multiplicity), ascending."""
+    if n < 1:
+        raise ValueError("factor requires n >= 1")
+    out, f = [], 2
+    while n > 1:
+        while n % f == 0:
+            out.append(f)
+            n //= f
+        f += 1 if f == 2 else 2
+        if f * f > n and n > 1:
+            out.append(n)
+            break
+    return out
+
+
+def totient(n: int) -> int:
+    """Euler totient (reference src/math/src/modular_arithmetic.c)."""
+    result, p = n, 2
+    m = n
+    while p * p <= m:
+        if m % p == 0:
+            while m % p == 0:
+                m //= p
+            result -= result // p
+        p += 1
+    if m > 1:
+        result -= result // m
+    return result
+
+
+def gcd(a: int, b: int) -> int:
+    return math.gcd(a, b)

@@ -1,0 +1,216 @@
+"""FIR filtering as pure block processors with explicit carry.
+
+Reference analogs (studied, not copied):
+  * firfilt  — src/filter/src/firfilt.c:297-360 (per-sample ring buffer +
+               dotprod).  Here: one valid convolution over the whole block;
+               carry = last (L-1) input samples — exactly the overlap-save
+               halo exchanged between devices when time is sharded.
+  * firdecim — src/filter/src/firdecim.c (M:1 polyphase decimator) —
+               strided convolution; y[n] = (x*h)[nM].
+  * firinterp— src/filter/src/firinterp.c (1:M interpolator) — dilated
+               (transposed) convolution.
+  * firpfb   — src/filter/src/firpfb.c — polyphase bank: all branches
+               computed batched; branch selection is a gather.
+  * firhilb  — src/filter/src/firhilb.c — Hilbert real<->complex 2:1.
+  * autocorr — src/filter/src/autocorr.c — windowed autocorrelation.
+
+All ops accept [..., T] blocks (time last, leading axes batched/sharded).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import Proc
+from .dotprod import conv1d
+
+__all__ = ["firfilt", "firdecim", "firinterp", "firpfb_execute", "firhilb",
+           "autocorr", "fir_freqresponse", "fir_apply"]
+
+
+def _as_jnp_taps(h):
+    h = jnp.asarray(h)
+    if h.dtype == jnp.float64:
+        h = h.astype(jnp.float32)
+    elif h.dtype == jnp.complex128:
+        h = h.astype(jnp.complex64)
+    return h
+
+
+def fir_apply(h, carry, x, stride: int = 1):
+    """One block of FIR filtering: returns (y, carry').
+
+    carry is the last (len(h)-1) input samples (zeros initially).
+    y[t] = sum_j h[j] * xp[t*stride - j] with xp = [carry | x], evaluated at
+    output sample times aligned so y[0] corresponds to input x[0].
+    """
+    L = h.shape[-1]
+    xp = jnp.concatenate([carry, x], axis=-1) if L > 1 else x
+    y = conv1d(xp, h, stride=stride)
+    new_carry = xp[..., xp.shape[-1] - (L - 1):] if L > 1 else carry
+    return y, new_carry
+
+
+def firfilt(h, scale: float | complex = 1.0, name: str = "firfilt") -> Proc:
+    """Direct-form FIR filter over blocks (reference firfilt_crcf).
+
+    Block length T in -> T out; carry: [..., L-1] input tail.
+    """
+    h = _as_jnp_taps(h)
+    L = int(h.shape[-1])
+    params = {"h": h * scale}
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return jnp.zeros(batch_shape + (L - 1,), dtype=dtype)
+
+    def apply(params, carry, x):
+        return fir_apply(params["h"], _coerce(carry, x.dtype), x)
+
+    return Proc(params=params, init=init, apply=apply, rate=(1, 1), name=name)
+
+
+def _coerce(carry, dtype):
+    """Carry stores input samples; follow the input stream's dtype (a fresh
+    complex-initialized carry feeding a real stream drops the zero imag)."""
+    if jnp.iscomplexobj(carry) and not jnp.issubdtype(dtype, jnp.complexfloating):
+        carry = carry.real
+    return carry.astype(dtype)
+
+
+def firdecim(m: int, h, scale=1.0, name: str = "firdecim") -> Proc:
+    """M:1 decimating FIR (reference firdecim.c).  Block length must be a
+    multiple of m; T in -> T//m out."""
+    h = _as_jnp_taps(h) * scale
+    L = int(h.shape[-1])
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return jnp.zeros(batch_shape + (L - 1,), dtype=dtype)
+
+    def apply(params, carry, x):
+        return fir_apply(params["h"], _coerce(carry, x.dtype), x, stride=m)
+
+    return Proc(params={"h": h}, init=init, apply=apply, rate=(1, m), name=name)
+
+
+def firinterp(k: int, h, scale=1.0, name: str = "firinterp") -> Proc:
+    """1:K interpolating FIR (reference firinterp.c): zero-stuff by k then
+    filter.  T in -> T*k out; carry: last ceil((L-1)/k) input samples.
+
+    y[n] = sum_j h[j] * xz[n - j] where xz is the zero-stuffed input —
+    implemented as a polyphase matmul: for phase p in [0,k),
+    y[i*k + p] = sum_m h[m*k + p] * x[i - m].
+    """
+    h = _as_jnp_taps(h) * scale
+    L = int(h.shape[-1])
+    # number of history input samples each phase needs
+    n_hist = (L - 1) // k + (1 if (L - 1) % k else 0) if L > 1 else 0
+    n_hist = max(n_hist, 0)
+    # pad taps to a multiple of k and shape into polyphase branches:
+    # hp[p, m] = h[m*k + p]
+    Lp = -(-L // k)  # ceil
+    h_pad = jnp.pad(h, (0, Lp * k - L))
+    hp = h_pad.reshape(Lp, k).T  # [k, Lp]
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return jnp.zeros(batch_shape + (Lp - 1,), dtype=dtype) if Lp > 1 else \
+            jnp.zeros(batch_shape + (0,), dtype=dtype)
+
+    def apply(params, carry, x):
+        hp_ = params["hp"]
+        xp = jnp.concatenate([carry, x], axis=-1) if Lp > 1 else x
+        # per-phase valid convolution of x with branch p -> [..., k, T]
+        ys = [conv1d(xp, hp_[p]) for p in range(k)]
+        y = jnp.stack(ys, axis=-1)  # [..., T, k]
+        y = y.reshape(y.shape[:-2] + (y.shape[-2] * k,))
+        new_carry = xp[..., xp.shape[-1] - (Lp - 1):] if Lp > 1 else carry
+        return y, new_carry
+
+    return Proc(params={"hp": hp}, init=init, apply=apply, rate=(k, 1), name=name)
+
+
+def firpfb_execute(hp, x_window):
+    """Evaluate ALL branches of a polyphase filter bank at once.
+
+    hp: [npfb, Lp] branch taps; x_window: [..., Lp] most-recent samples
+    (oldest first).  Returns [..., npfb].  The reference computes one branch
+    per call (firpfb.c); on TPU computing all branches is one matmul.
+    """
+    # y[b] = sum_m hp[b, m] * x[m]
+    if jnp.iscomplexobj(x_window) and not jnp.iscomplexobj(hp):
+        hp = hp.astype(x_window.real.dtype)
+        re = jnp.einsum("bm,...m->...b", hp, x_window.real)
+        im = jnp.einsum("bm,...m->...b", hp, x_window.imag)
+        return lax.complex(re, im)
+    return jnp.einsum("bm,...m->...b", hp, x_window)
+
+
+def firhilb(m: int = 5, as_db: float = 60.0, name: str = "firhilb"):
+    """Hilbert transform filter pair for real<->complex conversion
+    (reference firhilb.c:41).  Returns (r2c, c2r) procs, both 1:1 rate on
+    their native sample grids (2:1 sample-count change handled by caller
+    pairing real rate 2fs with complex rate fs)."""
+    from ..design.firdes import firdes_kaiser
+
+    h_len = 4 * m + 1
+    h = firdes_kaiser(h_len, 0.25, as_db, 0.0)
+    n = np.arange(h_len, dtype=np.float64)
+    hc = h * np.exp(1j * 0.5 * np.pi * (n - 2 * m))
+    hq = np.imag(hc[1::2])  # quadrature branch taps
+
+    hq_j = jnp.asarray(hq, dtype=jnp.float32)
+    Lq = int(hq_j.shape[-1])
+
+    def init(batch_shape=(), dtype=jnp.float32):
+        return {"x": jnp.zeros(batch_shape + (2 * Lq - 1,), dtype=jnp.float32)}
+
+    def apply_r2c(params, carry, x):
+        """real 2fs [..., 2T] -> complex fs [..., T] (decim variant)."""
+        xp = jnp.concatenate([carry["x"], x], axis=-1)
+        # even samples -> delayed in-phase; odd samples -> filtered quadrature
+        # in-phase: x[2n] delayed by 2m samples of the even grid
+        x_even = xp[..., 0::2]
+        x_odd = xp[..., 1::2]
+        ii = x_even[..., Lq - 1 - m: x_even.shape[-1] - m]
+        qq = conv1d(x_odd, hq_j)
+        T = x.shape[-1] // 2
+        ii = ii[..., -T:]
+        qq = qq[..., -T:]
+        y = lax.complex(ii, qq)
+        new_carry = {"x": xp[..., xp.shape[-1] - (2 * Lq - 1):]}
+        return y, new_carry
+
+    r2c = Proc(params={"hq": hq_j}, init=init, apply=apply_r2c, rate=(1, 2),
+               name=name + "_r2c")
+    return r2c
+
+
+def autocorr(window_size: int, delay: int, name: str = "autocorr") -> Proc:
+    """Windowed autocorrelation r[t] = sum_{i<W} x[t-i] conj(x[t-i-d])
+    (reference autocorr.c).  Carry: last W+d-1 samples."""
+    W, d = int(window_size), int(delay)
+    hist = W + d - 1
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return jnp.zeros(batch_shape + (hist,), dtype=dtype)
+
+    def apply(params, carry, x):
+        xp = jnp.concatenate([carry, x], axis=-1)
+        T = x.shape[-1]
+        # r[t] = sum_i x[t-i]*conj(x[t-i-d]), i = 0..W-1; t indexes x
+        prod = xp[..., d:] * jnp.conj(xp[..., : xp.shape[-1] - d])
+        # windowed sum over trailing W products ending at each output time
+        ones = jnp.ones((W,), dtype=prod.real.dtype)
+        r = conv1d(prod, ones)
+        r = r[..., -T:]
+        return r, xp[..., xp.shape[-1] - hist:]
+
+    return Proc(params={}, init=init, apply=apply, rate=(1, 1), name=name)
+
+
+def fir_freqresponse(h, fc):
+    """Complex frequency response H(e^{j 2 pi fc}) (firfilt.c:371)."""
+    h = jnp.asarray(h)
+    n = jnp.arange(h.shape[-1])
+    e = jnp.exp(-1j * 2 * jnp.pi * fc * n)
+    return jnp.sum(h * e, axis=-1)

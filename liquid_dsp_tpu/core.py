@@ -54,6 +54,16 @@ class Proc:
     apply: Callable[[Pytree, Pytree, Any], Tuple[Any, Pytree]]
     rate: Tuple[int, int] = (1, 1)
     name: str = "proc"
+    # --- time-sharding metadata (SURVEY.md §2.12 / §5) ---
+    # halo: if set, the carry is exactly the last `halo` input samples
+    # (overlap-save state) -> sharded via a ppermute halo exchange.
+    halo: Optional[int] = None
+    # advance: closed-form carry advance `advance(params, carry, n)` after
+    # consuming n input samples (e.g. NCO phase, resampler timing phase) ->
+    # each shard computes its starting carry with zero communication.
+    advance: Optional[Callable[[Pytree, Pytree, int], Pytree]] = None
+    # children: set by `chain` so sharding transforms can recurse.
+    children: Optional[Tuple["Proc", ...]] = None
 
     def __call__(self, x, carry: Optional[Pytree] = None, **init_kw):
         """Convenience single-shot execution (fresh carry if none given)."""
@@ -96,4 +106,5 @@ def chain(*procs: Proc, name: str = "chain") -> Proc:
     for p in procs:
         num *= p.rate[0]
         den *= p.rate[1]
-    return Proc(params=params, init=init, apply=apply, rate=(num, den), name=name)
+    return Proc(params=params, init=init, apply=apply, rate=(num, den),
+                name=name, children=tuple(procs))

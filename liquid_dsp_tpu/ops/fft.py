@@ -1,0 +1,266 @@
+"""FFT plans, arbitrary-length transforms, DCT/DST, and streaming spectral
+analysis.
+
+Reference analogs (studied, not copied):
+  * plan framework + method chooser — src/fft/src/fft_common.c:109-145,
+    src/fft/src/fft_utilities.c:34-68 (codelets / mixed-radix / Rader)
+  * r2r DCT/DST — src/fft/src/fft_r2r_1d.c (REDFT00..11, RODFT00..11)
+  * spgram — src/fft/src/spgram.c (streaming Welch periodogram)
+  * asgram — src/fft/src/asgram.c (ASCII spectrogram)
+
+TPU-first design: XLA's native FFT covers power-of-two sizes at
+speed-of-light; every other size is lowered to a power-of-two FFT via
+Bluestein's chirp-z identity (numerically equivalent to the reference's
+mixed-radix/Rader plans within float32 tolerance — the *plan selection*
+semantics are replicated, not the butterfly code).  All transforms operate
+over the LAST axis and broadcast leading batch axes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import Proc
+
+__all__ = ["fft", "ifft", "fft_plan", "fft_shift", "dct", "dst", "r2r",
+           "spgram", "spgram_estimate", "asgram_render"]
+
+FFT_FORWARD = -1
+FFT_BACKWARD = +1
+
+
+def _is_pow2(n: int) -> bool:
+    return n > 0 and (n & (n - 1)) == 0
+
+
+@functools.lru_cache(maxsize=None)
+def _bluestein_consts(n: int, sign: int):
+    """Host-precomputed chirp and padded chirp spectrum for Bluestein."""
+    m = 1
+    while m < 2 * n - 1:
+        m <<= 1
+    k = np.arange(n, dtype=np.float64)
+    # chirp w[k] = exp(sign * j*pi*k^2/n); use k^2 mod 2n to keep the
+    # argument small (float32-safe for large n)
+    k2 = (k * k) % (2.0 * n)
+    w = np.exp(sign * 1j * np.pi * k2 / n)
+    b = np.zeros(m, dtype=np.complex128)
+    b[:n] = np.conj(w)
+    b[m - n + 1:] = np.conj(w[1:][::-1])
+    B = np.fft.fft(b)
+    return (jnp.asarray(w, dtype=jnp.complex64),
+            jnp.asarray(B, dtype=jnp.complex64), m)
+
+
+def _bluestein(x, sign: int):
+    n = x.shape[-1]
+    w, B, m = _bluestein_consts(n, sign)
+    a = x * w
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, m - n)]
+    A = jnp.fft.fft(jnp.pad(a, pad))
+    y = jnp.fft.ifft(A * B)[..., :n]
+    return y * w
+
+
+def fft(x, n: int | None = None):
+    """Forward DFT over the last axis, unnormalized:
+    y[k] = sum_t x[t] exp(-j 2 pi k t / N).  Any length N."""
+    x = jnp.asarray(x)
+    if not jnp.iscomplexobj(x):
+        x = x.astype(jnp.complex64)
+    if n is not None and n != x.shape[-1]:
+        if n > x.shape[-1]:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+            x = jnp.pad(x, pad)
+        else:
+            x = x[..., :n]
+    size = x.shape[-1]
+    if _is_pow2(size):
+        return jnp.fft.fft(x)
+    return _bluestein(x, FFT_FORWARD)
+
+
+def ifft(x, n: int | None = None, normalize: bool = False):
+    """Inverse DFT over the last axis.  Matches the reference convention of
+    an UNNORMALIZED backward transform unless ``normalize``
+    (fft_common.c executes raw backward; callers divide by N)."""
+    x = jnp.asarray(x)
+    if not jnp.iscomplexobj(x):
+        x = x.astype(jnp.complex64)
+    if n is not None and n != x.shape[-1]:
+        if n > x.shape[-1]:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+            x = jnp.pad(x, pad)
+        else:
+            x = x[..., :n]
+    size = x.shape[-1]
+    if _is_pow2(size):
+        y = jnp.fft.ifft(x) * size
+    else:
+        y = _bluestein(x, FFT_BACKWARD)
+    return y / size if normalize else y
+
+
+def fft_plan(n: int, direction: int = FFT_FORWARD) -> Callable:
+    """FFTW-style plan: returns a jit-friendly callable specialized to size n
+    (the analog of fft_create_plan/fft_execute, fft_common.c:109/285).
+    The 'method chooser' here is: pow2 -> XLA native; else Bluestein."""
+    if direction == FFT_FORWARD:
+        return lambda x: fft(x, n)
+    return lambda x: ifft(x, n)
+
+
+def fft_shift(x):
+    return jnp.fft.fftshift(x, axes=-1)
+
+
+# ---------------------------------------------------------------------------
+# real-to-real transforms (DCT/DST families, fft_r2r_1d.c)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _dct_matrix(n: int, type: int):
+    """FFTW REDFT basis matrix m[j, k] so that y[k] = sum_j x[j] m[j, k].
+
+    Exact FFTW conventions (unnormalized), verified against reference golden
+    vectors.  Sizes in practice are small (reference r2r tests use n<=32),
+    so the O(n^2) MXU matmul is both simplest and fastest on TPU.
+    """
+    j = np.arange(n, dtype=np.float64)[:, None]
+    k = np.arange(n, dtype=np.float64)[None, :]
+    if type == 1:    # REDFT00: y_k = x_0 + (-1)^k x_{n-1} + 2 sum cos(pi j k/(n-1))
+        m = 2.0 * np.cos(np.pi * j * k / (n - 1))
+        m[0, :] = 1.0
+        m[-1, :] = (-1.0) ** k.ravel()
+    elif type == 2:  # REDFT10
+        m = 2.0 * np.cos(np.pi * (j + 0.5) * k / n)
+    elif type == 3:  # REDFT01
+        m = 2.0 * np.cos(np.pi * j * (k + 0.5) / n)
+        m[0, :] = 1.0
+    elif type == 4:  # REDFT11
+        m = 2.0 * np.cos(np.pi * (j + 0.5) * (k + 0.5) / n)
+    else:
+        raise ValueError(f"unsupported DCT type {type}")
+    return jnp.asarray(m, dtype=jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _dst_matrix(n: int, type: int):
+    """FFTW RODFT basis matrix (same layout as _dct_matrix)."""
+    j = np.arange(n, dtype=np.float64)[:, None]
+    k = np.arange(n, dtype=np.float64)[None, :]
+    if type == 1:    # RODFT00
+        m = 2.0 * np.sin(np.pi * (j + 1) * (k + 1) / (n + 1))
+    elif type == 2:  # RODFT10
+        m = 2.0 * np.sin(np.pi * (j + 0.5) * (k + 1) / n)
+    elif type == 3:  # RODFT01: y_k = (-1)^k x_{n-1} + 2 sum_{j<n-1} sin(pi(j+1)(k+.5)/n)
+        m = 2.0 * np.sin(np.pi * (j + 1) * (k + 0.5) / n)
+        m[-1, :] = (-1.0) ** k.ravel()
+    elif type == 4:  # RODFT11
+        m = 2.0 * np.sin(np.pi * (j + 0.5) * (k + 0.5) / n)
+    else:
+        raise ValueError(f"unsupported DST type {type}")
+    return jnp.asarray(m, dtype=jnp.float32)
+
+
+def dct(x, type: int = 2):
+    """DCT-I..IV (FFTW REDFT00/10/01/11 conventions, unnormalized)."""
+    x = jnp.asarray(x, dtype=jnp.float32)
+    return jnp.einsum("...j,jk->...k", x, _dct_matrix(x.shape[-1], type))
+
+
+def dst(x, type: int = 1):
+    """DST-I..IV (FFTW RODFT00/10/01/11 conventions, unnormalized)."""
+    x = jnp.asarray(x, dtype=jnp.float32)
+    return jnp.einsum("...j,jk->...k", x, _dst_matrix(x.shape[-1], type))
+
+
+_R2R = {
+    "REDFT00": lambda x: dct(x, 1), "REDFT10": lambda x: dct(x, 2),
+    "REDFT01": lambda x: dct(x, 3), "REDFT11": lambda x: dct(x, 4),
+    "RODFT00": lambda x: dst(x, 1), "RODFT10": lambda x: dst(x, 2),
+    "RODFT01": lambda x: dst(x, 3), "RODFT11": lambda x: dst(x, 4),
+}
+
+
+def r2r(x, kind: str):
+    """FFTW-style real-to-real transform dispatch (fft_r2r_1d.c)."""
+    if kind not in _R2R:
+        raise ValueError(f"unknown r2r kind {kind!r}")
+    return _R2R[kind](x)
+
+
+# ---------------------------------------------------------------------------
+# streaming spectral periodogram (spgram.c)
+# ---------------------------------------------------------------------------
+
+def spgram(nfft: int, window: str = "hamming", window_len: int | None = None,
+           delay: int | None = None, alpha: float = -1.0,
+           name: str = "spgram") -> Proc:
+    """Streaming Welch periodogram (reference spgram.c:36-240).
+
+    Processes a block [..., T]; emits the running averaged PSD accumulator in
+    the carry; use `spgram_estimate(carry)` for the dB PSD.  alpha<0 means
+    uniform averaging over all transforms (reference default).
+    """
+    from ..design.windows import window as make_window
+
+    window_len = window_len or nfft // 2
+    delay = delay or nfft // 4
+    if window_len > nfft:
+        raise ValueError("window length cannot exceed nfft")
+    w = make_window(window, window_len, 10.0 if window == "kaiser" else 0.0)
+    # normalize so sum(w^2) = 1 per transform (reference spgram energy calc)
+    w = w / np.sqrt(np.sum(w * w))
+    wj = jnp.asarray(w, dtype=jnp.float32)
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return {
+            "buf": jnp.zeros(batch_shape + (window_len,), dtype=jnp.complex64),
+            "psd": jnp.zeros(batch_shape + (nfft,), dtype=jnp.float32),
+            "count": jnp.zeros(batch_shape, dtype=jnp.int32),
+        }
+
+    def apply(params, carry, x):
+        x = x.astype(jnp.complex64)
+        buf = jnp.concatenate([carry["buf"], x], axis=-1)
+        total = buf.shape[-1]
+        n_xf = max((total - window_len) // delay + 1, 0)
+        psd, count = carry["psd"], carry["count"]
+        for i in range(n_xf):  # static unroll: n_xf is static given T
+            seg = lax.dynamic_slice_in_dim(buf, i * delay, window_len, axis=-1)
+            X = fft(seg * wj, nfft)
+            p = (X.real * X.real + X.imag * X.imag)
+            if alpha < 0:
+                cf = count.astype(jnp.float32)[..., None]
+                psd = (psd * cf + p) / (cf + 1.0)
+            else:
+                psd = jnp.where((count == 0)[..., None], p,
+                                (1 - alpha) * psd + alpha * p)
+            count = count + 1
+        consumed = n_xf * delay
+        new_buf = buf[..., consumed:][..., -window_len:]
+        if new_buf.shape[-1] < window_len:
+            pad = [(0, 0)] * (new_buf.ndim - 1) + [(window_len - new_buf.shape[-1], 0)]
+            new_buf = jnp.pad(new_buf, pad)
+        return psd, {"buf": new_buf, "psd": psd, "count": count}
+
+    return Proc(params={"w": wj}, init=init, apply=apply, rate=(1, 1), name=name)
+
+
+def spgram_estimate(psd, fs: float = 1.0):
+    """PSD accumulator -> dB, fftshifted (spgram_get_psd semantics)."""
+    return 10.0 * jnp.log10(jnp.maximum(fft_shift(psd), 1e-20))
+
+
+def asgram_render(psd_db, height: int = 1, levels: str = " .,-+*&NM#") -> str:
+    """ASCII spectrogram line (reference asgram.c): quantize PSD into glyphs."""
+    p = np.asarray(psd_db, dtype=np.float64)
+    lo, hi = p.min(), p.max()
+    idx = np.clip(((p - lo) / max(hi - lo, 1e-12)) * (len(levels) - 1), 0,
+                  len(levels) - 1).astype(int)
+    return "".join(levels[i] for i in idx)

@@ -1,0 +1,54 @@
+"""Block FIR filtering via FFT (overlap-save).
+
+Reference analog: src/filter/src/fftfilt.c:193-260 — the reference uses
+overlap-ADD with a saved output tail; we use overlap-SAVE with a saved input
+tail so the carry is identical to firfilt's (the last L-1 input samples).
+The two are mathematically equivalent; overlap-save's carry doubles as the
+ppermute halo when the time axis is sharded across devices (SURVEY.md §5).
+
+Output is bit-identical (within float tolerance) to firfilt with the same
+taps — the reference asserts the same equivalence (fftfilt vs firfilt RMSE,
+examples/fftfilt_crcf_example.c:57-71).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import Proc
+from .fft import fft, ifft
+
+__all__ = ["fftfilt"]
+
+
+def fftfilt(h, block_len: int | None = None, scale=1.0, name: str = "fftfilt") -> Proc:
+    """FFT-based block FIR (reference fftfilt_crcf_create, fftfilt.c:70).
+
+    h: [L] real or complex taps.  The FFT size is chosen per call from the
+    static block length: nfft = next_pow2(T + L - 1); H is computed lazily
+    per nfft and cached in params-free closure (sizes are static under jit).
+    """
+    h = np.asarray(h)
+    L = int(h.shape[-1])
+    hj = jnp.asarray(h * scale, dtype=jnp.complex64 if np.iscomplexobj(h) else jnp.float32)
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return jnp.zeros(batch_shape + (L - 1,), dtype=dtype)
+
+    def apply(params, carry, x):
+        T = x.shape[-1]
+        nfft = 1
+        while nfft < T + L - 1:
+            nfft <<= 1
+        H = fft(params["h"].astype(jnp.complex64), nfft)
+        xp = jnp.concatenate([carry.astype(x.dtype), x], axis=-1)
+        X = fft(xp, nfft)
+        y_full = ifft(X * H, normalize=True)
+        y = y_full[..., L - 1: L - 1 + T]
+        if not jnp.iscomplexobj(x):
+            y = y.real
+        new_carry = xp[..., xp.shape[-1] - (L - 1):] if L > 1 else carry
+        return y, new_carry
+
+    return Proc(params={"h": hj}, init=init, apply=apply, rate=(1, 1),
+                name=name, halo=L - 1)

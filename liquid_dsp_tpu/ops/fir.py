@@ -67,7 +67,8 @@ def firfilt(h, scale: float | complex = 1.0, name: str = "firfilt") -> Proc:
     def apply(params, carry, x):
         return fir_apply(params["h"], _coerce(carry, x.dtype), x)
 
-    return Proc(params=params, init=init, apply=apply, rate=(1, 1), name=name)
+    return Proc(params=params, init=init, apply=apply, rate=(1, 1), name=name,
+                halo=L - 1)
 
 
 def _coerce(carry, dtype):
@@ -90,7 +91,8 @@ def firdecim(m: int, h, scale=1.0, name: str = "firdecim") -> Proc:
     def apply(params, carry, x):
         return fir_apply(params["h"], _coerce(carry, x.dtype), x, stride=m)
 
-    return Proc(params={"h": h}, init=init, apply=apply, rate=(1, m), name=name)
+    return Proc(params={"h": h}, init=init, apply=apply, rate=(1, m),
+                name=name, halo=L - 1)
 
 
 def firinterp(k: int, h, scale=1.0, name: str = "firinterp") -> Proc:

@@ -1,0 +1,94 @@
+"""Numerically-controlled oscillator: block mixing with explicit phase carry.
+
+Reference analog: src/nco/src/nco.c — per-sample phase accumulator with a
+256-entry sine table (LIQUID_NCO) or direct sinf/cosf (LIQUID_VCO), stepped
+one sample at a time (nco.c:134), mixed via nco_crcf_mix_down (nco.c:255).
+
+TPU design: the phase recurrence theta[t] = theta0 + t*dphi is affine in the
+sample index, so a whole block's oscillator is one closed-form vector
+exp(j(theta0 + t*dphi)) — no sequential dependency, and the carry advance
+across a time-sharded block is likewise closed-form (carry_advance), which
+is what lets the mixer shard across devices with no communication at all.
+
+Phase is kept wrapped to [-pi, pi) every block to preserve float32 accuracy
+over unbounded streams (the reference gets this for free from uint32 phase
+wraparound; we wrap explicitly).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import Proc
+
+__all__ = ["nco", "mix_up", "mix_down", "nco_block_phases", "pll_step"]
+
+TWO_PI = 2.0 * jnp.pi
+
+
+def _wrap(theta):
+    return jnp.mod(theta + jnp.pi, TWO_PI) - jnp.pi
+
+
+def nco_block_phases(theta0, dphi, T: int):
+    """Phases for one block: theta0 + [0..T)*dphi (wrapped elementwise for
+    f32 accuracy), plus the next theta0."""
+    t = jnp.arange(T, dtype=jnp.float32)
+    ph = theta0[..., None] + t * dphi[..., None] if jnp.ndim(theta0) else theta0 + t * dphi
+    theta_next = _wrap(theta0 + T * dphi)
+    return _wrap(ph), theta_next
+
+
+def nco(dphi: float, theta0: float = 0.0, direction: str = "down",
+        name: str = "nco") -> Proc:
+    """Block mixer proc: y = x * exp(-+j theta[t]) ('down' negates).
+
+    carry: {'theta': scalar phase (per batch element)}.
+    """
+    sgn = -1.0 if direction == "down" else 1.0
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return {"theta": jnp.full(batch_shape, theta0, dtype=jnp.float32)}
+
+    def apply(params, carry, x):
+        T = x.shape[-1]
+        ph, theta_next = nco_block_phases(carry["theta"], params["dphi"], T)
+        osc = lax.complex(jnp.cos(ph), jnp.sin(ph))
+        if sgn < 0:
+            osc = jnp.conj(osc)
+        return x * osc, {"theta": theta_next}
+
+    def advance(params, carry, n):
+        """Closed-form carry after consuming n samples (time-shard support)."""
+        return {"theta": _wrap(carry["theta"] + n * params["dphi"])}
+
+    return Proc(params={"dphi": jnp.float32(dphi)}, init=init, apply=apply,
+                rate=(1, 1), name=name, advance=advance)
+
+
+def mix_down(x, dphi, theta0=0.0):
+    """One-shot block mix-down: y[t] = x[t] * exp(-j(theta0 + t*dphi))
+    (reference nco_crcf_mix_block_down, nco.c:311)."""
+    T = x.shape[-1]
+    t = jnp.arange(T, dtype=jnp.float32)
+    ph = theta0 + t * dphi
+    return x * lax.complex(jnp.cos(ph), -jnp.sin(ph))
+
+
+def mix_up(x, dphi, theta0=0.0):
+    """y[t] = x[t] * exp(+j(theta0 + t*dphi)) (nco.c:274)."""
+    T = x.shape[-1]
+    t = jnp.arange(T, dtype=jnp.float32)
+    ph = theta0 + t * dphi
+    return x * lax.complex(jnp.cos(ph), jnp.sin(ph))
+
+
+def pll_step(theta, dphi, phase_error, bandwidth: float = 0.1):
+    """Second-order PLL update (reference nco_crcf_pll_step, nco.c:220):
+    adjusts frequency and phase from one phase-error measurement using the
+    standard alpha/beta loop gains derived from the loop bandwidth."""
+    alpha = bandwidth
+    beta = jnp.sqrt(bandwidth)
+    dphi = dphi + alpha * phase_error
+    theta = theta + beta * phase_error
+    return theta, dphi

@@ -1,0 +1,302 @@
+"""Rate conversion: halfband (resamp2), dyadic cascade (msresamp2),
+arbitrary polyphase (resamp), and multi-stage arbitrary (msresamp).
+
+Reference analogs (studied, not copied — see SURVEY.md §2.3, §3.3):
+  * resamp2  — src/filter/src/resamp2.c:60-124 (4m+1-tap halfband Kaiser
+               prototype; decim/interp/analyzer/synthesizer modes).
+  * msresamp2— src/filter/src/msresamp2.c (cascade of resamp2 stages).
+  * resamp   — src/filter/src/resamp.c:45-308: per-sample loop with timing
+               phase ``tau``, soft filterbank index ``bf = tau*npfb``,
+               firpfb branch pair + linear interpolation.  The phase
+               recurrence (resamp.c:305-307) is AFFINE in the sample index,
+               so a whole block's branch indices are computable in closed
+               form — the sequential per-sample loop becomes one gather +
+               two batched dot products (the key TPU vectorization; SURVEY.md
+               §3.3 note).
+  * msresamp — src/filter/src/msresamp.c:95-135: halfband cascade brings the
+               rate into (0.5, 2], then an arbitrary resamp cleans up.
+
+Block/carry design: rates are exact rationals (num, den).  A block of T
+input samples (T % den == 0) emits exactly T*num/den outputs, and the
+timing phase returns to the same value after every block — so shapes are
+static under jit and the carry is just the filter tail (plus the phase
+scalar, which lets blocks start mid-stream).
+"""
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import Proc, chain
+from ..design.windows import kaiser, kaiser_beta_as
+from .fir import firdecim, firinterp, fir_apply, _as_jnp_taps
+
+__all__ = [
+    "halfband_taps", "resamp2_decim", "resamp2_interp",
+    "resamp2_analyzer", "resamp2_synthesizer",
+    "msresamp2", "resamp", "msresamp", "as_rational",
+]
+
+
+def halfband_taps(m: int, f0: float = 0.0, as_db: float = 60.0) -> np.ndarray:
+    """Kaiser-windowed halfband prototype, length 4m+1.
+
+    Matches the construction in reference resamp2.c:95-106:
+    h[i] = sinc(t/2) * kaiser(i; beta(As)) * exp(j*2*pi*t*f0), t = i - 2m.
+    """
+    if m < 2:
+        raise ValueError("resamp2 filter semi-length must be at least 2")
+    n = 4 * m + 1
+    t = np.arange(n) - (n - 1) / 2.0
+    h = np.sinc(t / 2.0) * kaiser(n, kaiser_beta_as(as_db))
+    if f0 != 0.0:
+        h = h * np.exp(2j * np.pi * t * f0)
+    return h.astype(np.complex64 if f0 != 0.0 else np.float32)
+
+
+def resamp2_decim(m: int = 7, f0: float = 0.0, as_db: float = 60.0,
+                  name: str = "resamp2_decim") -> Proc:
+    """Halfband 2:1 decimator (reference resamp2_crcf_decim, resamp2.c:320).
+
+    Implemented as a strided convolution with the full 4m+1 halfband
+    prototype (gain 1/2 per output branch in the reference's
+    0.5*(delay + filter) form, resamp2.c:262-265).
+    """
+    return firdecim(2, 0.5 * halfband_taps(m, f0, as_db), name=name)
+
+
+def resamp2_interp(m: int = 7, f0: float = 0.0, as_db: float = 60.0,
+                   name: str = "resamp2_interp") -> Proc:
+    """Halfband 1:2 interpolator (reference resamp2_crcf_interp,
+    resamp2.c:345): zero-stuff then halfband filter (unity passband gain)."""
+    return firinterp(2, halfband_taps(m, f0, as_db), name=name)
+
+
+def _halfband_branches(m: int, as_db: float):
+    """(h1, delay) — the 2m-tap odd-sample branch and center delay, as used
+    by the analyzer/synthesizer QMF forms (reference resamp2.c:108-116)."""
+    h = halfband_taps(m, 0.0, as_db)
+    # odd taps, reversed (reference resamp2.c:109-111)
+    h1 = h[::-1][1::2].copy()
+    return h1
+
+
+def resamp2_analyzer(m: int = 7, as_db: float = 60.0,
+                     name: str = "resamp2_analyzer") -> Proc:
+    """Quadrature-mirror analysis bank: [..., T] -> [..., 2, T//2]
+    (low band, high band).  Reference resamp2.c:271-292:
+    y0 = filt + delay, y1 = filt - delay with inputs scaled by 1/2.
+    """
+    h1 = _as_jnp_taps(_halfband_branches(m, as_db))
+    L = int(h1.shape[-1])  # 2m
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return {"w0": jnp.zeros(batch_shape + (m,), dtype),
+                "w1": jnp.zeros(batch_shape + (L - 1,), dtype)}
+
+    # Delay branch = odd samples delayed by (m-1); filter branch =
+    # conv(even samples, h1).  Both length T//2.
+    def apply(params, carry, x):
+        (h1_,) = params
+        x = 0.5 * x
+        x1 = x[..., 0::2]
+        x0 = x[..., 1::2]
+        xp0 = jnp.concatenate([carry["w0"].astype(x.dtype), x0], axis=-1)
+        yd = xp0[..., : x0.shape[-1]]
+        y1f, w1 = fir_apply(h1_, carry["w1"].astype(x.dtype), x1)
+        new_carry = {"w0": xp0[..., x0.shape[-1]:], "w1": w1}
+        lo = y1f + yd
+        hi = y1f - yd
+        return jnp.stack([lo, hi], axis=-2), new_carry
+
+    return Proc(params=(h1,), init=init, apply=apply, rate=(1, 1), name=name)
+
+
+def resamp2_synthesizer(m: int = 7, as_db: float = 60.0,
+                        name: str = "resamp2_synth") -> Proc:
+    """Quadrature-mirror synthesis bank: [..., 2, T//2] -> [..., T].
+    Reference resamp2.c:296+ (dual of the analyzer)."""
+    h1 = _as_jnp_taps(_halfband_branches(m, as_db))
+    L = int(h1.shape[-1])
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return {"w0": jnp.zeros(batch_shape + (m,), dtype),
+                "w1": jnp.zeros(batch_shape + (L - 1,), dtype)}
+
+    def apply(params, carry, x):
+        (h1_,) = params
+        lo = x[..., 0, :]
+        hi = x[..., 1, :]
+        s = lo + hi            # feeds delay branch (reference resamp2.c:302)
+        d = lo - hi            # feeds filter branch (resamp2.c:303)
+        xps = jnp.concatenate([carry["w0"].astype(s.dtype), s], axis=-1)
+        yd = xps[..., : s.shape[-1]]
+        yf, w1 = fir_apply(h1_, carry["w1"].astype(d.dtype), d)
+        new_carry = {"w0": xps[..., s.shape[-1]:], "w1": w1}
+        # interleave: even samples from delay branch, odd from filter
+        y = jnp.stack([yd, yf], axis=-1).reshape(*yf.shape[:-1],
+                                                 2 * yf.shape[-1])
+        return y, new_carry
+
+    return Proc(params=(h1,), init=init, apply=apply, rate=(1, 1), name=name)
+
+
+def msresamp2(direction: str, num_stages: int, fc: float = 0.4,
+              f0: float = 0.0, as_db: float = 60.0,
+              name: str = "msresamp2") -> Proc:
+    """Dyadic 2^k resampler: cascade of halfband stages (reference
+    msresamp2.c:38).  direction: 'interp' | 'decim'."""
+    if num_stages == 0:
+        # identity
+        def init(batch_shape=(), dtype=jnp.complex64):
+            return ()
+
+        return Proc(params=(), init=init,
+                    apply=lambda p, c, x: (x, c), rate=(1, 1), name=name)
+    # semi-length per stage grows toward the final (lowest-rate) stage;
+    # reference msresamp2 sizes each stage's filter for its transition band.
+    stages = []
+    for s in range(num_stages):
+        # stage s operates at rate 2^-(s) of the full rate for decim
+        m_stage = max(3, int(np.ceil(2.0 + 4.0 * s)))
+        if direction == "decim":
+            stages.append(resamp2_decim(m_stage, f0, as_db,
+                                        name=f"{name}_hb{s}"))
+        elif direction == "interp":
+            stages.append(resamp2_interp(m_stage, f0, as_db,
+                                         name=f"{name}_hb{s}"))
+        else:
+            raise ValueError(f"unknown direction {direction!r}")
+    if direction == "interp":
+        stages = stages[::-1]
+    return chain(*stages, name=name)
+
+
+def as_rational(rate, max_den: int = 1 << 12):
+    """Normalize a rate spec to an exact (num, den) pair."""
+    if isinstance(rate, tuple):
+        fr = Fraction(rate[0], rate[1])
+    else:
+        fr = Fraction(rate).limit_denominator(max_den)
+    if fr <= 0:
+        raise ValueError("resampling rate must be positive")
+    return fr.numerator, fr.denominator
+
+
+def _pfb_taps(npfb: int, m: int, fc: float, as_db: float) -> np.ndarray:
+    """Polyphase bank coefficient matrix [npfb, 2m].
+
+    Prototype: length 2*m*npfb+1 Kaiser lowpass at fc/npfb, normalized to
+    DC gain npfb (reference resamp.c:117-131); branch b taps are
+    h[j*npfb + b] (delay-major layout).
+    """
+    from ..design.firdes import firdes_kaiser
+    n = 2 * m * npfb + 1
+    hf = firdes_kaiser(n, fc / npfb, as_db)
+    hf = hf * (npfb / np.sum(hf))
+    return hf[: n - 1].reshape(2 * m, npfb).T.astype(np.float32).copy()
+
+
+def resamp(rate, m: int = 7, fc: float = 0.25, as_db: float = 60.0,
+           npfb: int = 64, name: str = "resamp") -> Proc:
+    """Arbitrary-rate polyphase resampler (reference resamp.c).
+
+    rate may be a float (rationalized) or an exact (num, den) tuple.
+    Block constraint: T % den == 0, so each block emits exactly
+    T * num / den samples and all shapes are static under jit.
+
+    TPU formulation: output k of a block lies at input position
+    t_k = phi + k*den/num; its base sample i_k = floor(t_k) and soft bank
+    index bf = frac(t_k)*npfb select pfb branches b, b+1 whose outputs are
+    linearly interpolated (reference resamp.c:275-289).  All indices are
+    affine in k (resamp.c:305-307 recurrence solved in closed form), so the
+    block is one gather + two batched dot products.
+    """
+    num, den = as_rational(rate)
+    H = jnp.asarray(_pfb_taps(npfb, m, fc, as_db))  # [npfb, 2m]
+    L = 2 * m
+    params = (H,)
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return {"tail": jnp.zeros(batch_shape + (L,), dtype),
+                "phi": jnp.zeros((), jnp.float64 if False else jnp.float32)}
+
+    def apply(params, carry, x):
+        (H_,) = params
+        T = x.shape[-1]
+        if T % den != 0:
+            raise ValueError(
+                f"resamp rate {num}/{den}: block length {T} must be a "
+                f"multiple of {den}")
+        n_out = T * num // den
+        xp = jnp.concatenate([carry["tail"].astype(x.dtype), x], axis=-1)
+        k = jnp.arange(n_out)
+        # exact integer split of t_k = phi + k*den/num:
+        #   k*den = q*num + r  ->  t_k = phi + q + r/num
+        q, r = jnp.divmod(k * den, num)
+        frac = carry["phi"] + r.astype(jnp.float32) / num
+        # phi in [0, 1): may push frac past 1
+        i = q + frac.astype(jnp.int32)          # base input index
+        frac = frac - jnp.floor(frac)
+        bf = frac * npfb
+        b = jnp.minimum(bf.astype(jnp.int32), npfb - 1)
+        mu = bf - b
+        # branch b+1 may wrap to branch 0 of the NEXT sample
+        # (reference resamp.c boundary state, resamp.c:252-262)
+        b1 = b + 1
+        i1 = i + b1 // npfb
+        b1 = b1 % npfb
+        # windows end at padded index i + L - 1 (length-L window over
+        # [i, i+L-1] in padded coords == last L inputs up to sample i)
+        j = jnp.arange(L)
+        w0 = jnp.take(xp, i[:, None] + j[None, :], axis=-1)    # [..., n_out, L]
+        w1 = jnp.take(xp, i1[:, None] + j[None, :], axis=-1)
+        t0 = jnp.take(H_, b, axis=0)[..., ::-1]   # [n_out, L] newest-first flip
+        t1 = jnp.take(H_, b1, axis=0)[..., ::-1]
+        y0 = jnp.einsum("...kj,kj->...k", w0, t0.astype(x.dtype)
+                        if jnp.iscomplexobj(x) else t0)
+        y1 = jnp.einsum("...kj,kj->...k", w1, t1.astype(x.dtype)
+                        if jnp.iscomplexobj(x) else t1)
+        y = y0 + mu.astype(y0.dtype) * (y1 - y0)
+        new_phi = carry["phi"]  # invariant when den | T
+        new_carry = {"tail": xp[..., xp.shape[-1] - L:], "phi": new_phi}
+        return y, new_carry
+
+    return Proc(params=params, init=init, apply=apply, rate=(num, den),
+                name=name)
+
+
+def msresamp(rate, as_db: float = 60.0, name: str = "msresamp") -> Proc:
+    """Multi-stage arbitrary resampler (reference msresamp.c:95-135):
+    halfband cascade brings the rate into (0.5, 2], an arbitrary
+    polyphase resampler handles the remainder (m=7, fc=0.4, npfb=64 —
+    reference msresamp.c:134)."""
+    num, den = as_rational(rate)
+    r = num / den
+    n_hb = 0
+    arb = Fraction(num, den)
+    if r > 1.0:
+        while arb > 2:
+            n_hb += 1
+            arb = arb / 2
+        stages = []
+        if arb != 1:
+            stages.append(resamp((arb.numerator, arb.denominator),
+                                 m=7, fc=0.4, as_db=as_db, npfb=64,
+                                 name=f"{name}_arb"))
+        stages.append(msresamp2("interp", n_hb, 0.4, 0.0, as_db,
+                                name=f"{name}_hb"))
+        return chain(*stages, name=name)
+    else:
+        while arb < Fraction(1, 2):
+            n_hb += 1
+            arb = arb * 2
+        stages = [msresamp2("decim", n_hb, 0.4, 0.0, as_db,
+                            name=f"{name}_hb")]
+        if arb != 1:
+            stages.append(resamp((arb.numerator, arb.denominator),
+                                 m=7, fc=0.4, as_db=as_db, npfb=64,
+                                 name=f"{name}_arb"))
+        return chain(*stages, name=name)

@@ -1,0 +1,196 @@
+"""Resampler tests, mirroring the reference autotest criteria:
+resamp_crcf_autotest.c (windowed-sinusoid spectral test: carrier moves to
+f/r, images/distortion below stopband) and resamp2/msresamp tests.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from conftest import assert_close
+
+from liquid_dsp_tpu.ops.resample import (
+    resamp, resamp2_decim, resamp2_interp, resamp2_analyzer,
+    resamp2_synthesizer, msresamp, as_rational, halfband_taps)
+
+
+def spectral_peak_and_sidelobe(y, main_lobe_width=0.07):
+    """FFT of y; returns (fpeak, peak_dB, max_sidelobe_dB relative)."""
+    n = len(y)
+    nfft = 1 << int(np.ceil(np.log2(n)))
+    Y = np.fft.fftshift(np.fft.fft(y, nfft))
+    f = np.arange(nfft) / nfft - 0.5
+    mag = np.abs(Y)
+    ipk = np.argmax(mag)
+    fpeak = f[ipk]
+    mag_db = 20 * np.log10(mag / mag[ipk] + 1e-12)
+    side = mag_db[np.abs(f - fpeak) > main_lobe_width]
+    return fpeak, np.max(side)
+
+
+def windowed_tone(n, fx, beta=10.0):
+    from liquid_dsp_tpu.design.windows import kaiser
+    w = kaiser(n, beta)
+    return (np.exp(2j * np.pi * fx * np.arange(n)) * w).astype(np.complex64)
+
+
+def run_proc(proc, x):
+    y, _ = proc(jnp.asarray(x), batch_shape=())
+    return np.asarray(y)
+
+
+class TestResamp:
+    def test_rational_rate_output_len(self):
+        q = resamp((3, 2), m=7)
+        x = np.zeros(400, np.complex64)
+        y = run_proc(q, x)
+        assert y.shape == (600,)
+
+    @pytest.mark.parametrize("num,den", [(3, 2), (2, 3), (7, 5), (127, 100)])
+    def test_tone_spectral_purity(self, num, den):
+        # reference resamp_crcf_autotest.c criteria: peak at fx/r,
+        # sidelobes < -As + margin
+        r = num / den
+        fx = 0.05
+        n = 60 * den  # multiple of den
+        x = windowed_tone(n, fx)
+        q = resamp((num, den), m=13, fc=0.45, as_db=60.0)
+        y = run_proc(q, x)
+        assert len(y) == n * num // den
+        fpeak, side = spectral_peak_and_sidelobe(np.asarray(y))
+        assert abs(fpeak - fx / r) < 0.01, (fpeak, fx / r)
+        assert side < -50.0, side
+
+    def test_block_equals_oneshot(self):
+        # streaming in 4 blocks == one shot (carry correctness)
+        num, den = 7, 5
+        n = 40 * den
+        rng = np.random.default_rng(3)
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64)
+        q = resamp((num, den), m=9)
+        y_once = run_proc(q, x)
+        c = q.init(batch_shape=())
+        ys = []
+        for blk in x.reshape(4, -1):
+            yb, c = q.apply(q.params, c, jnp.asarray(blk))
+            ys.append(np.asarray(yb))
+        assert_close(np.concatenate(ys), y_once, tol=1e-5,
+                     msg="blocked vs one-shot resamp")
+
+    def test_unity_rate_identity_delay(self):
+        # rate 1 on an in-band tone: output == delayed input (branch-0 path)
+        n = 256
+        x = windowed_tone(n, 0.1)
+        q = resamp((1, 1), m=9, fc=0.45, as_db=80.0)
+        y = run_proc(q, x)
+        # group delay ~ m + 1 samples; correlate to find best lag
+        lags = range(5, 15)
+        errs = [np.mean(np.abs(y[lag:n] - x[: n - lag]) ** 2) / np.mean(np.abs(x) ** 2)
+                for lag in lags]
+        assert min(errs) < 1e-3, min(errs)
+
+    def test_as_rational(self):
+        assert as_rational(0.5) == (1, 2)
+        assert as_rational((3, 6)) == (1, 2)
+        num, den = as_rational(1.27115323)
+        assert abs(num / den - 1.27115323) < 1e-4
+
+
+class TestResamp2:
+    def test_interp_then_decim_recovers(self):
+        # reference resamp2_crcf_autotest: interp 1:2 then decim 2:1
+        # recovers the signal up to delay
+        n = 512
+        fx = 0.087
+        x = windowed_tone(n, fx)
+        m = 7
+        qi = resamp2_interp(m=m, as_db=60.0)
+        qd = resamp2_decim(m=m, as_db=60.0)
+        y = run_proc(qi, x)
+        assert y.shape == (2 * n,)
+        z = run_proc(qd, y)
+        assert z.shape == (n,)
+        # total delay = 2m (interp m sam at out rate -> m/2... measure it)
+        best = min(np.mean(np.abs(z[d:] - x[: n - d]) ** 2)
+                   for d in range(1, 4 * m))
+        assert best / np.mean(np.abs(x) ** 2) < 1e-3
+
+    def test_decim_tone(self):
+        # tone below 0.25 passes through decimator at 2x frequency
+        n = 1024
+        fx = 0.1
+        x = windowed_tone(n, fx)
+        y = run_proc(resamp2_decim(m=9, as_db=70.0), x)
+        fpeak, side = spectral_peak_and_sidelobe(np.asarray(y))
+        assert abs(fpeak - 2 * fx) < 0.01
+        assert side < -55
+
+    def test_analyzer_two_tones(self):
+        # mirrors reference resamp2_crcf_autotest.c:29-72: lowband tone f0
+        # and highband tone pi+f1 separate cleanly; outputs carry the
+        # half-sample phase offset exp(j*2*f*(i+0.5)).
+        m = 5
+        n = 37
+        f0, f1 = 0.0739, -0.1387
+        tol = 1e-3
+        N = 2 * n
+        i_in = np.arange(N)
+        x = (np.exp(1j * f0 * i_in) + np.exp(1j * (np.pi + f1) * i_in)
+             ).astype(np.complex64)
+        qa = resamp2_analyzer(m=m, as_db=60.0)
+        bands = run_proc(qa, x)
+        y0, y1 = np.asarray(bands)
+        i = np.arange(m, n - m)
+        assert_close(y0[i + m], np.exp(2j * f0 * (i + 0.5)), tol=tol,
+                     msg="lowband")
+        assert_close(y1[i + m], np.exp(2j * f1 * (i + 0.5)), tol=tol,
+                     msg="highband")
+
+    def test_analyzer_synthesizer_loopback_tones(self):
+        # band-limited loopback: reconstruction delayed by 4m-1 samples.
+        # The odd total delay means the highband (pi-modulated) component
+        # comes back sign-inverted — intrinsic to the reference pair's
+        # delay structure (resamp2_crcf_autotest.c delays: analysis m,
+        # synthesis 2m, each with a half-sample interpolation).
+        n = 512
+        m = 9
+        i = np.arange(n)
+        d = 4 * m - 1
+        qa = resamp2_analyzer(m=m, as_db=70.0)
+        qs = resamp2_synthesizer(m=m, as_db=70.0)
+        for f, band_sign in [(0.04, 1.0), (0.5 - 0.06, -1.0)]:
+            x = np.exp(2j * np.pi * f * i).astype(np.complex64)
+            bands = run_proc(qa, x)
+            assert bands.shape == (2, n // 2)
+            y = run_proc(qs, jnp.asarray(bands))
+            assert y.shape == (n,)
+            ks = np.arange(d + 4 * m, n - 4 * m)
+            err = (np.mean(np.abs(y[ks] - band_sign * x[ks - d]) ** 2)
+                   / np.mean(np.abs(x) ** 2))
+            assert err < 1e-3, (f, err)
+
+    def test_halfband_taps_structure(self):
+        h = halfband_taps(5, 0.0, 60.0)
+        # even taps (excluding center) are ~zero: sinc(t/2) at even t
+        n = len(h)
+        c = (n - 1) // 2
+        for i in range(0, n, 2):
+            if i != c:
+                assert abs(h[i]) < 1e-6
+
+
+class TestMsresamp:
+    @pytest.mark.parametrize("rate", [0.5, 0.25, (1, 3), 2.0, 4.0, (8, 3)])
+    def test_rate_and_tone(self, rate):
+        num, den = as_rational(rate)
+        r = num / den
+        fx = 0.02
+        n = 48 * den * (4 if r < 1 else 1)
+        x = windowed_tone(n, fx)
+        q = msresamp(rate, as_db=60.0)
+        y = run_proc(q, x)
+        assert len(y) == n * num // den
+        fpeak, side = spectral_peak_and_sidelobe(
+            np.asarray(y), main_lobe_width=0.07 / min(r, 1.0))
+        assert abs(fpeak - fx / r) < 0.02, (fpeak, fx / r)
+        assert side < -40, side

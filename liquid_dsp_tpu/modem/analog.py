@@ -1,0 +1,127 @@
+"""Analog modems: FM (freqmod/freqdem) and AM (ampmodem).
+
+Reference analogs (studied, not copied):
+  * freqmod — src/modem/src/freqmod.c:36-60: s(t) = exp(j*2*pi*kf*sum(m));
+              the reference accumulates phase in 16-bit units with a 1024-
+              entry sincos table; we accumulate exactly and let the VPU
+              evaluate exp directly.
+  * freqdem — src/modem/src/freqdem.c: m(t) = arg(r[n-1]* . r[n]) / (2*pi*kf).
+  * ampmodem— src/modem/src/ampmodem.c:153-256: DSB/USB/LSB with optional
+              carrier suppression; SSB via Hilbert transform; demod is
+              envelope (non-suppressed) or coherent (suppressed DSB).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import Proc
+from ..ops.fir import fir_apply
+
+__all__ = ["freq_modulator", "freq_demodulator", "amp_modulator",
+           "amp_demodulator"]
+
+
+def freq_modulator(kf: float, name: str = "freqmod") -> Proc:
+    """FM modulator: real message [..., T] -> complex baseband [..., T].
+    Carry: accumulated phase (reference freqmod.c modulate)."""
+    if not (0.0 < kf <= 1.0):
+        raise ValueError("FM modulation factor must be in (0, 1]")
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return jnp.zeros(batch_shape, jnp.float32)
+
+    def apply(params, carry, m):
+        dphi = 2.0 * np.pi * kf * m
+        theta = carry[..., None] + jnp.cumsum(dphi, axis=-1)
+        y = jnp.exp(1j * theta).astype(jnp.complex64)
+        return y, jnp.mod(theta[..., -1], 2 * np.pi)
+
+    return Proc(params={}, init=init, apply=apply, name=name)
+
+
+def freq_demodulator(kf: float, name: str = "freqdem") -> Proc:
+    """FM demodulator: m[n] = arg(conj(r[n-1]) r[n]) / (2 pi kf).
+    Carry: previous sample (reference freqdem.c)."""
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return jnp.zeros(batch_shape, jnp.complex64)
+
+    def apply(params, carry, r):
+        prev = jnp.concatenate([carry[..., None], r[..., :-1]], axis=-1)
+        m = jnp.angle(jnp.conj(prev) * r + 1e-20) / (2.0 * np.pi * kf)
+        return m.astype(jnp.float32), r[..., -1]
+
+    return Proc(params={}, init=init, apply=apply, name=name)
+
+
+def _hilbert_taps(m: int = 25, as_db: float = 60.0) -> np.ndarray:
+    """Type-III FIR Hilbert transformer taps, length 4m+1."""
+    n = 4 * m + 1
+    t = np.arange(n) - (n - 1) / 2.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        h = np.where(t == 0, 0.0, (1 - np.cos(np.pi * t)) / (np.pi * t))
+    from ..design.windows import kaiser, kaiser_beta_as
+    return (h * kaiser(n, kaiser_beta_as(as_db))).astype(np.float32)
+
+
+def amp_modulator(mod_index: float = 0.1, kind: str = "dsb",
+                  suppressed_carrier: bool = False,
+                  name: str = "ampmod") -> Proc:
+    """AM modulator: real message [..., T] -> complex baseband.
+
+    kind: 'dsb' | 'usb' | 'lsb' (reference liquid.h LIQUID_AMPMODEM_*).
+    SSB analytic signal via FIR Hilbert transform (reference uses
+    firhilbf_r2c, ampmodem.c:166)."""
+    kind = kind.lower()
+    if kind not in ("dsb", "usb", "lsb"):
+        raise ValueError(f"unknown AM type {kind!r}")
+    hh = jnp.asarray(_hilbert_taps())
+    L = int(hh.shape[-1])
+    d = (L - 1) // 2  # transformer group delay
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        if kind == "dsb":
+            return ()
+        return {"tail_h": jnp.zeros(batch_shape + (L - 1,), jnp.float32),
+                "tail_d": jnp.zeros(batch_shape + (d,), jnp.float32)}
+
+    def apply(params, carry, x):
+        if kind == "dsb":
+            x_hat = x.astype(jnp.complex64)
+            new_carry = carry
+        else:
+            # analytic signal: delayed real part + j*Hilbert(x)
+            q, tail_h = fir_apply(params["hh"], carry["tail_h"], x)
+            xd = jnp.concatenate([carry["tail_d"], x], axis=-1)
+            i = xd[..., : x.shape[-1]]
+            new_carry = {"tail_h": tail_h, "tail_d": xd[..., x.shape[-1]:]}
+            x_hat = (i + 1j * q) if kind == "usb" else (i - 1j * q)
+        if not suppressed_carrier:
+            x_hat = 0.5 * (x_hat + 1.0)
+        return x_hat.astype(jnp.complex64), new_carry
+
+    return Proc(params={"hh": hh}, init=init, apply=apply, name=name)
+
+
+def amp_demodulator(mod_index: float = 0.1, kind: str = "dsb",
+                    suppressed_carrier: bool = False,
+                    name: str = "ampdem") -> Proc:
+    """AM demodulator (reference ampmodem.c:199-256).
+
+    Non-suppressed carrier: envelope detector  x = 2|y| - 1.
+    Suppressed carrier:     SSB -> real part; DSB -> coherent (assumes the
+    carrier was removed upstream, e.g. by an NCO/PLL stage)."""
+    kind = kind.lower()
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return ()
+
+    def apply(params, carry, y):
+        if suppressed_carrier:
+            x = y.real
+        else:
+            x = 2.0 * jnp.abs(y) - 1.0
+        return x.astype(jnp.float32), carry
+
+    return Proc(params={}, init=init, apply=apply, name=name)

@@ -1,0 +1,159 @@
+"""Modem tests following the reference's strategy (SURVEY.md §4):
+mod->demod round trip over every scheme (reference src/modem/tests/
+modem_autotest.c style), constellation energy normalization, gray-coding
+neighbor property, soft-demod consistency, DPSK differential loopback.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from liquid_dsp_tpu.modem import (
+    MODEM_SCHEMES, constellation, bits_per_symbol, gray_encode, gray_decode,
+    modulate, demodulate, demodulate_soft, soft_to_hard, phase_error,
+    dpsk_modulator, dpsk_demodulator,
+)
+
+DIFFERENTIAL = {f"dpsk{1 << m}" for m in range(1, 9)}
+LINEAR = [s for s in MODEM_SCHEMES if s not in DIFFERENTIAL]
+
+
+class TestGray:
+    def test_roundtrip(self):
+        x = np.arange(1024)
+        assert np.array_equal(gray_decode(gray_encode(x)), x)
+        assert np.array_equal(gray_encode(gray_decode(x)), x)
+
+    def test_adjacent_one_bit(self):
+        g = gray_encode(np.arange(256))
+        diff = g[1:] ^ g[:-1]
+        # power of two == single bit flipped
+        assert np.all(diff & (diff - 1) == 0)
+
+
+class TestConstellations:
+    @pytest.mark.parametrize("scheme", LINEAR)
+    def test_unit_energy(self, scheme):
+        c = constellation(scheme)
+        e = np.mean(np.abs(c) ** 2)
+        assert abs(e - 1.0) < 0.02, (scheme, e)
+
+    @pytest.mark.parametrize("scheme", LINEAR)
+    def test_points_distinct(self, scheme):
+        c = constellation(scheme)
+        d = np.abs(c[:, None] - c[None, :]) + np.eye(len(c))
+        assert d.min() > 1e-3, scheme
+
+    def test_known_points(self):
+        # spot values matching reference closed forms
+        np.testing.assert_allclose(constellation("bpsk"), [1, -1])
+        q = constellation("qpsk")
+        np.testing.assert_allclose(
+            q, np.array([1 + 1j, -1 + 1j, 1 - 1j, -1 - 1j]) / np.sqrt(2),
+            rtol=1e-6)
+        a4 = constellation("ask4")
+        np.testing.assert_allclose(
+            sorted(a4.real), np.array([-3, -1, 1, 3]) / np.sqrt(5), rtol=1e-6)
+        q16 = constellation("qam16")
+        np.testing.assert_allclose(
+            sorted(set(np.round(q16.real, 6))),
+            np.array([-3, -1, 1, 3]) / np.sqrt(10), rtol=1e-5)
+
+    def test_apsk_ring_structure(self):
+        # APSK16 = rings of 4 and 12 points (reference modem_apsk_const.c)
+        c = constellation("apsk16")
+        radii = np.round(np.abs(c), 4)
+        vals, counts = np.unique(radii, return_counts=True)
+        assert len(vals) == 2
+        assert sorted(counts) == [4, 12]
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("scheme", LINEAR)
+    def test_mod_demod_identity(self, scheme):
+        m = bits_per_symbol(scheme)
+        M = 1 << m
+        table = constellation(scheme)
+        syms = jnp.asarray(np.arange(M))
+        y = modulate(table, syms)
+        s_hat = demodulate(table, y)
+        assert np.array_equal(np.asarray(s_hat), np.arange(M)), scheme
+
+    @pytest.mark.parametrize("scheme", ["qpsk", "qam16", "qam64", "apsk32",
+                                        "psk8", "arb16opt", "sqam32"])
+    def test_noisy_demod_reasonable(self, scheme):
+        # low-noise round trip: SER ~ 0
+        m = bits_per_symbol(scheme)
+        M = 1 << m
+        rng = np.random.default_rng(7)
+        syms = rng.integers(0, M, 4096)
+        table = constellation(scheme)
+        y = np.asarray(modulate(table, jnp.asarray(syms)))
+        y = y + 0.01 * (rng.standard_normal(len(y)) +
+                        1j * rng.standard_normal(len(y)))
+        s_hat = np.asarray(demodulate(table, jnp.asarray(y)))
+        assert np.mean(s_hat != syms) < 1e-3, scheme
+
+    def test_phase_error_sign(self):
+        table = constellation("qpsk")
+        y = jnp.asarray(np.exp(1j * 0.1) *
+                        np.asarray(modulate(table, jnp.arange(4))))
+        s = demodulate(table, y)
+        pe = np.asarray(phase_error(table, y, s))
+        np.testing.assert_allclose(pe, 0.1, atol=1e-5)
+
+
+class TestSoft:
+    @pytest.mark.parametrize("scheme", ["bpsk", "qpsk", "qam16", "apsk16",
+                                        "psk8", "qam64"])
+    def test_soft_hard_agree(self, scheme):
+        m = bits_per_symbol(scheme)
+        M = 1 << m
+        rng = np.random.default_rng(3)
+        syms = rng.integers(0, M, 1024)
+        table = constellation(scheme)
+        y = np.asarray(modulate(table, jnp.asarray(syms)))
+        y = y + 0.05 * (rng.standard_normal(len(y)) +
+                        1j * rng.standard_normal(len(y)))
+        llrs = demodulate_soft(table, jnp.asarray(y))
+        s_soft = np.asarray(soft_to_hard(llrs))
+        s_hard = np.asarray(demodulate(table, jnp.asarray(y)))
+        # max-log soft decisions == hard ML decisions (per-bit vs per-symbol
+        # can differ at ties, keep a tiny tolerance)
+        assert np.mean(s_soft != s_hard) < 5e-3, scheme
+
+    def test_bpsk_llr_sign(self):
+        table = constellation("bpsk")
+        llr = np.asarray(demodulate_soft(table, jnp.asarray(
+            np.array([0.9, -0.8], np.complex64))))
+        assert llr[0, 0] < 0  # bit 0 (symbol 0) -> negative LLR
+        assert llr[1, 0] > 0
+
+
+class TestDPSK:
+    @pytest.mark.parametrize("m", [1, 2, 3])
+    def test_differential_roundtrip(self, m):
+        M = 1 << m
+        rng = np.random.default_rng(11)
+        syms = rng.integers(0, M, 512)
+        mod = dpsk_modulator(m)
+        dem = dpsk_demodulator(m)
+        y, _ = mod(jnp.asarray(syms), batch_shape=())
+        # constant unknown phase rotation: differential demod is immune
+        # (except the very first symbol, whose reference phase is unknown)
+        y = jnp.asarray(np.asarray(y) * np.exp(1j * 1.234))
+        s_hat, _ = dem(y, batch_shape=())
+        assert np.array_equal(np.asarray(s_hat)[1:], syms[1:])
+
+    def test_streaming_matches_oneshot(self):
+        m = 2
+        rng = np.random.default_rng(5)
+        syms = rng.integers(0, 4, 256)
+        mod = dpsk_modulator(m)
+        y_once, _ = mod(jnp.asarray(syms), batch_shape=())
+        c = mod.init(batch_shape=())
+        ys = []
+        for blk in syms.reshape(4, -1):
+            yb, c = mod.apply(mod.params, c, jnp.asarray(blk))
+            ys.append(np.asarray(yb))
+        np.testing.assert_allclose(np.concatenate(ys), np.asarray(y_once),
+                                   atol=1e-5)

@@ -1,0 +1,71 @@
+"""Automatic gain control as a lax.scan recurrence.
+
+Reference analog (studied, not copied): agc_crcf/rrrf
+(reference src/agc/src/agc.c:37-123): log-domain gain loop — one-pole
+smoothing of |y|^2, g *= exp(-alpha/2 * log(y2')), clamp at 1e6,
+lock/unlock, rssi accessors (API include/liquid.h:93-160).
+
+The per-sample feedback cannot be parallelized across time without
+changing the algorithm (SURVEY.md §7 hard-parts #1), so it runs as a
+lax.scan over the block with the (g, y2_prime) carry — batch/channel axes
+vectorize freely, which is where the TPU parallelism lives.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import Proc
+
+__all__ = ["agc", "agc_scan", "rssi_from_carry"]
+
+AGC_DEFAULT_BW = 1e-2
+
+
+def agc_scan(alpha, carry, x, locked: bool = False):
+    """Run the AGC recurrence over a block.  carry = {g, y2_prime}."""
+
+    def step(c, xt):
+        g, y2p = c
+        y = xt * g.astype(xt.dtype)
+        y2 = (y * jnp.conj(y)).real if jnp.iscomplexobj(y) else y * y
+        y2p = (1.0 - alpha) * y2p + alpha * y2
+        if not locked:
+            g = jnp.where(y2p > 1e-6,
+                          g * jnp.exp(-0.5 * alpha * jnp.log(y2p)), g)
+            g = jnp.minimum(g, 1e6)
+        return (g, y2p), y
+
+    # scan over the LAST axis: move time to the front
+    xt = jnp.moveaxis(x, -1, 0)
+    (g, y2p), yt = lax.scan(step, (carry["g"], carry["y2_prime"]), xt)
+    return jnp.moveaxis(yt, 0, -1), {"g": g, "y2_prime": y2p}
+
+
+def agc(bandwidth: float = AGC_DEFAULT_BW, locked: bool = False,
+        name: str = "agc") -> Proc:
+    """Streaming AGC Proc.  Output: gain-normalized signal (unit energy).
+
+    carry: {g: gain, y2_prime: smoothed output energy} — the analog of the
+    reference struct fields (agc.c:37-51).
+    """
+    if bandwidth < 0:
+        raise ValueError("agc bandwidth must be positive")
+    alpha = float(bandwidth)
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return {"g": jnp.ones(batch_shape, jnp.float32),
+                "y2_prime": jnp.ones(batch_shape, jnp.float32)}
+
+    def apply(params, carry, x):
+        return agc_scan(alpha, carry, x, locked=locked)
+
+    return Proc(params={}, init=init, apply=apply, name=name)
+
+
+def rssi_from_carry(carry):
+    """Received signal strength [dB] (reference agc_crcf_get_rssi):
+    rssi = -20 log10(g)."""
+    return -20.0 * jnp.log10(jnp.maximum(carry["g"], 1e-16))

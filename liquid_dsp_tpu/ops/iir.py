@@ -1,0 +1,134 @@
+"""IIR filtering: transposed direct-form II and second-order-section
+cascades as lax.scan recurrences.
+
+Reference analogs (studied, not copied):
+  * iirfilt    — src/filter/src/iirfilt.c:49+ (DF2T with nb/na taps, or
+                 SOS cascade mode selected at create).
+  * iirfiltsos — src/filter/src/iirfiltsos.c (single biquad, used as the
+                 PLL loop filter).
+
+The time recurrence is sequential (SURVEY.md §7 hard-parts #1): lax.scan
+per shard; batch/channel axes vectorize.  For long blocks XLA pipelines
+the scan body; the state is O(order) — tiny.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import Proc
+
+__all__ = ["iirfilt", "iirfilt_sos", "iir_apply_tf", "iir_apply_sos",
+           "iir_freqresponse", "iir_group_delay"]
+
+
+def _norm_ba(b, a):
+    b = np.atleast_1d(np.asarray(b))
+    a = np.atleast_1d(np.asarray(a))
+    b = b / a[0]
+    a = a / a[0]
+    return b, a
+
+
+def iir_apply_tf(b, a, carry, x):
+    """One block of DF2T IIR filtering; carry = internal state [n-1].
+
+    y[t] = b0*x[t] + s0;  s_i = b_{i+1} x - a_{i+1} y + s_{i+1}
+    (standard transposed direct form II, matching reference iirfilt.c).
+    """
+    n = max(b.shape[-1], a.shape[-1])
+    bp = jnp.pad(b, (0, n - b.shape[-1]))
+    ap = jnp.pad(a, (0, n - a.shape[-1]))
+
+    def step(s, xt):
+        y = bp[0] * xt + s[..., 0]
+        s_new = (bp[1:] * xt[..., None] - ap[1:] * y[..., None]
+                 + jnp.concatenate([s[..., 1:],
+                                    jnp.zeros_like(s[..., :1])], axis=-1))
+        return s_new, y
+
+    xt = jnp.moveaxis(x, -1, 0)
+    s, yt = lax.scan(step, carry, xt)
+    return jnp.moveaxis(yt, 0, -1), s
+
+
+def iir_apply_sos(B, A, carry, x):
+    """Cascade of biquads; B, A: [n_sections, 3]; carry: [..., n_sections, 2]."""
+    ns = B.shape[0]
+
+    def step(s, xt):
+        y = xt
+        new_s = []
+        for k in range(ns):
+            sk = s[..., k, :]
+            yk = B[k, 0] * y + sk[..., 0]
+            s0 = B[k, 1] * y - A[k, 1] * yk + sk[..., 1]
+            s1 = B[k, 2] * y - A[k, 2] * yk
+            new_s.append(jnp.stack([s0, s1], axis=-1))
+            y = yk
+        return jnp.stack(new_s, axis=-2), y
+
+    xt = jnp.moveaxis(x, -1, 0)
+    s, yt = lax.scan(step, carry, xt)
+    return jnp.moveaxis(yt, 0, -1), s
+
+
+def iirfilt(b, a, name: str = "iirfilt") -> Proc:
+    """IIR filter from transfer-function coefficients (reference
+    iirfilt_crcf_create)."""
+    b, a = _norm_ba(b, a)
+    n = max(len(b), len(a))
+    bj = jnp.asarray(b.astype(np.complex64 if np.iscomplexobj(b)
+                              else np.float32))
+    aj = jnp.asarray(a.astype(np.complex64 if np.iscomplexobj(a)
+                              else np.float32))
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return jnp.zeros(batch_shape + (n - 1,), dtype)
+
+    def apply(params, carry, x):
+        return iir_apply_tf(params["b"], params["a"],
+                            carry.astype(x.dtype), x)
+
+    return Proc(params={"b": bj, "a": aj}, init=init, apply=apply, name=name)
+
+
+def iirfilt_sos(B, A, name: str = "iirfilt_sos") -> Proc:
+    """IIR filter as a second-order-section cascade (reference
+    iirfilt_crcf_create_sos); B, A: [n_sections, 3] with A[:,0]=1."""
+    B = np.atleast_2d(np.asarray(B, np.float32))
+    A = np.atleast_2d(np.asarray(A, np.float32))
+    A0 = A[:, :1]
+    B = B / A0
+    A = A / A0
+    ns = B.shape[0]
+    Bj, Aj = jnp.asarray(B), jnp.asarray(A)
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return jnp.zeros(batch_shape + (ns, 2), dtype)
+
+    def apply(params, carry, x):
+        return iir_apply_sos(params["B"], params["A"],
+                             carry.astype(x.dtype), x)
+
+    return Proc(params={"B": Bj, "A": Aj}, init=init, apply=apply, name=name)
+
+
+def iir_freqresponse(b, a, fc):
+    """H(e^{j 2 pi fc}) for transfer-function coefficients."""
+    b = np.atleast_1d(b)
+    a = np.atleast_1d(a)
+    z = np.exp(-2j * np.pi * np.asarray(fc))  # z := z^-1
+    num = sum(bk * z ** k for k, bk in enumerate(b))
+    den = sum(ak * z ** k for k, ak in enumerate(a))
+    return num / den
+
+
+def iir_group_delay(b, a, fc, df: float = 1e-4):
+    """Group delay via numerical phase derivative (reference
+    group_delay.c iir_group_delay semantics)."""
+    h1 = iir_freqresponse(b, a, fc - df / 2)
+    h2 = iir_freqresponse(b, a, fc + df / 2)
+    dphi = np.angle(h2 * np.conj(h1))
+    return -dphi / (2 * np.pi * df)

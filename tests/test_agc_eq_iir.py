@@ -1,0 +1,174 @@
+"""AGC, equalizer, and IIR filter tests.
+
+IIR golden vectors from the reference (src/filter/tests/data/iirfilt_*);
+AGC convergence criteria mirror reference agc_autotest.c; equalizer tests
+mirror eqlms/eqrls autotests (converge on a known channel).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from conftest import assert_close
+
+from liquid_dsp_tpu.ops.agc import agc, rssi_from_carry
+from liquid_dsp_tpu.ops.iir import (iirfilt, iirfilt_sos, iir_freqresponse,
+                                    iir_group_delay)
+from liquid_dsp_tpu.ops.equalize import eqlms, eqrls
+
+
+GOLDEN_IIR = [
+    ("iirfilt_rrrf_data_h3x64", np.float32),
+    ("iirfilt_rrrf_data_h5x64", np.float32),
+    ("iirfilt_rrrf_data_h7x64", np.float32),
+    ("iirfilt_crcf_data_h3x64", np.complex64),
+    ("iirfilt_crcf_data_h5x64", np.complex64),
+    ("iirfilt_crcf_data_h7x64", np.complex64),
+    ("iirfilt_cccf_data_h3x64", np.complex64),
+    ("iirfilt_cccf_data_h5x64", np.complex64),
+    ("iirfilt_cccf_data_h7x64", np.complex64),
+]
+
+
+class TestIIR:
+    @pytest.mark.parametrize("stem,dtype", GOLDEN_IIR)
+    def test_golden(self, golden, stem, dtype):
+        d = golden(stem)
+        q = iirfilt(d["b"], d["a"])
+        y, _ = q(jnp.asarray(d["x"].astype(dtype)),
+                 batch_shape=(), dtype=dtype)
+        assert_close(np.asarray(y), d["y"], tol=1e-3, msg=stem)
+
+    def test_streaming_matches_oneshot(self, golden):
+        d = golden("iirfilt_crcf_data_h5x64")
+        q = iirfilt(d["b"], d["a"])
+        y_once, _ = q(jnp.asarray(d["x"]), batch_shape=())
+        c = q.init(batch_shape=())
+        ys = []
+        for blk in d["x"].reshape(4, -1):
+            yb, c = q.apply(q.params, c, jnp.asarray(blk))
+            ys.append(np.asarray(yb))
+        assert_close(np.concatenate(ys), np.asarray(y_once), tol=1e-6)
+
+    def test_sos_equals_tf(self):
+        # a biquad cascade must match the expanded transfer function
+        B = np.array([[0.2, 0.3, 0.1], [0.5, -0.2, 0.05]], np.float32)
+        A = np.array([[1.0, -0.5, 0.2], [1.0, 0.1, -0.3]], np.float32)
+        b = np.convolve(B[0], B[1])
+        a = np.convolve(A[0], A[1])
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(256).astype(np.float32)
+        y_sos, _ = iirfilt_sos(B, A)(jnp.asarray(x), batch_shape=(),
+                                     dtype=jnp.float32)
+        y_tf, _ = iirfilt(b, a)(jnp.asarray(x), batch_shape=(),
+                                dtype=jnp.float32)
+        assert_close(np.asarray(y_sos), np.asarray(y_tf), tol=1e-4)
+
+    def test_freqresponse_dc(self):
+        b = np.array([0.5, 0.5])
+        a = np.array([1.0, -0.2])
+        h0 = iir_freqresponse(b, a, 0.0)
+        np.testing.assert_allclose(h0, np.sum(b) / np.sum(a), rtol=1e-6)
+
+    def test_group_delay_positive(self):
+        b = np.array([0.2, 0.4, 0.2])
+        a = np.array([1.0, -0.4, 0.1])
+        gd = iir_group_delay(b, a, 0.05)
+        assert gd > 0
+
+
+class TestAGC:
+    @pytest.mark.parametrize("gamma", [1e-3, 1e-2, 0.1, 10.0, 100.0])
+    def test_converges_to_unit_energy(self, gamma):
+        # reference agc_crcf_autotest: output RMS -> 1 for any input level
+        rng = np.random.default_rng(2)
+        n = 4096
+        x = gamma * np.exp(2j * np.pi * 0.093 * np.arange(n)
+                           ).astype(np.complex64)
+        q = agc(bandwidth=0.01)
+        y, c = q(jnp.asarray(x), batch_shape=())
+        tail = np.asarray(y)[-512:]
+        rms = np.sqrt(np.mean(np.abs(tail) ** 2))
+        assert abs(rms - 1.0) < 0.05, (gamma, rms)
+        # rssi estimate: -20log10(g) ~ 20log10(gamma/sqrt(2))? amplitude
+        rssi = float(np.asarray(rssi_from_carry(c)))
+        assert abs(rssi - 20 * np.log10(gamma)) < 1.5, (gamma, rssi)
+
+    def test_locked_holds_gain(self):
+        rng = np.random.default_rng(0)
+        x = (0.1 * rng.standard_normal(1024)).astype(np.float32)
+        q = agc(bandwidth=0.01, locked=True)
+        y, c = q(jnp.asarray(x.astype(np.complex64)), batch_shape=())
+        assert float(np.asarray(c["g"])) == 1.0
+
+    def test_batched_channels(self):
+        # independent gains per channel (the DP axis)
+        gains = np.array([0.1, 1.0, 10.0], np.float32)
+        n = 2048
+        x = (gains[:, None] *
+             np.exp(2j * np.pi * 0.1 * np.arange(n))[None, :]
+             ).astype(np.complex64)
+        q = agc(bandwidth=0.02)
+        y, c = q(jnp.asarray(x), batch_shape=(3,))
+        rms = np.sqrt(np.mean(np.abs(np.asarray(y)[:, -256:]) ** 2, axis=1))
+        np.testing.assert_allclose(rms, 1.0, atol=0.05)
+
+
+def _channel_signal(n, h_len=5, seed=1):
+    rng = np.random.default_rng(seed)
+    d = np.sign(rng.standard_normal(n)) + 1j * np.sign(rng.standard_normal(n))
+    d = (d / np.sqrt(2)).astype(np.complex64)
+    hc = np.zeros(3, np.complex64)
+    hc[0] = 1.0
+    hc[1] = 0.3 - 0.2j
+    hc[2] = -0.1 + 0.05j
+    x = np.convolve(d, hc)[:n].astype(np.complex64)
+    return x, d
+
+
+class TestEqualizers:
+    def test_eqlms_trained_converges(self):
+        n = 2000
+        x, d = _channel_signal(n)
+        L = 9
+        q = eqlms(h_len=L, mu=0.5)
+        # train with desired = delayed symbols (delay = center tap L//2)
+        delay = L // 2
+        d_shift = np.concatenate([np.zeros(delay, np.complex64),
+                                  d[: n - delay]])
+        y, c = q((jnp.asarray(x), jnp.asarray(d_shift)), batch_shape=())
+        err = np.mean(np.abs(np.asarray(y)[-500:] - d_shift[-500:]) ** 2)
+        assert err < 0.02, err
+
+    def test_eqrls_trained_converges_fast(self):
+        n = 400
+        x, d = _channel_signal(n, seed=3)
+        L = 9
+        delay = L // 2
+        d_shift = np.concatenate([np.zeros(delay, np.complex64),
+                                  d[: n - delay]])
+        q = eqrls(h_len=L, lam=0.99, delta=0.1)
+        y, c = q((jnp.asarray(x), jnp.asarray(d_shift)), batch_shape=())
+        err = np.mean(np.abs(np.asarray(y)[-100:] - d_shift[-100:]) ** 2)
+        assert err < 0.01, err
+
+    def test_eqlms_decision_directed_qpsk(self):
+        # blind adaptation on QPSK after trained warmup
+        n = 3000
+        x, d = _channel_signal(n, seed=5)
+        L = 9
+        delay = L // 2
+        d_shift = np.concatenate([np.zeros(delay, np.complex64),
+                                  d[: n - delay]])
+        q = eqlms(h_len=L, mu=0.2)
+        c = q.init(batch_shape=())
+        # warmup trained on first half
+        _, c = q.apply(q.params, c, (jnp.asarray(x[: n // 2]),
+                                     jnp.asarray(d_shift[: n // 2])))
+        qpsk_slicer = lambda y: (jnp.sign(y.real) +
+                                 1j * jnp.sign(y.imag)) / np.sqrt(2)
+        from liquid_dsp_tpu.ops.equalize import eqlms_run
+        y2, c = eqlms_run(None, 0.2, c, jnp.asarray(x[n // 2:]),
+                          slicer=qpsk_slicer)
+        err = np.mean(np.abs(np.asarray(y2)[-500:] -
+                             d_shift[n // 2:][-500:]) ** 2)
+        assert err < 0.05, err

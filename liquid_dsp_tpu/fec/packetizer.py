@@ -1,0 +1,82 @@
+"""Packetizer: CRC + two FEC stages + interleaving, byte-exact with the
+reference pipeline.
+
+Reference analog (studied, not copied): reference src/fec/src/
+packetizer.c:39-80 (length computation), packetizer_encode (:~200):
+msg -> append CRC -> fec0 encode -> interleave(enc0_len) -> fec1 encode
+-> interleave(enc1_len); decode runs the plan in reverse.  Interleaver
+depth is 0 (pass-through) for a LIQUID_FEC_NONE stage
+(packetizer.c:132-133).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .crc import crc_sizeof_key, crc_generate_key, crc_validate_message
+from . import dispatch as _fec
+from .interleave import interleave, deinterleave
+
+__all__ = ["packetizer_compute_enc_msg_len", "packetizer_compute_dec_msg_len",
+           "packetizer_encode", "packetizer_decode"]
+
+
+def _plan(msg_len: int, crc: str, fec0: str, fec1: str):
+    k = msg_len + crc_sizeof_key(crc)
+    stages = []
+    n0 = k
+    for fs in (fec0, fec1):
+        enc_len = _fec.fec_get_enc_msg_length(fs, n0)
+        depth = 0 if fs == "none" else 4
+        stages.append((fs, n0, enc_len, depth))
+        n0 = enc_len
+    return k, stages
+
+
+def packetizer_compute_enc_msg_len(msg_len: int, crc: str,
+                                   fec0: str, fec1: str) -> int:
+    _, stages = _plan(msg_len, crc, fec0, fec1)
+    return stages[-1][2]
+
+
+def packetizer_compute_dec_msg_len(enc_len: int, crc: str,
+                                   fec0: str, fec1: str) -> int:
+    """Largest msg_len whose encoded length fits enc_len
+    (reference packetizer.c:58-80)."""
+    n_hat = 0
+    while True:
+        k_hat = packetizer_compute_enc_msg_len(n_hat, crc, fec0, fec1)
+        if k_hat >= enc_len:
+            return n_hat
+        n_hat += 1
+
+
+def packetizer_encode(msg, crc: str = "crc32", fec0: str = "none",
+                      fec1: str = "none") -> np.ndarray:
+    msg = np.asarray(msg, np.uint8)
+    k, stages = _plan(len(msg), crc, fec0, fec1)
+    # append CRC key big-endian (reference packetizer_encode:~210)
+    key = crc_generate_key(crc, msg)
+    nk = crc_sizeof_key(crc)
+    buf = np.concatenate([msg, np.asarray(
+        [(key >> (8 * (nk - 1 - i))) & 0xFF for i in range(nk)], np.uint8)])
+    for fs, dec_len, enc_len, depth in stages:
+        buf = _fec.fec_encode(fs, buf[:dec_len])
+        buf = interleave(buf, depth=depth)
+    return buf
+
+
+def packetizer_decode(pkt, msg_len: int, crc: str = "crc32",
+                      fec0: str = "none", fec1: str = "none"):
+    """Returns (msg, crc_ok)."""
+    pkt = np.asarray(pkt, np.uint8)
+    k, stages = _plan(msg_len, crc, fec0, fec1)
+    buf = pkt
+    for fs, dec_len, enc_len, depth in reversed(stages):
+        buf = deinterleave(buf[:enc_len], depth=depth)
+        buf = _fec.fec_decode(fs, buf, dec_len)
+    nk = crc_sizeof_key(crc)
+    msg = buf[:msg_len]
+    key = 0
+    for b in buf[msg_len: msg_len + nk].tolist():
+        key = (key << 8) | int(b)
+    return msg, crc_validate_message(crc, msg, key)

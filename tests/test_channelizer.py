@@ -1,0 +1,142 @@
+"""Channelizer tests: sample-exact golden comparison against the
+reference implementation (tests/golden/channelizer_golden.npz), the
+reference's own autotest criteria (firpfbch2 loopback reconstruction,
+firpfbch analyzer == mix+filter+decimate equivalence), streaming
+consistency, and batched channels."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from liquid_dsp_tpu.multichannel.channelizer import (
+    firpfbch_analyzer, firpfbch_synthesizer, firpfbch_kaiser_taps,
+    firpfbch2_analyzer, firpfbch2_synthesizer)
+
+CASES = [(8, 4), (16, 5), (64, 3)]
+
+
+@pytest.fixture(scope="module")
+def cg():
+    import pathlib
+    path = pathlib.Path(__file__).parent / "golden/channelizer_golden.npz"
+    if not path.exists():
+        pytest.skip("channelizer_golden.npz not generated")
+    return dict(np.load(path))
+
+
+class TestGolden:
+    @pytest.mark.parametrize("M,m", CASES)
+    def test_firpfbch2_analyzer(self, cg, M, m):
+        x = cg[f"x_{M}_{m}"]
+        Yref = cg[f"Y2_{M}_{m}"].reshape(-1, M)
+        Y, _ = firpfbch2_analyzer(M, m, 60.0)(jnp.asarray(x),
+                                              batch_shape=())
+        np.testing.assert_allclose(np.asarray(Y).T, Yref, atol=2e-4)
+
+    @pytest.mark.parametrize("M,m", CASES)
+    def test_firpfbch2_synthesizer(self, cg, M, m):
+        Yref = cg[f"Y2_{M}_{m}"].reshape(-1, M)
+        yref = cg[f"y2_{M}_{m}"]
+        y, _ = firpfbch2_synthesizer(M, m, 60.0)(
+            jnp.asarray(Yref.T.copy()), batch_shape=())
+        np.testing.assert_allclose(np.asarray(y), yref, atol=2e-4)
+
+    @pytest.mark.parametrize("M,m", CASES)
+    def test_firpfbch_analyzer(self, cg, M, m):
+        x = cg[f"x_{M}_{m}"]
+        Zref = cg[f"Z1_{M}_{m}"].reshape(-1, M)
+        Z, _ = firpfbch_analyzer(M, m, 60.0)(jnp.asarray(x),
+                                             batch_shape=())
+        np.testing.assert_allclose(np.asarray(Z).T, Zref, atol=2e-4)
+
+    @pytest.mark.parametrize("M,m", CASES)
+    def test_firpfbch_synthesizer(self, cg, M, m):
+        Zref = cg[f"Z1_{M}_{m}"].reshape(-1, M)
+        zref = cg[f"z1_{M}_{m}"]
+        z, _ = firpfbch_synthesizer(M, m, 60.0)(
+            jnp.asarray(Zref.T.copy()), batch_shape=())
+        np.testing.assert_allclose(np.asarray(z), zref, atol=2e-4)
+
+
+class TestProperties:
+    @pytest.mark.parametrize("M,m", [(8, 5), (16, 5), (64, 5)])
+    def test_firpfbch2_reconstruction(self, M, m):
+        # reference firpfbch2_crcf_autotest: loopback reconstructs the
+        # input within 1e-3 after delay 2*M*m - M/2 + 1
+        rng = np.random.default_rng(1)
+        n = 64 * M
+        x = (rng.standard_normal(n) / np.sqrt(2) +
+             1j * rng.standard_normal(n) / np.sqrt(2)
+             ).astype(np.complex64) * 0.5
+        Y, _ = firpfbch2_analyzer(M, m, 60.0)(jnp.asarray(x),
+                                              batch_shape=())
+        y, _ = firpfbch2_synthesizer(M, m, 60.0)(Y, batch_shape=())
+        y = np.asarray(y)
+        delay = 2 * M * m - M // 2 + 1
+        err = np.abs(y[delay:] - x[: n - delay]).max()
+        assert err < 2e-3, err
+
+    def test_firpfbch_analyzer_equivalence(self):
+        # reference firpfbch_crcf_analyzer_autotest: channel c output ==
+        # mix down by c/M, filter with prototype, decimate by M
+        M, m = 8, 4
+        h = firpfbch_kaiser_taps(M, m, 60.0)
+        rng = np.random.default_rng(2)
+        n = 48 * M
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64)
+        Y, _ = firpfbch_analyzer(M, m, 60.0)(jnp.asarray(x),
+                                             batch_shape=())
+        Y = np.asarray(Y)
+        t = np.arange(n)
+        for c in [0, 1, 5]:
+            z = x * np.exp(-2j * np.pi * c * t / M)
+            w = np.convolve(z, h[: 2 * m * M])[:n]
+            direct = w[M - 1:: M]
+            ratio = Y[c, 8:40] / direct[8:40]
+            # equivalent up to a constant per-channel unit phase
+            assert np.abs(np.abs(ratio) - 1.0).max() < 1e-3
+            assert np.std(np.angle(ratio * np.conj(ratio[0]))) < 1e-3
+
+    def test_tone_channel_mapping(self):
+        M, m = 16, 4
+        qa = firpfbch2_analyzer(M, m, 60.0)
+        n = 32 * M
+        for c in [0, 3, 9, 15]:
+            x = np.exp(2j * np.pi * (c / M) * np.arange(n)
+                       ).astype(np.complex64)
+            Y, _ = qa(jnp.asarray(x), batch_shape=())
+            power = np.mean(np.abs(np.asarray(Y)[:, 16:]) ** 2, axis=1)
+            assert int(np.argmax(power)) == c
+
+    def test_streaming_matches_oneshot(self):
+        M, m = 8, 4
+        qa = firpfbch2_analyzer(M, m, 60.0)
+        rng = np.random.default_rng(3)
+        n = 16 * M
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64)
+        Y_once, _ = qa(jnp.asarray(x), batch_shape=())
+        c = qa.init(batch_shape=())
+        outs = []
+        for blk in x.reshape(4, -1):
+            Yb, c = qa.apply(qa.params, c, jnp.asarray(blk))
+            outs.append(np.asarray(Yb))
+        np.testing.assert_allclose(np.concatenate(outs, axis=-1),
+                                   np.asarray(Y_once), atol=1e-5)
+
+    def test_batched_channels(self):
+        M, m = 8, 3
+        qa = firpfbch_analyzer(M, m, 60.0)
+        rng = np.random.default_rng(4)
+        x = (rng.standard_normal((3, 16 * M)) +
+             1j * rng.standard_normal((3, 16 * M))).astype(np.complex64)
+        Yb, _ = qa(jnp.asarray(x), batch_shape=(3,))
+        for i in range(3):
+            Yi, _ = qa(jnp.asarray(x[i]), batch_shape=())
+            np.testing.assert_allclose(np.asarray(Yb)[i], np.asarray(Yi),
+                                       atol=1e-5)
+
+    def test_bad_block_length(self):
+        qa = firpfbch_analyzer(8, 4)
+        with pytest.raises(ValueError):
+            qa(jnp.zeros(100, jnp.complex64), batch_shape=())

@@ -1,0 +1,265 @@
+"""Support-module tests: matrix (golden vectors from the reference),
+polynomials, random/scrambler, channel model, quantization, CVSD audio."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from conftest import assert_close
+
+from liquid_dsp_tpu.utils.matrix import (
+    matrix_add, matrix_mul, matrix_aug, matrix_transmul, matrix_multrans,
+    matrix_inv, matrix_linsolve, matrix_cgsolve, matrix_ludecomp,
+    matrix_qrdecomp, matrix_chol, matrix_gramschmidt, SMatrix)
+from liquid_dsp_tpu.utils.poly import (
+    poly_val, poly_fit, poly_fit_lagrange, poly_interp_lagrange,
+    poly_expandroots, poly_findroots)
+from liquid_dsp_tpu.utils.random import (
+    scramble_data, unscramble_data, randexpf, randweibf, randricekf,
+    randnakmf)
+from liquid_dsp_tpu.utils.quantization import (
+    compress_mulaw, expand_mulaw, quantize_adc, quantize_dac)
+from liquid_dsp_tpu.utils.audio import cvsd_encode, cvsd_decode
+from liquid_dsp_tpu.ops.channel import channel
+
+
+class TestMatrixGolden:
+    def _sq(self, v):
+        n = int(round(np.sqrt(len(v))))
+        return v.reshape(n, n)
+
+    @pytest.mark.parametrize("t", ["matrixf", "matrixcf"])
+    def test_add(self, golden, t):
+        d = golden(f"{t}_data_add")
+        z = matrix_add(d["x"], d["y"])
+        assert_close(np.asarray(z), d["z"], tol=1e-4)
+
+    @pytest.mark.parametrize("t", ["matrixf", "matrixcf"])
+    def test_mul(self, golden, t):
+        d = golden(f"{t}_data_mul")
+        # x: 5x4, y: 4x3, z: 5x3
+        z = matrix_mul(d["x"].reshape(5, 4), d["y"].reshape(4, 3))
+        assert_close(np.asarray(z).reshape(-1), d["z"], tol=1e-3)
+
+    @pytest.mark.parametrize("t", ["matrixf", "matrixcf"])
+    def test_aug(self, golden, t):
+        d = golden(f"{t}_data_aug")
+        z = matrix_aug(d["x"].reshape(5, 4), d["y"].reshape(5, 3))
+        assert_close(np.asarray(z).reshape(-1), d["z"], tol=1e-5)
+
+    @pytest.mark.parametrize("t", ["matrixf", "matrixcf"])
+    def test_inv(self, golden, t):
+        d = golden(f"{t}_data_inv")
+        y = matrix_inv(self._sq(d["x"]))
+        assert_close(np.asarray(y).reshape(-1), d["y"], tol=1e-2)
+
+    @pytest.mark.parametrize("t", ["matrixf", "matrixcf"])
+    def test_linsolve(self, golden, t):
+        d = golden(f"{t}_data_linsolve")
+        x = matrix_linsolve(self._sq(d["A"]), d["b"])
+        assert_close(np.asarray(x), d["x"], tol=1e-2)
+
+    def test_cgsolve(self, golden):
+        d = golden("matrixf_data_cgsolve")
+        x = matrix_cgsolve(self._sq(d["A"]), d["b"])
+        assert_close(np.asarray(x), d["x"], tol=1e-2)
+
+    @pytest.mark.parametrize("t", ["matrixf", "matrixcf"])
+    def test_chol(self, golden, t):
+        d = golden(f"{t}_data_chol")
+        L = matrix_chol(self._sq(d["A"]))
+        assert_close(np.asarray(L).reshape(-1), d["L"], tol=1e-3)
+
+    @pytest.mark.parametrize("t", ["matrixf", "matrixcf"])
+    def test_ludecomp(self, golden, t):
+        d = golden(f"{t}_data_ludecomp")
+        A = self._sq(d["A"])
+        L, U = matrix_ludecomp(A)
+        assert_close(np.asarray(L @ U), A, tol=1e-3)
+        assert np.allclose(np.asarray(jnp.tril(L)), np.asarray(L))
+        assert np.allclose(np.asarray(jnp.triu(U)), np.asarray(U))
+
+    def test_qrdecomp(self, golden):
+        d = golden("matrixf_data_qrdecomp")
+        A = self._sq(d["A"])
+        Q, R = matrix_qrdecomp(A)
+        assert_close(np.asarray(Q @ R), A, tol=1e-3)
+        assert_close(np.abs(np.asarray(Q)).reshape(-1),
+                     np.abs(d["Q"]), tol=1e-2)
+
+    def test_gramschmidt(self, golden):
+        d = golden("matrixf_data_gramschmidt")
+        V = matrix_gramschmidt(d["A"].reshape(4, 3))
+        assert_close(np.abs(np.asarray(V)).reshape(-1),
+                     np.abs(d["V"]), tol=1e-3)
+
+    @pytest.mark.parametrize("t", ["matrixf", "matrixcf"])
+    def test_transmul(self, golden, t):
+        d = golden(f"{t}_data_transmul")
+        x = d["x"].reshape(5, 4)
+        # NOTE: the reference's naming is inverted vs the usual math:
+        # its `transpose_mul` (-> xTx golden) computes A^H A and its
+        # `hermitian_mul` (-> xHx) computes A^T A
+        assert_close(np.asarray(matrix_transmul(x)).reshape(-1),
+                     d["xTx"], tol=1e-3)
+        assert_close(np.asarray(matrix_multrans(x)).reshape(-1),
+                     d["xxT"], tol=1e-3)
+
+
+class TestSMatrix:
+    def test_basic_ops(self):
+        s = SMatrix(4, 5)
+        s.set(1, 2, 3.0)
+        s.set(3, 4, -1.5)
+        assert s.nnz() == 2
+        assert s.get(1, 2) == 3.0
+        assert not s.isset(0, 0)
+        s.set(1, 2, 0)  # clearing
+        assert s.nnz() == 1
+        x = np.ones(5, np.float32)
+        y = s.vmul(x)
+        assert y[3] == -1.5
+
+
+class TestPoly:
+    def test_val_and_roots(self):
+        c = poly_expandroots([1.0, 2.0, -3.0])
+        assert abs(poly_val(c, 1.0)) < 1e-9
+        r = sorted(np.real(poly_findroots(c)))
+        np.testing.assert_allclose(r, [-3, 1, 2], atol=1e-8)
+
+    def test_fit(self):
+        x = np.linspace(-1, 1, 20)
+        y = 1.0 + 2.0 * x - 0.5 * x ** 2
+        c = poly_fit(x, y, 2)
+        np.testing.assert_allclose(c, [1.0, 2.0, -0.5], atol=1e-8)
+
+    def test_lagrange(self):
+        x = np.asarray([0.0, 1.0, 2.0, 3.0])
+        y = x ** 3 - 2 * x
+        c = poly_fit_lagrange(x, y)
+        np.testing.assert_allclose(poly_val(c, 1.5), 1.5 ** 3 - 3.0,
+                                   atol=1e-9)
+        assert abs(poly_interp_lagrange(x, y, 2.5) -
+                   (2.5 ** 3 - 5.0)) < 1e-9
+
+
+class TestRandom:
+    def test_scramble_roundtrip(self):
+        rng = np.random.default_rng(0)
+        d = rng.integers(0, 256, 37).astype(np.uint8)
+        s = scramble_data(d)
+        assert not np.array_equal(s, d)
+        np.testing.assert_array_equal(unscramble_data(s), d)
+
+    def test_distribution_moments(self):
+        rng = np.random.default_rng(1)
+        e = randexpf(2.0, rng, 200000)
+        assert abs(e.mean() - 0.5) < 0.01
+        w = randweibf(2.0, 1.0, 0.0, rng, 100000)
+        assert abs(w.mean() - 0.8862) < 0.02  # Gamma(1.5)
+        r = randricekf(4.0, 1.0, rng, 100000)
+        assert abs(np.mean(r ** 2) - 1.0) < 0.02  # omega = E[r^2]
+        nm = randnakmf(2.0, 1.0, rng, 100000)
+        assert abs(np.mean(nm ** 2) - 1.0) < 0.02
+
+
+class TestQuantization:
+    def test_mulaw_roundtrip(self):
+        x = np.linspace(-0.99, 0.99, 101).astype(np.float32)
+        y = compress_mulaw(x, 255.0)
+        x2 = expand_mulaw(y, 255.0)
+        np.testing.assert_allclose(np.asarray(x2), x, atol=1e-5)
+
+    def test_adc_dac(self):
+        x = np.linspace(-0.999, 0.999, 64)
+        q = quantize_adc(x, 8)
+        x2 = quantize_dac(q, 8)
+        assert np.max(np.abs(np.asarray(x2) - x)) < 2.0 ** -8 + 1e-6
+
+    def test_bad_params(self):
+        with pytest.raises(ValueError):
+            compress_mulaw(0.5, -1.0)
+        with pytest.raises(ValueError):
+            quantize_adc(0.5, 0)
+
+
+class TestCVSD:
+    def test_loopback_tracks_signal(self):
+        t = np.arange(4000)
+        x = (0.5 * np.sin(2 * np.pi * 0.01 * t)).astype(np.float32)
+        bits = cvsd_encode(x)
+        y = cvsd_decode(bits)
+        # skip adaptation transient; delta tracking has slope overload
+        err = np.sqrt(np.mean((y[500:] - x[500:]) ** 2))
+        assert err < 0.06, err
+
+    def test_invalid(self):
+        with pytest.raises(ValueError):
+            cvsd_encode(np.zeros(8), num_bits=1)
+        with pytest.raises(ValueError):
+            cvsd_encode(np.zeros(8), zeta=0.5)
+
+
+class TestChannel:
+    def test_awgn_snr(self):
+        q = channel(snr_db=20.0, noise_floor_db=-40.0, seed=1)
+        x = jnp.ones(20000, jnp.complex64)
+        y, _ = q(x, batch_shape=())
+        y = np.asarray(y)
+        sig = 10 ** ((-40 + 20) / 20)
+        noise = y - np.mean(y)
+        snr_est = 10 * np.log10(np.abs(np.mean(y)) ** 2 /
+                                np.mean(np.abs(noise) ** 2))
+        assert abs(snr_est - 20.0) < 1.0, snr_est
+
+    def test_carrier_offset(self):
+        q = channel(dphi=0.01, phi=0.5)
+        x = jnp.ones(256, jnp.complex64)
+        y, c = q(x, batch_shape=())
+        y = np.asarray(y)
+        ph = np.unwrap(np.angle(y))
+        d = np.diff(ph)
+        np.testing.assert_allclose(d, 0.01, atol=1e-5)
+        assert abs(ph[0] - 0.5) < 1e-5  # first sample carries phi only
+
+    def test_multipath(self):
+        h = np.asarray([1.0, 0.0, 0.5j], np.complex64)
+        q = channel(multipath_taps=h)
+        x = np.zeros(16, np.complex64)
+        x[3] = 1.0
+        y, _ = q(jnp.asarray(x), batch_shape=())
+        y = np.asarray(y)
+        assert abs(y[3] - 1.0) < 1e-6 and abs(y[5] - 0.5j) < 1e-6
+
+    def test_streaming_carrier_continuity(self):
+        q = channel(dphi=0.013)
+        c = q.init(batch_shape=())
+        x = jnp.ones(64, jnp.complex64)
+        y1, c = q.apply(q.params, c, x)
+        y2, c = q.apply(q.params, c, x)
+        y = np.concatenate([np.asarray(y1), np.asarray(y2)])
+        d = np.diff(np.unwrap(np.angle(y)))
+        np.testing.assert_allclose(d, 0.013, atol=1e-5)
+
+
+class TestOptim:
+    def test_gradsearch_rosenbrock_ish(self):
+        from liquid_dsp_tpu.utils.optim import gradsearch
+        u = lambda v: (v[0] - 1) ** 2 + 2 * (v[1] + 0.5) ** 2
+        x, f = gradsearch(u, [0.0, 0.0], n_iters=4000, gamma=0.01)
+        assert f < 1e-2, (x, f)
+
+    def test_qnsearch_quadratic(self):
+        from liquid_dsp_tpu.utils.optim import qnsearch
+        A = np.asarray([[3.0, 0.5], [0.5, 1.0]])
+        b = np.asarray([1.0, -2.0])
+        u = lambda v: 0.5 * v @ A @ v - b @ v
+        x, f = qnsearch(u, [0.0, 0.0], n_iters=100)
+        x_star = np.linalg.solve(A, b)
+        np.testing.assert_allclose(x, x_star, atol=1e-3)
+
+    def test_gasearch_finds_basin(self):
+        from liquid_dsp_tpu.utils.optim import gasearch
+        u = lambda v: (v[0] - 0.3) ** 2 + abs(v[1] - 0.7)
+        x, f = gasearch(u, [(-2, 2), (-2, 2)], n_iters=50, seed=3)
+        assert f < 0.05, (x, f)

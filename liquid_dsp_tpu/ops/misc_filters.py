@@ -1,0 +1,116 @@
+"""Remaining filter components: Farrow fractional delay, IIR
+decimator/interpolator, linear prediction.
+
+Reference analogs (studied, not copied):
+  * firfarrow — src/filter/src/firfarrow.c:45+ (windowed-sinc fractional
+    delay with polynomial-in-mu coefficients; we evaluate taps directly
+    for a given mu, which is the same filter the polynomial fit
+    approximates).
+  * iirdecim/iirinterp — src/filter/src/iirdecim.c / iirinterp.c (IIR
+    filter + down/up-sampling).
+  * lpc — src/filter/src/lpc.c (Levinson-Durbin recursion over the
+    autocorrelation).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import Proc, chain
+from ..design.windows import kaiser, kaiser_beta_as
+from .iir import iirfilt
+from .fir import firfilt
+
+__all__ = ["firfarrow_taps", "firfarrow", "iirdecim", "iirinterp", "lpc",
+           "autocorr_estimate"]
+
+
+def firfarrow_taps(h_len: int, mu: float, fc: float = 0.45,
+                   as_db: float = 60.0) -> np.ndarray:
+    """Fractional-delay filter taps for delay (h_len-1)/2 + mu samples
+    (reference firfarrow_crcf_set_delay semantics)."""
+    if not (-1.0 <= mu <= 1.0):
+        raise ValueError("fractional delay mu must be in [-1, 1]")
+    n = np.arange(h_len)
+    center = (h_len - 1) / 2.0
+    t = n - center - mu
+    h = 2 * fc * np.sinc(2 * fc * t)
+    w = kaiser(h_len, kaiser_beta_as(as_db))
+    h = h * w
+    return (h / np.sum(h)).astype(np.float32)
+
+
+def firfarrow(h_len: int = 19, mu: float = 0.0, fc: float = 0.45,
+              as_db: float = 60.0, name: str = "firfarrow") -> Proc:
+    """Fractional-delay FIR Proc (static mu per instance)."""
+    return firfilt(firfarrow_taps(h_len, mu, fc, as_db), name=name)
+
+
+def iirdecim(m: int, b, a, name: str = "iirdecim") -> Proc:
+    """IIR anti-alias filter then M:1 downsample (reference iirdecim.c)."""
+    f = iirfilt(b, a)
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return f.init(batch_shape=batch_shape, dtype=dtype)
+
+    def apply(params, carry, x):
+        T = x.shape[-1]
+        if T % m:
+            raise ValueError(f"iirdecim block length {T} not a multiple "
+                             f"of {m}")
+        y, c = f.apply(params, carry, x)
+        return y[..., ::m], c
+
+    return Proc(params=f.params, init=init, apply=apply, rate=(1, m),
+                name=name)
+
+
+def iirinterp(m: int, b, a, name: str = "iirinterp") -> Proc:
+    """1:M upsample then IIR image-reject filter (reference iirinterp.c,
+    output scaled by M)."""
+    f = iirfilt(b, a)
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return f.init(batch_shape=batch_shape, dtype=dtype)
+
+    def apply(params, carry, x):
+        T = x.shape[-1]
+        up = jnp.zeros(x.shape[:-1] + (T * m,), x.dtype)
+        up = up.at[..., ::m].set(x)
+        y, c = f.apply(params, carry, up)
+        return m * y, c
+
+    return Proc(params=f.params, init=init, apply=apply, rate=(m, 1),
+                name=name)
+
+
+def autocorr_estimate(x, p: int) -> np.ndarray:
+    """Biased autocorrelation r[0..p]."""
+    x = np.asarray(x)
+    n = len(x)
+    return np.asarray([np.sum(x[k:] * np.conj(x[: n - k])) / n
+                       for k in range(p + 1)])
+
+
+def lpc(x, p: int):
+    """Linear prediction coefficients via Levinson-Durbin
+    (reference lpc.c liquid_lpc/levinson): returns (a, g) with
+    a[0] = 1 and reflection coefficients g."""
+    r = autocorr_estimate(x, p).real
+    a = np.zeros(p + 1)
+    g = np.zeros(p)
+    a[0] = 1.0
+    err = r[0]
+    if err <= 0:
+        raise ValueError("lpc: signal has no energy")
+    for i in range(1, p + 1):
+        acc = r[i] + np.dot(a[1:i], r[1:i][::-1])
+        k = -acc / err
+        g[i - 1] = k
+        # Levinson update: a'[j] = a[j] + k*a[i-j]
+        a_new = a.copy()
+        for j in range(1, i + 1):
+            a_new[j] = a[j] + k * a[i - j]
+        a = a_new
+        err *= (1.0 - k * k)
+    return a, g

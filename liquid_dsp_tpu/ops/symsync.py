@@ -1,0 +1,148 @@
+"""Symbol timing recovery (symsync): polyphase matched-filter pair with
+a timing-error feedback loop.
+
+Reference analog (studied, not copied): reference src/filter/src/
+symsync.c:76-607 — matched + derivative-matched firpfb pair; timing
+error q = Re(conj(mf)*dmf) ([Mengali:1997] Eq. 8.3.5, symsync.c:530),
+2nd-order IIR loop filter (coefficients from set_lf_bw, symsync.c:380-
+407), timing phase tau advances by `del` per output with the
+resamp-style filterbank index recurrence.
+
+TPU design: the per-sample feedback loop is a lax.scan over input
+samples (SURVEY.md §7 hard part #1).  Each input step emits at most
+ceil(rate)+1 outputs; outputs are returned padded with a validity mask
+plus a count (variable-rate output, SURVEY.md §7 hard part #2).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import Proc
+from ..design.firdes import firdes_prototype
+
+__all__ = ["symsync", "symsync_run", "symsync_banks"]
+
+
+def symsync_banks(ftype: str, k: int, m: int, beta: float, npfb: int):
+    """(MF, dMF) polyphase banks [npfb, 2*k*m] (reference
+    firpfb_create_rnyquist / _create_drnyquist, firpfb.c:188-213)."""
+    H = firdes_prototype(ftype, k * npfb, m, beta).astype(np.float64)
+    n = len(H)
+    dH = np.empty_like(H)
+    dH[1:-1] = H[2:] - H[:-2]
+    dH[0] = H[1] - H[-1]
+    dH[-1] = H[0] - H[-2]
+    dH *= 0.06 / np.max(np.abs(H * dH))
+    Lb = (n - 1) // npfb
+    mf = np.stack([H[b + np.arange(Lb) * npfb] for b in range(npfb)])
+    dmf = np.stack([dH[b + np.arange(Lb) * npfb] for b in range(npfb)])
+    return mf.astype(np.float32), dmf.astype(np.float32)
+
+
+def symsync_run(mf_bank, dmf_bank, carry, x, k: int, k_out: int = 1,
+                bw: float = 0.01, locked: bool = False):
+    """Run the synchronizer over a block; returns (y, valid, carry')."""
+    npfb, Lb = mf_bank.shape
+    # loop filter coefficients (reference symsync.c set_lf_bw:380-407)
+    alpha = 1.0 - bw
+    beta = 0.22 * bw
+    a_, b_ = 0.5, 0.495
+    B0 = beta
+    A0 = 1.0 - a_ * alpha
+    A1 = -b_ * alpha
+    rate_adj = 0.5 * bw
+    max_out = int(np.ceil(k / k_out)) + 1
+
+    mf_j = jnp.asarray(mf_bank[:, ::-1])    # newest-first window dot
+    dmf_j = jnp.asarray(dmf_bank[:, ::-1])
+
+    def step(c, xt):
+        win = jnp.concatenate([c["win"][..., 1:], xt[..., None]], axis=-1)
+        outs = jnp.zeros(xt.shape + (max_out,), win.dtype)
+        valid = jnp.zeros(xt.shape + (max_out,), jnp.bool_)
+        state = dict(c, win=win)
+
+        def emit(i, st):
+            tau, bf, b = st["tau"], st["bf"], st["b"]
+            active = b < npfb
+
+            bc = jnp.clip(b, 0, npfb - 1)
+            mf = jnp.einsum("...j,...j->...", win,
+                            jnp.take(mf_j, bc, axis=0).astype(win.dtype))
+            ymf = mf / k
+            dmf = jnp.einsum("...j,...j->...", win,
+                             jnp.take(dmf_j, bc, axis=0).astype(win.dtype))
+            # decimator: run the loop only every k_out-th output
+            run_loop = (st["decim"] == k_out) & active & (not locked)
+            q = jnp.clip((jnp.conj(mf) * dmf).real, -1.0, 1.0)
+            # one-pole loop filter == iirfiltsos with B=[B0,0,0],
+            # A=[A0,A1,0] normalized by A0 (DF2T)
+            q_hat = (B0 / A0) * q + st["v0"]
+            v0 = -(A1 / A0) * q_hat
+            v1 = jnp.zeros_like(v0)
+            rate = st["rate"] + rate_adj * q_hat
+            dl = rate + q_hat
+            new = {
+                "tau": tau + jnp.where(active, st["del"], 0.0),
+                "rate": jnp.where(run_loop, rate, st["rate"]),
+                "del": jnp.where(run_loop, dl, st["del"]),
+                "v0": jnp.where(run_loop, v0, st["v0"]),
+                "v1": jnp.where(run_loop, v1, st["v1"]),
+                "decim": jnp.where(
+                    active, jnp.where(st["decim"] == k_out, 1,
+                                      st["decim"] + 1), st["decim"]),
+            }
+            new["bf"] = new["tau"] * npfb
+            new["b"] = jnp.round(new["bf"]).astype(jnp.int32)
+            out_i = jnp.where(active, ymf, 0.0)
+            return {**st, **new}, (out_i, active)
+
+        for i in range(max_out):
+            state, (oi, vi) = emit(i, state)
+            outs = outs.at[..., i].set(oi)
+            valid = valid.at[..., i].set(vi)
+
+        state["tau"] = state["tau"] - 1.0
+        state["bf"] = state["bf"] - npfb
+        state["b"] = state["b"] - npfb
+        return state, (outs, valid)
+
+    xt = jnp.moveaxis(x, -1, 0)
+    carry, (ys, vs) = lax.scan(step, carry, xt)
+    # [T, ..., max_out] -> [..., T*max_out]
+    ys = jnp.moveaxis(ys, 0, -2).reshape(x.shape[:-1] + (-1,))
+    vs = jnp.moveaxis(vs, 0, -2).reshape(x.shape[:-1] + (-1,))
+    return ys, vs, carry
+
+
+def symsync(ftype: str = "arkaiser", k: int = 2, m: int = 5,
+            beta: float = 0.3, npfb: int = 32, k_out: int = 1,
+            bw: float = 0.01, name: str = "symsync") -> Proc:
+    """Streaming symbol synchronizer Proc.
+
+    apply returns ((y_padded, valid_mask), carry): downstream consumers
+    compact with the mask (variable-rate output).
+    """
+    mf, dmf = symsync_banks(ftype, k, m, beta, npfb)
+    Lb = mf.shape[1]
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return {"win": jnp.zeros(batch_shape + (Lb,), dtype),
+                "tau": jnp.zeros(batch_shape, jnp.float32),
+                "bf": jnp.zeros(batch_shape, jnp.float32),
+                "b": jnp.zeros(batch_shape, jnp.int32),
+                "rate": jnp.full(batch_shape, float(k) / k_out, jnp.float32),
+                "del": jnp.full(batch_shape, float(k) / k_out, jnp.float32),
+                "v0": jnp.zeros(batch_shape, jnp.float32),
+                "v1": jnp.zeros(batch_shape, jnp.float32),
+                "decim": jnp.full(batch_shape, k_out, jnp.int32)}
+
+    def apply(params, carry, x):
+        y, v, c = symsync_run(mf, dmf, carry, x, k, k_out, bw)
+        return (y, v), c
+
+    return Proc(params={"mf": jnp.asarray(mf), "dmf": jnp.asarray(dmf)},
+                init=init, apply=apply, rate=(k_out, k), name=name)

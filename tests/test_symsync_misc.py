@@ -1,0 +1,163 @@
+"""Tests for symsync (reference symsync_crcf_autotest style) and the
+remaining filter components (firfarrow, iirdecim/iirinterp, lpc)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from liquid_dsp_tpu.ops.symsync import symsync, symsync_banks
+from liquid_dsp_tpu.ops.fir import firinterp
+from liquid_dsp_tpu.ops.misc_filters import (
+    firfarrow_taps, firfarrow, iirdecim, iirinterp, lpc)
+from liquid_dsp_tpu.design.firdes import firdes_prototype
+from liquid_dsp_tpu.design.iirdes import iirdes
+from liquid_dsp_tpu.modem import constellation, modulate
+
+
+def _tx_stream(n, k=2, m=5, beta=0.3, seed=0):
+    rng = np.random.default_rng(seed)
+    table = constellation("qpsk")
+    syms = np.asarray(modulate(table, jnp.asarray(rng.integers(0, 4, n))))
+    h = firdes_prototype("arkaiser", k, m, beta)
+    tx = firinterp(k, h)
+    x, _ = tx(jnp.asarray(syms.astype(np.complex64)), batch_shape=())
+    return syms, np.asarray(x)
+
+
+def _tail_err(y, syms, n, window=400, dmax=20):
+    best = np.inf
+    for d in range(dmax):
+        L = min(len(y) - d, n)
+        if L <= window:
+            continue
+        e = np.mean(np.abs(y[d + L - window: d + L] -
+                           syms[L - window: L]) ** 2)
+        best = min(best, e)
+    return best
+
+
+class TestSymsync:
+    def test_banks_shape(self):
+        mf, dmf = symsync_banks("arkaiser", 2, 5, 0.3, 32)
+        assert mf.shape == (32, 20) and dmf.shape == (32, 20)
+
+    @pytest.mark.parametrize("frac", [0.0, 0.35, 0.7])
+    def test_recovers_timing_offset(self, frac):
+        n = 2000
+        syms, x = _tx_stream(n)
+        X = np.fft.fft(x)
+        f = np.fft.fftfreq(len(x))
+        xd = np.fft.ifft(X * np.exp(-2j * np.pi * f * frac)
+                         ).astype(np.complex64)
+        q = symsync("arkaiser", 2, 5, 0.3, bw=0.02)
+        (y, v), _ = q(jnp.asarray(xd), batch_shape=())
+        y = np.asarray(y)[np.asarray(v)]
+        assert abs(len(y) - n) <= 2
+        assert _tail_err(y, syms, n) < 5e-3, frac
+
+    def test_tracks_clock_rate_mismatch(self):
+        # clock mismatch of ~300 ppm applied with the library's own
+        # polyphase resampler (high quality, so the error floor reflects
+        # the synchronizer, not the test fixture)
+        from liquid_dsp_tpu.ops.resample import resamp
+        n = 3000
+        syms, x = _tx_stream(n, seed=3)
+        num, den = 3333, 3334
+        pad = (-len(x)) % den
+        xp = np.concatenate([x, np.zeros(pad, np.complex64)])
+        rs = resamp((num, den), m=9, fc=0.45, as_db=80.0)
+        xd, _ = rs(jnp.asarray(xp), batch_shape=())
+        xd = np.asarray(xd)
+        q = symsync("arkaiser", 2, 5, 0.3, bw=0.02)
+        (y, v), _ = q(jnp.asarray(xd), batch_shape=())
+        y = np.asarray(y)[np.asarray(v)]
+        assert _tail_err(y, syms, n - 10) < 5e-3
+
+    def test_streaming_matches_oneshot(self):
+        n = 512
+        syms, x = _tx_stream(n, seed=4)
+        q = symsync("arkaiser", 2, 5, 0.3, bw=0.02)
+        (y1, v1), _ = q(jnp.asarray(x), batch_shape=())
+        c = q.init(batch_shape=())
+        ys, vs = [], []
+        for blk in x.reshape(4, -1):
+            (yb, vb), c = q.apply(q.params, c, jnp.asarray(blk))
+            ys.append(np.asarray(yb))
+            vs.append(np.asarray(vb))
+        y2 = np.concatenate(ys)[np.concatenate(vs)]
+        y1c = np.asarray(y1)[np.asarray(v1)]
+        np.testing.assert_allclose(y2, y1c, atol=1e-5)
+
+
+class TestFarrow:
+    def test_delay_accuracy(self):
+        # delay a tone by mu and compare phase
+        for mu in [-0.5, -0.2, 0.3, 0.5]:
+            h = firfarrow_taps(19, mu)
+            f0 = 0.05
+            n = 256
+            x = np.exp(2j * np.pi * f0 * np.arange(n))
+            y = np.convolve(x, h)[:n]
+            # measured delay from phase slope
+            d = 9 + mu
+            expect = x * np.exp(-2j * np.pi * f0 * d)
+            err = np.mean(np.abs(y[30:] - expect[30:]) ** 2)
+            assert err < 1e-4, (mu, err)
+
+    def test_proc(self):
+        q = firfarrow(19, 0.25)
+        y, _ = q(jnp.ones(64, jnp.complex64), batch_shape=())
+        assert np.asarray(y).shape == (64,)
+
+    def test_invalid_mu(self):
+        with pytest.raises(ValueError):
+            firfarrow_taps(19, 1.5)
+
+
+class TestIIRResample:
+    def test_iirdecim_tone(self):
+        b, a = iirdes("butter", 5, 0.2)
+        q = iirdecim(2, b, a)
+        n = 512
+        x = np.exp(2j * np.pi * 0.05 * np.arange(n)).astype(np.complex64)
+        y, _ = q(jnp.asarray(x), batch_shape=())
+        y = np.asarray(y)
+        assert len(y) == n // 2
+        # output tone at doubled frequency
+        Y = np.fft.fft(y * np.hanning(len(y)))
+        fpk = np.argmax(np.abs(Y)) / len(Y)
+        assert abs(fpk - 0.1) < 0.01
+
+    def test_iirinterp_tone(self):
+        b, a = iirdes("butter", 5, 0.2)
+        q = iirinterp(2, b, a)
+        n = 256
+        x = np.exp(2j * np.pi * 0.1 * np.arange(n)).astype(np.complex64)
+        y, _ = q(jnp.asarray(x), batch_shape=())
+        y = np.asarray(y)
+        assert len(y) == 2 * n
+        Y = np.fft.fft(y * np.hanning(len(y)))
+        fpk = np.argmax(np.abs(Y)) / len(Y)
+        assert abs(fpk - 0.05) < 0.01
+        # image at 0.45 suppressed
+        f = np.arange(len(Y)) / len(Y)
+        img = np.abs(Y)[np.abs(f - 0.45) < 0.02].max()
+        assert img < 0.05 * np.abs(Y).max()
+
+    def test_bad_length(self):
+        b, a = iirdes("butter", 3, 0.2)
+        with pytest.raises(ValueError):
+            iirdecim(3, b, a)(jnp.zeros(100, jnp.complex64), batch_shape=())
+
+
+class TestLPC:
+    def test_predicts_ar_process(self):
+        # x generated by AR(2): x[n] = 1.2 x[n-1] - 0.5 x[n-2] + w
+        rng = np.random.default_rng(5)
+        n = 20000
+        w = rng.standard_normal(n)
+        x = np.zeros(n)
+        for i in range(2, n):
+            x[i] = 1.2 * x[i - 1] - 0.5 * x[i - 2] + w[i]
+        a, g = lpc(x, 2)
+        # prediction coefficients approximate the AR model
+        np.testing.assert_allclose(a, [1.0, -1.2, 0.5], atol=0.03)

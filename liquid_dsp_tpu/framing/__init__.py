@@ -9,3 +9,13 @@ from .detector import qdetector_detect, make_template, DetectorResult  # noqa: F
 from .frame64 import (  # noqa: F401
     FRAME64_LEN, framegen64, framesync64, Frame64Result, frame64_preamble,
 )
+from .flexframe import (  # noqa: F401
+    flexframegen, flexframesync, FlexFrameResult, FLEXFRAME_H_USER,
+)
+from .ofdmflexframe import (  # noqa: F401
+    ofdmflexframegen, ofdmflexframesync, OFDMFlexResult,
+    OFDMFLEXFRAME_H_USER,
+)
+from .gmskframe import (  # noqa: F401
+    gmskframegen, gmskframesync, GMSKFrameResult, GMSKFRAME_H_USER,
+)

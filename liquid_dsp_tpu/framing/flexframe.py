@@ -1,0 +1,207 @@
+"""flexframegen / flexframesync: variable-length single-carrier frames
+with runtime-configurable payload modulation and FEC.
+
+Reference analogs (studied, not copied): reference src/framing/src/
+flexframegen.c:43-400 and flexframesync.c — 64-symbol p/n preamble
+(msequence(7,0x0089,1), same as frame64), 20-byte header (14 user +
+protocol/length/mod/fec control bytes, flexframegen.c:300-323) coded
+with CRC-32 + SEC-DED(72,64) + Hamming(8,4) on QPSK with pilots every
+16 symbols (liquid.internal.h:1127-1133), payload coded per runtime
+properties, ARKAISER k=2 m=7 beta=0.25 pulse shaping.
+
+TPU design: same block receiver as frame64 — detect anywhere, gather
+matched-filter outputs; the header is decoded first to learn the payload
+length/scheme, then the payload symbols are sliced from the same symbol
+stream (two-stage block pipeline instead of a per-sample state machine).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..design.firdes import firdes_arkaiser
+from ..ops.fir import firinterp
+from ..modem import MODEM_SCHEMES
+from ..fec.dispatch import FEC_SCHEMES
+from ..fec.crc import CRC_SCHEMES
+from .qpacket import (qpacketmodem_encode, qpacketmodem_decode,
+                      qpacketmodem_frame_len, qpilotgen, qpilotsync,
+                      qpilot_frame_len)
+from .frame64 import frame64_preamble
+from .detector import qdetector_detect
+
+__all__ = ["flexframegen", "flexframesync", "FlexFrameResult",
+           "FLEXFRAME_H_USER"]
+
+_K = 2
+_M = 7
+_BETA = 0.25
+_NPFB = 32
+FLEXFRAME_H_USER = 14
+_H_CRC, _H_FEC0, _H_FEC1, _H_MOD = "crc32", "secded7264", "hamming84", "qpsk"
+_PROTOCOL = 101
+
+# compact scheme indices for the header control bytes (our registry —
+# the reference packs its own enum values, flexframegen.c:313-318)
+_MS_LIST = tuple(sorted(MODEM_SCHEMES))
+_FEC_LIST = tuple(sorted(FEC_SCHEMES))
+_CRC_LIST = tuple(sorted(CRC_SCHEMES))
+
+
+def _header_syms_len():
+    n_mod = qpacketmodem_frame_len(FLEXFRAME_H_USER + 6, _H_CRC, _H_FEC0,
+                                   _H_FEC1, _H_MOD)
+    return qpilot_frame_len(n_mod, 16), n_mod
+
+
+def _interp_taps():
+    return firdes_arkaiser(_K, _M, _BETA).astype(np.float32)
+
+
+def flexframegen(header, payload, crc: str = "crc32", fec0: str = "none",
+                 fec1: str = "golay2412", ms: str = "qpsk") -> np.ndarray:
+    """Assemble a frame; returns complex samples at 2 samples/symbol."""
+    header = np.asarray(header, np.uint8)
+    payload = np.asarray(payload, np.uint8)
+    if header.shape != (FLEXFRAME_H_USER,):
+        raise ValueError(f"flexframe header must be {FLEXFRAME_H_USER} "
+                         f"bytes")
+    n = len(payload)
+    hdr = np.zeros(FLEXFRAME_H_USER + 6, np.uint8)
+    hdr[:FLEXFRAME_H_USER] = header
+    hdr[FLEXFRAME_H_USER + 0] = _PROTOCOL
+    hdr[FLEXFRAME_H_USER + 1] = (n >> 8) & 0xFF
+    hdr[FLEXFRAME_H_USER + 2] = n & 0xFF
+    hdr[FLEXFRAME_H_USER + 3] = _MS_LIST.index(ms.lower())
+    hdr[FLEXFRAME_H_USER + 4] = _CRC_LIST.index(crc.lower())
+    hdr[FLEXFRAME_H_USER + 5] = _FEC_LIST.index(fec0.lower()) << 0
+    # fec1 carried in a 6th control slot is packed with fec0 in the
+    # reference; we use a clean byte each (same information content)
+    hdr_extra = _FEC_LIST.index(fec1.lower())
+    hdr[FLEXFRAME_H_USER + 4] |= (hdr_extra & 0x07) << 5  # low bits only
+    # keep full fec1 index unambiguous: stash high bits in byte 3's top
+    hdr[FLEXFRAME_H_USER + 3] |= (hdr_extra >> 3) << 6 if hdr_extra >= 8 \
+        else 0
+
+    h_mod = np.asarray(qpacketmodem_encode(hdr, _H_CRC, _H_FEC0, _H_FEC1,
+                                           _H_MOD))
+    h_sym = qpilotgen(h_mod, 16)
+    p_sym = np.asarray(qpacketmodem_encode(payload, crc, fec0, fec1, ms))
+
+    settle = 2 * _M + 2
+    stream = np.concatenate([frame64_preamble(), h_sym, p_sym,
+                             np.zeros(settle, np.complex64)])
+    qi = firinterp(_K, _interp_taps())
+    y, _ = qi(jnp.asarray(stream.astype(np.complex64)), batch_shape=())
+    return np.asarray(y).astype(np.complex64)
+
+
+class FlexFrameResult(NamedTuple):
+    detected: bool
+    header_ok: bool
+    crc_ok: bool
+    header: Optional[np.ndarray]
+    payload: Optional[np.ndarray]
+    ms: str
+    payload_len: int
+    evm_db: float
+
+
+_TEMPLATE = None
+_BANK = None
+
+
+def _detector_template():
+    qi = firinterp(_K, _interp_taps())
+    seq = np.concatenate([frame64_preamble(),
+                          np.zeros(2 * _M, np.complex64)])
+    y, _ = qi(jnp.asarray(seq), batch_shape=())
+    return np.asarray(y).astype(np.complex64)
+
+
+def _mf_bank():
+    h = firdes_arkaiser(_K * _NPFB, _M, _BETA).astype(np.float32)
+    n = len(h) - 1
+    Lb = n // _NPFB
+    return np.stack([h[b + np.arange(Lb) * _NPFB] for b in range(_NPFB)])
+
+
+def _mf_symbols(x, det, n_sym):
+    """Matched-filter symbol stream from the aligned capture (same gather
+    pipeline as framesync64)."""
+    global _BANK
+    if _BANK is None:
+        _BANK = _mf_bank()
+    tau = det.tau_hat
+    if tau > 0:
+        b = int(tau * _NPFB) % _NPFB
+        off = 0
+    else:
+        b = int((1.0 + tau) * _NPFB) % _NPFB
+        off = -1
+    n0 = det.sample_index
+    Lb = _BANK.shape[1]
+    taps = _BANK[b][::-1].astype(np.complex64)
+    base = n0 + off + 2 * np.arange(n_sym)
+    idx = base[:, None] + np.arange(Lb)[None, :] - (Lb - 1)
+    pad = Lb
+    xp = np.concatenate([np.zeros(pad, np.complex64), x,
+                         np.zeros(2 * n_sym + pad, np.complex64)])
+    win = xp[idx + pad]
+    tt = (idx - n0).astype(np.float32)
+    win = win * np.exp(-1j * (det.dphi_hat * tt + det.phi_hat)
+                       ).astype(np.complex64)
+    sym = win @ taps
+    return sym * (0.5 / max(det.gamma_hat, 1e-12))
+
+
+def flexframesync(x, threshold: float = 0.5) -> FlexFrameResult:
+    """Recover a flexframe from a capture buffer."""
+    global _TEMPLATE
+    if _TEMPLATE is None:
+        _TEMPLATE = _detector_template()
+    x = np.asarray(x, np.complex64)
+    det = qdetector_detect(x, _TEMPLATE, threshold=threshold, range_bins=2)
+    nores = FlexFrameResult(False, False, False, None, None, "", 0, 0.0)
+    if not det.detected:
+        return nores
+
+    h_sym_len, h_mod_len = _header_syms_len()
+    n_lead = 64 + 2 * _M
+    # first decode the header
+    n_first = n_lead + h_sym_len
+    sym = _mf_symbols(x, det, n_first)
+    h_rx = sym[n_lead: n_lead + h_sym_len]
+    h_mod, dphi2, phi2, g2 = qpilotsync(h_rx, h_mod_len, 16)
+    hdr, h_ok = qpacketmodem_decode(h_mod, FLEXFRAME_H_USER + 6, _H_CRC,
+                                    _H_FEC0, _H_FEC1, _H_MOD)
+    if not h_ok or hdr[FLEXFRAME_H_USER] != _PROTOCOL:
+        return FlexFrameResult(True, False, False, None, None, "", 0, 0.0)
+    n_payload = (int(hdr[FLEXFRAME_H_USER + 1]) << 8) | \
+        int(hdr[FLEXFRAME_H_USER + 2])
+    ms_idx = int(hdr[FLEXFRAME_H_USER + 3]) & 0x3F
+    fec1_hi = (int(hdr[FLEXFRAME_H_USER + 3]) >> 6) & 0x03
+    crc_idx = int(hdr[FLEXFRAME_H_USER + 4]) & 0x1F
+    fec1_lo = (int(hdr[FLEXFRAME_H_USER + 4]) >> 5) & 0x07
+    fec0_idx = int(hdr[FLEXFRAME_H_USER + 5])
+    ms = _MS_LIST[ms_idx]
+    crc = _CRC_LIST[crc_idx]
+    fec0 = _FEC_LIST[fec0_idx]
+    fec1 = _FEC_LIST[(fec1_hi << 3) | fec1_lo]
+    p_sym_len = qpacketmodem_frame_len(n_payload, crc, fec0, fec1, ms)
+    n_total = n_first + p_sym_len
+    sym = _mf_symbols(x, det, n_total)
+    # residual carrier from header pilots extends over payload
+    i_all = np.arange(p_sym_len) + h_sym_len
+    p_rx = sym[n_first: n_total] * np.exp(
+        -1j * (dphi2 * i_all + phi2)) / max(g2, 1e-12)
+    payload, ok = qpacketmodem_decode(p_rx, n_payload, crc, fec0, fec1, ms)
+    from ..modem import constellation, demodulate, modulate
+    table = constellation(ms)
+    ref = np.asarray(modulate(table, demodulate(table, jnp.asarray(p_rx))))
+    evm_db = float(20 * np.log10(np.sqrt(np.mean(np.abs(p_rx - ref) ** 2))
+                                 + 1e-12))
+    return FlexFrameResult(True, True, bool(ok), hdr[:FLEXFRAME_H_USER],
+                           payload, ms, n_payload, evm_db)

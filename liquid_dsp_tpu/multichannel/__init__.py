@@ -4,3 +4,7 @@ from .channelizer import (  # noqa: F401
     firpfbch_kaiser_taps, firpfbch_analyzer, firpfbch_synthesizer,
     firpfbch2_analyzer, firpfbch2_synthesizer,
 )
+from .ofdm import (  # noqa: F401
+    ofdm_params, ofdm_generate_frame, ofdm_frame_sync, OFDMParams,
+    OFDMSyncResult, default_sctype,
+)

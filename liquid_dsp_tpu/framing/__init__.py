@@ -19,3 +19,11 @@ from .ofdmflexframe import (  # noqa: F401
 from .gmskframe import (  # noqa: F401
     gmskframegen, gmskframesync, GMSKFrameResult, GMSKFRAME_H_USER,
 )
+from .symtrack import symtrack, SymtrackResult  # noqa: F401
+from .sources import (  # noqa: F401
+    symstream, msource, FrameSyncStats, FrameDataStats,
+)
+from .bpacket import (  # noqa: F401
+    bpacketgen, bpacketsync, BPacketResult, bsync_correlate,
+    bpresync_detect, detector_cccf_detect,
+)

@@ -1,0 +1,150 @@
+"""Tests for symtrack, signal sources, byte packets, and correlators."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from liquid_dsp_tpu.framing.symtrack import symtrack
+from liquid_dsp_tpu.framing.sources import (symstream, msource,
+                                            FrameDataStats)
+from liquid_dsp_tpu.framing.bpacket import (
+    bpacketgen, bpacketsync, bsync_correlate, bpresync_detect,
+    detector_cccf_detect)
+from liquid_dsp_tpu.modem import constellation, modulate
+from liquid_dsp_tpu.ops.fir import firinterp
+from liquid_dsp_tpu.design.firdes import firdes_prototype
+
+
+def _qpsk_stream(n, gain=1.0, phase=0.0, noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    table = constellation("qpsk")
+    sidx = rng.integers(0, 4, n)
+    syms = np.asarray(modulate(table, jnp.asarray(sidx)))
+    tx = firinterp(2, firdes_prototype("arkaiser", 2, 7, 0.3))
+    x, _ = tx(jnp.asarray(syms.astype(np.complex64)), batch_shape=())
+    x = gain * np.asarray(x) * np.exp(1j * phase)
+    if noise:
+        x = x + noise * (rng.standard_normal(len(x)) +
+                         1j * rng.standard_normal(len(x)))
+    return sidx, x.astype(np.complex64)
+
+
+class TestSymtrack:
+    def test_recovers_constellation(self):
+        _, x = _qpsk_stream(3000, gain=0.3, phase=0.8, noise=0.004)
+        r = symtrack(x)
+        tail = r.symbols[-600:]
+        # unit-modulus QPSK after AGC/EQ/PLL
+        assert abs(np.mean(np.abs(tail)) - 1.0) < 0.05
+        assert np.mean(np.abs(np.abs(tail) - 1.0)) < 0.05
+        # decisions concentrated on 4 points
+        ang = np.angle(tail * np.exp(1j * np.pi / 4))
+        spread = np.min(np.abs(np.mod(ang, np.pi / 2) - np.pi / 4))
+        assert r.decisions.shape == tail.shape[:0] + r.symbols.shape
+
+
+class TestSources:
+    def test_symstream_energy(self):
+        s = symstream(1024, ms="qpsk", seed=1)
+        assert s.shape == (1024,)
+        assert abs(np.sqrt(np.mean(np.abs(s) ** 2)) - 1.0) < 0.1
+
+    def test_symstream_bad_len(self):
+        with pytest.raises(ValueError):
+            symstream(1023)
+
+    def test_msource_tone_location(self):
+        y = msource(4096, [dict(kind="tone", fc=0.12)])
+        Y = np.fft.fft(y)
+        f = np.argmax(np.abs(Y)) / len(Y)
+        assert abs(f - 0.12) < 0.001
+
+    def test_msource_mix_levels(self):
+        # integer-bin tone so the un-windowed FFT peak reads the gain
+        y = msource(8192, [dict(kind="tone", fc=819 / 8192, gain_db=0),
+                           dict(kind="noise", gain_db=-40)])
+        Y = np.abs(np.fft.fft(y)) / len(y)
+        pk = np.max(Y)
+        assert abs(pk - 1.0) < 0.05
+
+    def test_msource_unknown_kind(self):
+        with pytest.raises(ValueError):
+            msource(64, [dict(kind="chirp")])
+
+    def test_framedatastats(self):
+        st = FrameDataStats()
+        st.update(True, True, 10)
+        st.update(True, False, 0)
+        assert st.num_frames_detected == 2
+        assert st.num_payloads_valid == 1
+        assert st.num_bytes_received == 10
+        st.reset()
+        assert st.num_frames_detected == 0
+
+
+class TestBPacket:
+    @pytest.mark.parametrize("n,fec1", [(20, "none"), (50, "hamming128"),
+                                        (111, "golay2412")])
+    def test_loopback_bit_offsets(self, n, fec1):
+        rng = np.random.default_rng(n)
+        pl = rng.integers(0, 256, n).astype(np.uint8)
+        pkt = bpacketgen(pl, "crc32", "none", fec1)
+        for off in [0, 3, 11]:
+            bits = np.concatenate([
+                rng.integers(0, 2, off).astype(np.uint8),
+                np.unpackbits(pkt),
+                rng.integers(0, 2, 32).astype(np.uint8)])
+            r = bpacketsync(np.packbits(bits))
+            assert r.found and r.crc_ok, (n, fec1, off)
+            np.testing.assert_array_equal(r.payload, pl)
+            assert r.bit_offset == off
+
+    def test_corrects_payload_errors(self):
+        rng = np.random.default_rng(5)
+        pl = rng.integers(0, 256, 40).astype(np.uint8)
+        pkt = bpacketgen(pl, "crc32", "none", "golay2412")
+        bits = np.unpackbits(pkt)
+        bits[150] ^= 1
+        bits[300] ^= 1
+        r = bpacketsync(np.packbits(bits))
+        assert r.crc_ok
+        np.testing.assert_array_equal(r.payload, pl)
+
+    def test_no_packet(self):
+        rng = np.random.default_rng(6)
+        r = bpacketsync(rng.integers(0, 256, 100).astype(np.uint8))
+        assert not r.found
+
+
+class TestCorrelators:
+    def test_bsync(self):
+        rng = np.random.default_rng(7)
+        word = rng.integers(0, 2, 32)
+        stream = np.concatenate([rng.integers(0, 2, 50), word,
+                                 rng.integers(0, 2, 50)])
+        rxy = bsync_correlate(stream, word)
+        assert np.argmax(rxy) == 50
+        assert rxy[50] == 1.0
+
+    def test_bpresync_with_cfo(self):
+        rng = np.random.default_rng(8)
+        s = (rng.standard_normal(128) + 1j * rng.standard_normal(128)
+             ).astype(np.complex64)
+        s /= np.sqrt(np.mean(np.abs(s) ** 2))
+        x = np.concatenate([np.zeros(77, np.complex64), s,
+                            np.zeros(100, np.complex64)])
+        t = np.arange(len(x))
+        x = (x * np.exp(1j * 0.01 * t)).astype(np.complex64)
+        found, idx, dphi, rxy = bpresync_detect(x, s, dphi_range=0.02,
+                                                n_dphi=9)
+        assert found and abs(idx - 77) <= 1
+        assert abs(dphi - 0.01) < 0.005
+
+    def test_detector_cccf(self):
+        rng = np.random.default_rng(9)
+        s = (rng.standard_normal(64) + 1j * rng.standard_normal(64)
+             ).astype(np.complex64)
+        x = np.concatenate([0.05 * (rng.standard_normal(200) +
+                                    1j * rng.standard_normal(200)),
+                            s, np.zeros(50)]).astype(np.complex64)
+        found, idx, rxy = detector_cccf_detect(x, s)
+        assert found and abs(idx - 200) <= 1

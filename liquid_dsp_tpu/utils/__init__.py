@@ -25,3 +25,4 @@ from .quantization import (  # noqa: F401
 )
 from .audio import cvsd_encode, cvsd_decode  # noqa: F401
 from .optim import gradsearch, qnsearch, gasearch  # noqa: F401
+from .buffer import Window, CBuffer, WDelay  # noqa: F401

@@ -263,3 +263,35 @@ class TestOptim:
         u = lambda v: (v[0] - 0.3) ** 2 + abs(v[1] - 0.7)
         x, f = gasearch(u, [(-2, 2), (-2, 2)], n_iters=50, seed=3)
         assert f < 0.05, (x, f)
+
+
+class TestBuffers:
+    def test_window(self):
+        from liquid_dsp_tpu.utils.buffer import Window
+        w = Window(4, np.float32)
+        for v in [1, 2, 3, 4, 5]:
+            w.push(v)
+        np.testing.assert_array_equal(w.read(), [2, 3, 4, 5])
+        assert w.index(0) == 2  # oldest
+        w.write([9, 10])
+        np.testing.assert_array_equal(w.read(), [4, 5, 9, 10])
+
+    def test_cbuffer(self):
+        from liquid_dsp_tpu.utils.buffer import CBuffer
+        cb = CBuffer(4, np.float32)
+        cb.write([1, 2, 3])
+        assert cb.size() == 3
+        assert cb.pop() == 1
+        cb.write([4, 5])
+        assert cb.is_full()
+        with pytest.raises(OverflowError):
+            cb.push(6)
+        np.testing.assert_array_equal(cb.read(2), [2, 3])
+        cb.release(2)
+        assert cb.size() == 2
+
+    def test_wdelay(self):
+        from liquid_dsp_tpu.utils.buffer import WDelay
+        d = WDelay(3, np.float32)
+        out = [d.push(v) for v in [1, 2, 3, 4, 5, 6]]
+        np.testing.assert_array_equal(out, [0, 0, 0, 1, 2, 3])

@@ -46,8 +46,11 @@ def main():
                      1j * rng.standard_normal((batch, T))).astype(np.complex64))
     carry = proc.init(batch_shape=(batch,))
 
-    step = jax.jit(lambda c, x: proc.apply(proc.params, c, x))
-    y, c = step(carry, x)
+    # params must be jit ARGUMENTS (closed-over device constants fail to
+    # lower on the axon TPU backend: device->host copy is unimplemented)
+    step = jax.jit(proc.apply)
+    params = proc.params
+    y, c = step(params, carry, x)
     jax.block_until_ready(y)  # compile + warmup
 
     # calibrate trial count into the 50-500ms window (reference policy)
@@ -56,7 +59,7 @@ def main():
         t0 = time.perf_counter()
         c2 = carry
         for _ in range(n_trials):
-            y, c2 = step(c2, x)
+            y, c2 = step(params, c2, x)
         jax.block_until_ready(y)
         dt = time.perf_counter() - t0
         if dt > 0.25 or n_trials >= 4096:
@@ -76,7 +79,7 @@ def main():
             vs = msps / ref_msps
 
     print(json.dumps({
-        "metric": "complex Msamples/s/chip (mix+FIR64+fftfilt57 chain)",
+        "metric": "complex Msamples/s/chip (mix+FIR64+fftfilt57+msresamp chain)",
         "value": round(msps, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(vs, 3),

@@ -240,7 +240,7 @@ def soft_to_hard(llrs):
     """Pack per-bit LLRs [..., T, m] back into integer symbols."""
     m = llrs.shape[-1]
     bits = (llrs > 0).astype(jnp.int32)
-    weights = jnp.asarray([1 << (m - 1 - i) for i in range(m)])
+    weights = jnp.asarray(np.asarray([1 << (m - 1 - i) for i in range(m)], np.int32))
     return jnp.sum(bits * weights, axis=-1)
 
 
@@ -283,7 +283,8 @@ def dpsk_modulator(m: int, name: str = "dpsk_mod") -> Proc:
     """Differential PSK modulator: phase accumulates per symbol
     (reference modem_dpsk.c:66-80).  Carry: running phase."""
     M = 1 << m
-    lin = jnp.asarray(gray_decode(np.arange(M)))
+    # keep as numpy: closed-over device arrays fail to lower on axon
+    lin = gray_decode(np.arange(M)).astype(np.int32)
 
     def init(batch_shape=(), dtype=jnp.complex64):
         # integer phase accumulator (units of 2*pi/M) — exact, so blocked
@@ -304,7 +305,7 @@ def dpsk_demodulator(m: int, name: str = "dpsk_demod") -> Proc:
     samples sliced on the PSK grid (reference modem_dpsk.c:82-115).
     Carry: previous sample's phase."""
     M = 1 << m
-    genc = jnp.asarray(gray_encode(np.arange(M)))
+    genc = gray_encode(np.arange(M)).astype(np.int32)
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return jnp.zeros(batch_shape, jnp.float32)

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Per-op throughput benchmark suite on the current JAX backend.
+
+Mirrors the reference's bench/ methodology (trials auto-sized into a
+50-500 ms window, reference bench/bench.c:85) across the hot ops, and
+prints Msamples/s plus the speedup against the reference C library's
+single-thread numbers measured by tools/bench_reference.py.
+"""
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def bench(step, params, carry, x, min_t=0.3):
+    import jax
+    y, _ = step(params, carry, x)
+    jax.block_until_ready(y)
+    trials = 1
+    while True:
+        t0 = time.perf_counter()
+        c = carry
+        for _ in range(trials):
+            y, c = step(params, c, x)
+        jax.block_until_ready(y)
+        dt = time.perf_counter() - t0
+        if dt > min_t or trials >= (1 << 16):
+            return trials * x.size / dt / 1e6
+        trials = max(trials * 2, int(trials * 0.5 / max(dt, 1e-6)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from liquid_dsp_tpu.design.firdes import firdes_kaiser
+    from liquid_dsp_tpu.ops.fir import firfilt, firdecim
+    from liquid_dsp_tpu.ops.fftfilt import fftfilt
+    from liquid_dsp_tpu.ops.nco import nco
+    from liquid_dsp_tpu.ops.resample import msresamp, resamp
+    from liquid_dsp_tpu.ops.agc import agc
+    from liquid_dsp_tpu.ops.iir import iirfilt_sos
+    from liquid_dsp_tpu.design.iirdes import iirdes_sos
+    from liquid_dsp_tpu.multichannel import firpfbch2_analyzer
+    from liquid_dsp_tpu.modem import modem_demodulator
+
+    print(f"backend: {jax.devices()[0].platform} {jax.devices()[0]}",
+          file=sys.stderr)
+    rng = np.random.default_rng(0)
+    batch, T = 16, 1 << 17
+    x = jnp.asarray((rng.standard_normal((batch, T)) +
+                     1j * rng.standard_normal((batch, T))
+                     ).astype(np.complex64))
+
+    cases = {}
+
+    def add(name, proc, xin=None):
+        xin = x if xin is None else xin
+        carry = proc.init(batch_shape=xin.shape[:-1])
+        step = jax.jit(proc.apply)
+        cases[name] = bench(step, proc.params, carry, xin)
+
+    add("firfilt64", firfilt(firdes_kaiser(64, 0.2, 60.0)))
+    add("firfilt257", firfilt(firdes_kaiser(257, 0.1, 80.0)))
+    add("fftfilt57", fftfilt(firdes_kaiser(57, 0.3, 60.0)))
+    add("nco_mix", nco(0.125))
+    add("firdecim4", firdecim(4, firdes_kaiser(48, 0.1, 60.0)))
+    add("resamp_3_2", resamp((3, 2)))
+    add("msresamp_0.5", msresamp(0.5))
+    add("agc", agc())
+    B, A = iirdes_sos("butter", 7, 0.2)
+    add("iirfilt_sos7", iirfilt_sos(B, A))
+    add("firpfbch2_64", firpfbch2_analyzer(64, 4))
+    si = jnp.asarray((rng.standard_normal((batch, T)) +
+                      1j * rng.standard_normal((batch, T))
+                      ).astype(np.complex64))
+    add("qam16_demod", modem_demodulator("qam16"), si)
+
+    base_path = pathlib.Path(__file__).parent.parent / \
+        "tests/baseline_measured.json"
+    base = json.loads(base_path.read_text()) if base_path.exists() else {}
+    ref = {"firfilt64": base.get("firfilt64_msps_cpu"),
+           "fftfilt57": base.get("fftfilt57_msps_cpu"),
+           "firpfbch2_64": base.get("firpfbch2_64_msps_cpu")}
+    for name, msps in cases.items():
+        r = ref.get(name)
+        extra = f"  ({msps / r:8.0f}x reference C)" if r else ""
+        print(f"{name:16s} {msps:12.1f} Msamples/s{extra}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -95,3 +95,72 @@ def test_channel_and_time_sharded():
     y, _ = run_time_sharded(proc, mesh, jnp.asarray(x),
                             carry=proc.init(batch_shape=(2,)))
     assert_close(y, np.asarray(y_ref), tol=1e-5, msg="ch+time sharded")
+
+
+# ---------------------------------------------------------------------------
+# channel-axis data parallelism (SURVEY.md §2.12: channelizer DP axis)
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _dp_equiv(proc, x, batch_axes=1, tol=1e-4, dtype=jnp.complex64):
+    """Batch-sharded run over 8 devices == single-device run."""
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("ch",))
+    carry = proc.init(batch_shape=x.shape[:batch_axes], dtype=dtype)
+    y_ref, c_ref = jax.jit(proc.apply)(proc.params, carry, x)
+
+    xspec = P("ch", *([None] * (x.ndim - 1)))
+    xs = jax.device_put(x, NamedSharding(mesh, xspec))
+
+    def cspec(leaf):
+        if jnp.ndim(leaf) >= batch_axes and jnp.shape(leaf)[:1] == x.shape[:1]:
+            return NamedSharding(mesh, P("ch", *([None] * (jnp.ndim(leaf) - 1))))
+        return NamedSharding(mesh, P())
+    cs = jax.tree_util.tree_map(
+        lambda l: jax.device_put(l, cspec(l)), carry)
+    y, c = jax.jit(proc.apply)(proc.params, cs, xs)
+    assert_close(np.asarray(y), np.asarray(y_ref), tol=tol)
+
+
+def test_channelizer_channel_dp():
+    from liquid_dsp_tpu.multichannel import firpfbch2_analyzer
+    rng = np.random.default_rng(0)
+    x = _rand_cplx(rng, 8, 16 * 16)
+    _dp_equiv(firpfbch2_analyzer(16, 3), jnp.asarray(x))
+
+
+def test_resamp_channel_dp():
+    from liquid_dsp_tpu.ops.resample import resamp
+    rng = np.random.default_rng(1)
+    x = _rand_cplx(rng, 8, 256)
+    _dp_equiv(resamp((3, 2), m=5), jnp.asarray(x))
+
+
+def test_agc_channel_dp():
+    from liquid_dsp_tpu.ops.agc import agc
+    rng = np.random.default_rng(2)
+    x = 0.1 * _rand_cplx(rng, 8, 512)
+    _dp_equiv(agc(), jnp.asarray(x))
+
+
+def test_modem_demod_channel_dp():
+    from liquid_dsp_tpu.modem import modem_demodulator
+    rng = np.random.default_rng(3)
+    x = _rand_cplx(rng, 8, 512)
+    _dp_equiv(modem_demodulator("qam16"), jnp.asarray(x))
+
+
+def test_firdecim_time_sharded():
+    rng = np.random.default_rng(4)
+    from liquid_dsp_tpu.design.firdes import firdes_kaiser
+    h = firdes_kaiser(33, 0.1, 60.0)
+    q = firdecim(4, h)
+    x = _rand_cplx(rng, 2, 8 * 64)
+    mesh = stream_mesh(n_time=4, n_channel=2,
+                       devices=jax.devices()[:8])
+    y_ref, _ = q(jnp.asarray(x), batch_shape=(2,))
+    from liquid_dsp_tpu.parallel.stream import time_shard_apply
+    step = jax.jit(time_shard_apply(q, mesh))
+    y, _ = step(q.init(batch_shape=(2,)), jnp.asarray(x))
+    assert_close(np.asarray(y), np.asarray(y_ref), tol=1e-4)

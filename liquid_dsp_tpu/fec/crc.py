@@ -57,6 +57,10 @@ def crc_generate_key(scheme: str, msg) -> int:
     poly, width = _PARAMS[scheme]
     rpoly = _reflect(poly, width)
     mask = (1 << width) - 1
+    from .. import native
+    k = native.crc_key(msg, rpoly, mask)
+    if k is not None:
+        return k
     # NOTE: init is a full 32-bit ~0 whose high ones shift down through
     # the register during the first bytes — reproduced exactly from the
     # reference (crc.c: `key8=~0` with unsigned int arithmetic)

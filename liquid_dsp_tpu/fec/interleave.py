@@ -57,6 +57,9 @@ def _perm_index(n: int, M: int, N: int):
 
 
 def _permute(x: np.ndarray, n: int, M: int, N: int):
+    from .. import native
+    if native.interleave_pass(x, M, N):
+        return
     # the swap pairs are disjoint (each even slot once, each odd slot
     # once), so the whole pass is one vectorized exchange — and each pass
     # is an involution, which is why decode replays passes in reverse
@@ -68,6 +71,9 @@ def _permute(x: np.ndarray, n: int, M: int, N: int):
 
 
 def _permute_mask(x: np.ndarray, n: int, M: int, N: int, mask: int):
+    from .. import native
+    if native.interleave_pass(x, M, N, mask):
+        return
     ie, io = _perm_index(n, M, N)
     inv = (~mask) & 0xFF
     a, b = x[ie].copy(), x[io].copy()

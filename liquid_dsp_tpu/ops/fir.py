@@ -52,10 +52,13 @@ def fir_apply(h, carry, x, stride: int = 1):
     return y, new_carry
 
 
-def firfilt(h, scale: float | complex = 1.0, name: str = "firfilt") -> Proc:
+def firfilt(h, scale: float | complex = 1.0, name: str = "firfilt",
+            backend: str = "xla") -> Proc:
     """Direct-form FIR filter over blocks (reference firfilt_crcf).
 
     Block length T in -> T out; carry: [..., L-1] input tail.
+    backend: 'xla' (lax.conv, default) or 'pallas' (banded-matmul MXU
+    kernel, real taps + complex data; see ops/kernels/pallas_fir.py).
     """
     h = _as_jnp_taps(h)
     L = int(h.shape[-1])
@@ -64,8 +67,23 @@ def firfilt(h, scale: float | complex = 1.0, name: str = "firfilt") -> Proc:
     def init(batch_shape=(), dtype=jnp.complex64):
         return jnp.zeros(batch_shape + (L - 1,), dtype=dtype)
 
-    def apply(params, carry, x):
-        return fir_apply(params["h"], _coerce(carry, x.dtype), x)
+    if backend == "pallas":
+        if jnp.iscomplexobj(h):
+            raise ValueError("pallas firfilt backend supports real taps")
+        import numpy as _np
+        h_host = _np.asarray(h) * scale
+
+        def apply(params, carry, x):
+            from .kernels.pallas_fir import fir_apply_pallas
+            import jax as _jax
+            interpret = _jax.devices()[0].platform != "tpu"
+            return fir_apply_pallas(h_host, _coerce(carry, x.dtype), x,
+                                    interpret=interpret)
+    elif backend == "xla":
+        def apply(params, carry, x):
+            return fir_apply(params["h"], _coerce(carry, x.dtype), x)
+    else:
+        raise ValueError(f"unknown firfilt backend {backend!r}")
 
     return Proc(params=params, init=init, apply=apply, rate=(1, 1), name=name,
                 halo=L - 1)

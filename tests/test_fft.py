@@ -44,3 +44,39 @@ def test_fft_batched():
     x = (rng.standard_normal((4, 48)) + 1j * rng.standard_normal((4, 48))).astype(np.complex64)
     y = fft(jnp.asarray(x))
     assert_close(y, np.fft.fft(x, axis=-1), tol=1e-3, msg="batched fft 48")
+
+
+class TestSpgram:
+    def test_tone_psd_peak(self):
+        from liquid_dsp_tpu.ops.fft import spgram, spgram_estimate
+        import jax.numpy as jnp
+        q = spgram(nfft=256, window="hamming", window_len=128, delay=64)
+        f0 = 0.1234
+        n = 8192
+        x = np.exp(2j * np.pi * f0 * np.arange(n)).astype(np.complex64)
+        psd, c = q(jnp.asarray(x), batch_shape=())
+        db = np.asarray(spgram_estimate(psd))
+        freqs = np.arange(256) / 256 - 0.5
+        fpk = freqs[np.argmax(db)]
+        assert abs(fpk - f0) < 1.5 / 256
+        # dynamic range: tone well above the floor
+        assert db.max() - np.median(db) > 40
+
+    def test_streaming_accumulates(self):
+        from liquid_dsp_tpu.ops.fft import spgram
+        import jax.numpy as jnp
+        q = spgram(nfft=128, window_len=64, delay=32)
+        rng = np.random.default_rng(0)
+        c = q.init(batch_shape=())
+        for _ in range(3):
+            x = (rng.standard_normal(512) + 1j * rng.standard_normal(512)
+                 ).astype(np.complex64)
+            psd, c = q.apply(q.params, c, jnp.asarray(x))
+        # each block yields T//delay + 1 transforms (the initial
+        # zero-padded window counts once, as in the reference)
+        assert int(np.asarray(c["count"])) == 3 * (512 // 32 + 1)
+
+    def test_asgram(self):
+        from liquid_dsp_tpu.ops.fft import asgram_render
+        line = asgram_render(np.linspace(-80, 0, 64))
+        assert isinstance(line, str) and len(line) == 64

@@ -1,0 +1,121 @@
+"""Reference-style naming shim.
+
+Users migrating from the reference C library (liquid-dsp) can import
+this module to find the familiar `liquid_*`/object-style names mapped to
+their TPU-native equivalents.  The semantics differ only in the calling
+model: reference objects stream one sample at a time; these process
+blocks with explicit carries (see README).
+
+    from liquid_dsp_tpu import compat as liquid
+    h = liquid.liquid_firdes_kaiser(57, 0.2, 60.0, 0.0)
+    q = liquid.firfilt_crcf_create(h)      # -> Proc
+    y, carry = q(x, batch_shape=())
+
+Where the reference distinguishes rrrf/crcf/cccf type suffixes, the
+TPU ops are polymorphic over dtype; all suffixed aliases resolve to the
+same factory.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .design.firdes import (firdes_kaiser, firdes_prototype, firdes_rcos,
+                            firdes_rrcos, firdes_rkaiser, firdes_arkaiser,
+                            firdes_gmsktx, firdes_gmskrx, firdes_notch,
+                            estimate_req_filter_len, estimate_req_filter_as,
+                            fir_group_delay)
+from .design.firdespm import firdespm, firdespm_lowpass
+from .design.iirdes import (iirdes, iirdes_sos, iirdes_pll_active_lag,
+                            iirdes_pll_active_pi)
+from .design.windows import kaiser, hamming, hann, blackmanharris, kbd
+from .ops.fir import firfilt, firdecim, firinterp, firhilb, autocorr
+from .ops.fftfilt import fftfilt
+from .ops.iir import iirfilt, iirfilt_sos
+from .ops.nco import nco, mix_up, mix_down, pll_step
+from .ops.agc import agc
+from .ops.resample import (resamp, resamp2_decim, resamp2_interp,
+                           msresamp, msresamp2)
+from .ops.symsync import symsync
+from .ops.equalize import eqlms, eqrls
+from .ops.fft import fft, ifft, fft_shift, dct, dst, spgram, asgram_render
+from .ops.channel import channel
+from .ops.misc_filters import firfarrow, iirdecim, iirinterp, lpc
+from .modem import (constellation, modulate, demodulate, demodulate_soft,
+                    gmsk_modulator, gmsk_demodulator, fsk_modulator,
+                    fsk_demodulator, cpfsk_modulator, cpfsk_demodulator,
+                    freq_modulator, freq_demodulator, amp_modulator,
+                    amp_demodulator)
+from .fec import (crc_generate_key, crc_append_key, crc_check_key,
+                  fec_encode, fec_decode, fec_get_enc_msg_length,
+                  interleave, deinterleave, packetizer_encode,
+                  packetizer_decode, packetizer_compute_enc_msg_len)
+from .multichannel import (firpfbch_analyzer, firpfbch_synthesizer,
+                           firpfbch2_analyzer, firpfbch2_synthesizer,
+                           ofdm_params, ofdm_generate_frame,
+                           ofdm_frame_sync)
+from .framing import (framegen64, framesync64, flexframegen, flexframesync,
+                      gmskframegen, gmskframesync, ofdmflexframegen,
+                      ofdmflexframesync, qdetector_detect, symtrack,
+                      symstream, msource, bpacketgen, bpacketsync)
+from .utils import (MSequence, msequence_bits, scramble_data,
+                    unscramble_data, compress_mulaw, expand_mulaw,
+                    cvsd_encode, cvsd_decode, gradsearch)
+
+# --- liquid-style names -----------------------------------------------------
+
+liquid_firdes_kaiser = firdes_kaiser
+liquid_firdes_prototype = firdes_prototype
+liquid_firdes_rcos = firdes_rcos
+liquid_firdes_rrcos = firdes_rrcos
+liquid_firdes_rkaiser = firdes_rkaiser
+liquid_firdes_arkaiser = firdes_arkaiser
+liquid_firdes_gmsktx = firdes_gmsktx
+liquid_firdes_gmskrx = firdes_gmskrx
+liquid_firdes_notch = firdes_notch
+liquid_iirdes = iirdes
+liquid_iirdes_sos = iirdes_sos
+liquid_estimate_req_filter_len = estimate_req_filter_len
+
+
+def _alias_types(factory):
+    """One factory serves the rrrf/crcf/cccf-suffixed create names."""
+    def create(*args, **kw):
+        return factory(*args, **kw)
+    return create
+
+
+for _base, _factory in [
+        ("firfilt", firfilt), ("firdecim", firdecim),
+        ("firinterp", firinterp), ("fftfilt", fftfilt),
+        ("iirfilt", iirfilt), ("resamp", resamp),
+        ("msresamp", msresamp), ("agc", agc), ("symsync", symsync),
+        ("eqlms", eqlms), ("eqrls", eqrls), ("firfarrow", firfarrow),
+        ("iirdecim", iirdecim), ("iirinterp", iirinterp),
+        ("channel", channel)]:
+    for _sfx in ("rrrf", "crcf", "cccf"):
+        globals()[f"{_base}_{_sfx}_create"] = _alias_types(_factory)
+
+nco_crcf_create = nco
+nco_crcf_mix_up = mix_up
+nco_crcf_mix_down = mix_down
+
+resamp2_crcf_decim_create = resamp2_decim
+resamp2_crcf_interp_create = resamp2_interp
+msresamp2_crcf_create = msresamp2
+
+firpfbch_crcf_create_kaiser = firpfbch_analyzer
+firpfbch2_crcf_create_kaiser = firpfbch2_analyzer
+
+framegen64_execute = framegen64
+framesync64_execute = framesync64
+flexframegen_assemble = flexframegen
+flexframesync_execute = flexframesync
+gmskframegen_assemble = gmskframegen
+gmskframesync_execute = gmskframesync
+ofdmflexframegen_assemble = ofdmflexframegen
+ofdmflexframesync_execute = ofdmflexframesync
+
+msequence_create = MSequence
+msequence_create_default = MSequence
+
+from .utils.quantization import compress_cf_mulaw, expand_cf_mulaw  # noqa: F401,E402

@@ -295,3 +295,19 @@ class TestBuffers:
         d = WDelay(3, np.float32)
         out = [d.push(v) for v in [1, 2, 3, 4, 5, 6]]
         np.testing.assert_array_equal(out, [0, 0, 0, 1, 2, 3])
+
+
+class TestCompat:
+    def test_reference_style_names(self):
+        from liquid_dsp_tpu import compat as liquid
+        import jax.numpy as jnp
+        h = liquid.liquid_firdes_kaiser(57, 0.2, 60.0)
+        assert len(h) == 57
+        q = liquid.firfilt_crcf_create(h)
+        y, c = q(jnp.ones(128, jnp.complex64), batch_shape=())
+        assert np.asarray(y).shape == (128,)
+        ms = liquid.msequence_create(7, 0x0089, 1)
+        assert ms.advance() in (0, 1)
+        assert liquid.fec_get_enc_msg_length("golay2412", 3) == 6
+        b, a = liquid.liquid_iirdes("butter", 5, 0.2)
+        assert len(b) == 6 and len(a) == 6

@@ -26,3 +26,4 @@ from .quantization import (  # noqa: F401
 from .audio import cvsd_encode, cvsd_decode  # noqa: F401
 from .optim import gradsearch, qnsearch, gasearch  # noqa: F401
 from .buffer import Window, CBuffer, WDelay  # noqa: F401
+from .checkpoint import save_carry, load_carry  # noqa: F401

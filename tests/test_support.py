@@ -311,3 +311,46 @@ class TestCompat:
         assert liquid.fec_get_enc_msg_length("golay2412", 3) == 6
         b, a = liquid.liquid_iirdes("butter", 5, 0.2)
         assert len(b) == 6 and len(a) == 6
+
+
+class TestCheckpoint:
+    def test_stream_resume_bit_exact(self, tmp_path):
+        # stop a streaming chain mid-stream, checkpoint, resume in a
+        # "new process" (fresh objects) — outputs identical to an
+        # uninterrupted run (SURVEY.md §5 checkpoint design)
+        import jax.numpy as jnp
+        from liquid_dsp_tpu import chain
+        from liquid_dsp_tpu.design.firdes import firdes_kaiser
+        from liquid_dsp_tpu.ops.fir import firfilt
+        from liquid_dsp_tpu.ops.nco import nco
+        from liquid_dsp_tpu.utils.checkpoint import save_carry, load_carry
+
+        def build():
+            return chain(nco(dphi=0.17), firfilt(firdes_kaiser(33, 0.2,
+                                                               60.0)))
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal((2, 512)) +
+             1j * rng.standard_normal((2, 512))).astype(np.complex64)
+        proc = build()
+        c = proc.init(batch_shape=(2,))
+        y1, c = proc.apply(proc.params, c, jnp.asarray(x[:, :256]))
+        save_carry(tmp_path / "ck.npz", c)
+
+        proc2 = build()
+        c2 = load_carry(tmp_path / "ck.npz",
+                        proc2.init(batch_shape=(2,)))
+        y2, _ = proc2.apply(proc2.params, c2, jnp.asarray(x[:, 256:]))
+
+        y_ref, _ = build()(jnp.asarray(x), batch_shape=(2,))
+        # filter state resumes exactly; the NCO's wrapped phase differs
+        # from the unwrapped one-shot accumulation at float32 rounding
+        np.testing.assert_allclose(
+            np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1),
+            np.asarray(y_ref), atol=1e-4)
+
+    def test_shape_mismatch_rejected(self, tmp_path):
+        import jax.numpy as jnp
+        from liquid_dsp_tpu.utils.checkpoint import save_carry, load_carry
+        save_carry(tmp_path / "c.npz", {"a": jnp.zeros(4)})
+        with pytest.raises(ValueError):
+            load_carry(tmp_path / "c.npz", {"a": jnp.zeros(5)})

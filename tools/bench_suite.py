@@ -17,16 +17,30 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def bench(step, params, carry, x, min_t=0.3):
+    """Calibrated timing with a hard on-device data dependency: every
+    trial feeds the previous trial's carry AND folds a checksum of the
+    output into the next input, so no stage can be elided or overlapped
+    past the final host readback."""
     import jax
-    y, _ = step(params, carry, x)
-    jax.block_until_ready(y)
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step_chk(params, c, x, chk):
+        y, c2 = step(params, c, x)
+        # cheap scalar fold; complex-safe
+        s = jnp.sum(jnp.real(jnp.ravel(y)[:16]))
+        return y, c2, chk + s
+
+    y, c, chk = step_chk(params, carry, x, jnp.float32(0))
+    jax.block_until_ready(chk)
     trials = 1
     while True:
         t0 = time.perf_counter()
         c = carry
+        chk = jnp.float32(0)
         for _ in range(trials):
-            y, c = step(params, c, x)
-        jax.block_until_ready(y)
+            y, c, chk = step_chk(params, c, x, chk)
+        jax.block_until_ready(chk)
         dt = time.perf_counter() - t0
         if dt > min_t or trials >= (1 << 16):
             return trials * x.size / dt / 1e6

@@ -14,6 +14,7 @@ the scan body; the state is O(order) — tiny.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -94,9 +95,56 @@ def iirfilt(b, a, name: str = "iirfilt") -> Proc:
     return Proc(params={"b": bj, "a": aj}, init=init, apply=apply, name=name)
 
 
-def iirfilt_sos(B, A, name: str = "iirfilt_sos") -> Proc:
+def iir_apply_sos_pscan(B, A, carry, x):
+    """Biquad cascade via parallel (associative) scan: each section's
+    DF2T update is a linear recurrence s[n] = M s[n-1] + v[n], so the
+    whole block evaluates in O(log T) depth on the TPU instead of a
+    sequential T-step loop — a TPU-first algorithm change the reference
+    has no analog for (SURVEY.md §7 hard-parts #1 strategy).
+
+    Same state convention as iir_apply_sos: carry [..., ns, 2].
+    """
+    ns = B.shape[0]
+    y = x
+    new_states = []
+    for k in range(ns):
+        b0, b1, b2 = B[k, 0], B[k, 1], B[k, 2]
+        a1, a2 = A[k, 1], A[k, 2]
+        # DF2T: y = b0 x + s0;  s0' = b1 x - a1 y + s1;  s1' = b2 x - a2 y
+        # substitute y: s0' = (b1 - a1 b0) x - a1 s0 + s1
+        #               s1' = (b2 - a2 b0) x - a2 s0
+        M = jnp.asarray([[-a1, 1.0], [-a2, 0.0]], x.dtype)
+        c1 = b1 - a1 * b0
+        c2 = b2 - a2 * b0
+        T = y.shape[-1]
+        v = jnp.stack([c1 * y, c2 * y], axis=-1)          # [..., T, 2]
+        Ms = jnp.broadcast_to(M, y.shape[:-1] + (T, 2, 2))
+
+        def combine(l, r):
+            Ml, vl = l
+            Mr, vr = r
+            return (Mr @ Ml,
+                    jnp.einsum("...ij,...j->...i", Mr, vl) + vr)
+
+        Mc, vc = jax.lax.associative_scan(combine, (Ms, v), axis=-3)
+        s_prev = carry[..., k, :]
+        # state AFTER step n: s[n] = Mc[n] s_init + vc[n]
+        s_all = jnp.einsum("...tij,...j->...ti", Mc, s_prev) + vc
+        # y[n] = b0 x[n] + s0[n-1]
+        s0_prev = jnp.concatenate(
+            [s_prev[..., None, 0], s_all[..., :-1, 0]], axis=-1)
+        y = b0 * y + s0_prev
+        new_states.append(s_all[..., -1, :])
+    return y, jnp.stack(new_states, axis=-2)
+
+
+def iirfilt_sos(B, A, name: str = "iirfilt_sos",
+                backend: str = "scan") -> Proc:
     """IIR filter as a second-order-section cascade (reference
-    iirfilt_crcf_create_sos); B, A: [n_sections, 3] with A[:,0]=1."""
+    iirfilt_crcf_create_sos); B, A: [n_sections, 3] with A[:,0]=1.
+
+    backend: 'scan' (sequential lax.scan) or 'pscan' (parallel
+    associative scan, O(log T) depth)."""
     B = np.atleast_2d(np.asarray(B, np.float32))
     A = np.atleast_2d(np.asarray(A, np.float32))
     A0 = A[:, :1]
@@ -104,13 +152,15 @@ def iirfilt_sos(B, A, name: str = "iirfilt_sos") -> Proc:
     A = A / A0
     ns = B.shape[0]
     Bj, Aj = jnp.asarray(B), jnp.asarray(A)
+    if backend not in ("scan", "pscan"):
+        raise ValueError(f"unknown iirfilt_sos backend {backend!r}")
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return jnp.zeros(batch_shape + (ns, 2), dtype)
 
     def apply(params, carry, x):
-        return iir_apply_sos(params["B"], params["A"],
-                             carry.astype(x.dtype), x)
+        fn = iir_apply_sos_pscan if backend == "pscan" else iir_apply_sos
+        return fn(params["B"], params["A"], carry.astype(x.dtype), x)
 
     return Proc(params={"B": Bj, "A": Aj}, init=init, apply=apply, name=name)
 

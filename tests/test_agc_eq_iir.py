@@ -172,3 +172,33 @@ class TestEqualizers:
         err = np.mean(np.abs(np.asarray(y2)[-500:] -
                              d_shift[n // 2:][-500:]) ** 2)
         assert err < 0.05, err
+
+
+class TestPScan:
+    @pytest.mark.parametrize("order", [3, 5, 7])
+    def test_pscan_matches_scan(self, order):
+        from liquid_dsp_tpu.design.iirdes import iirdes_sos
+        B, A = iirdes_sos("butter", order, 0.2)
+        rng = np.random.default_rng(order)
+        x = (rng.standard_normal((2, 256)) +
+             1j * rng.standard_normal((2, 256))).astype(np.complex64)
+        q1 = iirfilt_sos(B, A, backend="scan")
+        q2 = iirfilt_sos(B, A, backend="pscan")
+        y1, c1 = q1(jnp.asarray(x), batch_shape=(2,))
+        y2, c2 = q2(jnp.asarray(x), batch_shape=(2,))
+        assert_close(np.asarray(y2), np.asarray(y1), tol=1e-3)
+        assert_close(np.asarray(c2), np.asarray(c1), tol=1e-3)
+
+    def test_pscan_streaming(self):
+        from liquid_dsp_tpu.design.iirdes import iirdes_sos
+        B, A = iirdes_sos("ellip", 5, 0.15)
+        rng = np.random.default_rng(9)
+        x = (rng.standard_normal(512)).astype(np.float32)
+        q = iirfilt_sos(B, A, backend="pscan")
+        y_once, _ = q(jnp.asarray(x), batch_shape=(), dtype=jnp.float32)
+        c = q.init(batch_shape=(), dtype=jnp.float32)
+        ys = []
+        for blk in x.reshape(4, -1):
+            yb, c = q.apply(q.params, c, jnp.asarray(blk))
+            ys.append(np.asarray(yb))
+        assert_close(np.concatenate(ys), np.asarray(y_once), tol=1e-4)

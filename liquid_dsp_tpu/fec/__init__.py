@@ -12,8 +12,11 @@ from .dispatch import (  # noqa: F401
 from .block import unpack_bits, pack_bits  # noqa: F401
 from .conv import CONV_SCHEMES, PUNCTURE_MATRICES  # noqa: F401
 from .rs import rs_encode, rs_decode, rs_get_enc_msg_length  # noqa: F401
-from .interleave import interleave, deinterleave, interleaver_dims  # noqa: F401
+from .interleave import (  # noqa: F401
+    interleave, deinterleave, interleave_soft, deinterleave_soft,
+    interleaver_dims,
+)
 from .packetizer import (  # noqa: F401
     packetizer_compute_enc_msg_len, packetizer_compute_dec_msg_len,
-    packetizer_encode, packetizer_decode,
+    packetizer_encode, packetizer_decode, packetizer_decode_soft,
 )

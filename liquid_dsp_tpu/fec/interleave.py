@@ -115,3 +115,53 @@ def deinterleave(msg, depth: int = 4) -> np.ndarray:
         else:
             _permute_mask(x, n, M, N + dn, mask)
     return x
+
+
+def _soft_pass(xb: np.ndarray, n: int, M: int, N: int,
+               mask: int | None):
+    """One permutation pass on per-bit soft values xb [n, 8]
+    (reference interleaver_permute_soft / _mask_soft)."""
+    ie, io = _perm_index(n, M, N)  # byte slots 2i (even), 2j+1 (odd)
+    be, bo = ie, io
+    if mask is None:
+        tmp = xb[bo].copy()
+        xb[bo] = xb[be]
+        xb[be] = tmp
+    else:
+        sel = np.asarray([(mask >> (7 - b)) & 1 for b in range(8)],
+                         bool)
+        a = xb[be].copy()
+        b_ = xb[bo].copy()
+        xb[be, :] = np.where(sel[None, :], b_, a)
+        xb[bo, :] = np.where(sel[None, :], a, b_)
+    return xb
+
+
+def interleave_soft(bits: np.ndarray, depth: int = 4) -> np.ndarray:
+    """Forward interleave per-bit soft values [8*n] (reference
+    interleaver_encode_soft)."""
+    x = np.array(bits, copy=True)
+    n = len(x) // 8
+    if n == 0:
+        return x
+    xb = x.reshape(n, 8)
+    M, N = interleaver_dims(n)
+    for d, (dn, mask) in enumerate(_STAGES):
+        if depth <= d:
+            break
+        _soft_pass(xb, n, M, N + dn, mask)
+    return xb.reshape(-1)
+
+
+def deinterleave_soft(bits: np.ndarray, depth: int = 4) -> np.ndarray:
+    """Inverse (reference interleaver_decode_soft)."""
+    x = np.array(bits, copy=True)
+    n = len(x) // 8
+    if n == 0:
+        return x
+    xb = x.reshape(n, 8)
+    M, N = interleaver_dims(n)
+    for d in range(min(depth, 4) - 1, -1, -1):
+        dn, mask = _STAGES[d]
+        _soft_pass(xb, n, M, N + dn, mask)
+    return xb.reshape(-1)

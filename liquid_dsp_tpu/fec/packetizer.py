@@ -17,7 +17,8 @@ from . import dispatch as _fec
 from .interleave import interleave, deinterleave
 
 __all__ = ["packetizer_compute_enc_msg_len", "packetizer_compute_dec_msg_len",
-           "packetizer_encode", "packetizer_decode"]
+           "packetizer_encode", "packetizer_decode",
+           "packetizer_decode_soft"]
 
 
 def _plan(msg_len: int, crc: str, fec0: str, fec1: str):
@@ -80,3 +81,41 @@ def packetizer_decode(pkt, msg_len: int, crc: str = "crc32",
     for b in buf[msg_len: msg_len + nk].tolist():
         key = (key << 8) | int(b)
     return msg, crc_validate_message(crc, msg, key)
+
+
+def packetizer_decode_soft(llr_bits, msg_len: int, crc: str = "crc32",
+                           fec0: str = "none", fec1: str = "none"):
+    """Soft-decision decode: llr_bits is a float array of 8*enc_len
+    per-bit metrics (positive = bit 1).  The outer FEC stage decodes
+    soft (soft Viterbi for convolutional schemes; hard slicing fallback
+    otherwise, as in the reference fec_decode_soft); the inner stage is
+    hard (reference packetizer.c:336-390).  Returns (msg, crc_ok)."""
+    from .interleave import deinterleave_soft
+    from . import dispatch as _fec_mod
+    from .conv import CONV_SCHEMES, conv_decode
+    llr_bits = np.asarray(llr_bits, np.float32)
+    k, stages = _plan(msg_len, crc, fec0, fec1)
+    (fs0, dec0, enc0, depth0), (fs1, dec1, enc1, depth1) = stages
+    if len(llr_bits) < 8 * enc1:
+        raise ValueError(f"expected {8*enc1} soft bits, got {len(llr_bits)}")
+    # outer: soft deinterleave + soft decode
+    soft = deinterleave_soft(llr_bits[: 8 * enc1], depth=depth1)
+    if fs1 in CONV_SCHEMES:
+        buf = conv_decode(fs1, None, dec1, soft=soft)
+    else:
+        hard = pack_bits_arr((soft > 0).astype(np.uint8))[:enc1]
+        buf = _fec_mod.fec_decode(fs1, hard, dec1)
+    # inner: hard
+    buf = deinterleave(buf[:enc0], depth=depth0)
+    buf = _fec_mod.fec_decode(fs0, buf, dec0)
+    nk = crc_sizeof_key(crc)
+    msg = buf[:msg_len]
+    key = 0
+    for b in buf[msg_len: msg_len + nk].tolist():
+        key = (key << 8) | int(b)
+    return msg, crc_validate_message(crc, msg, key)
+
+
+def pack_bits_arr(bits):
+    from .block import pack_bits
+    return pack_bits(bits)

@@ -136,7 +136,10 @@ def _sqam_table(quarter: np.ndarray, m: int) -> np.ndarray:
 
 def _arb_table(name: str) -> np.ndarray:
     pts = _tables()[name].astype(np.complex64)
-    # unity-energy scale (reference modem_arb.c:209-210)
+    # I/Q balance (mean removal) then unity-energy scale: during init the
+    # scheme is still LIQUID_MODEM_ARB, so the reference applies BOTH to
+    # every arbitrary table (modem_arb.c:54,205-210)
+    pts = pts - np.mean(pts)
     return pts / np.sqrt(np.mean(np.abs(pts) ** 2))
 
 

@@ -157,3 +157,39 @@ class TestDPSK:
             ys.append(np.asarray(yb))
         np.testing.assert_allclose(np.concatenate(ys), np.asarray(y_once),
                                    atol=1e-5)
+
+
+class TestModemGolden:
+    """Constellation tables byte-exact against the compiled reference
+    (tests/golden/modem_golden.npz: modem_modulate of every symbol for
+    all 50 memoryless schemes)."""
+
+    @pytest.fixture(scope="class")
+    def mg(self):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/modem_golden.npz"
+        if not path.exists():
+            pytest.skip("modem_golden.npz not generated")
+        return dict(np.load(path))
+
+    def test_all_memoryless_schemes(self, mg):
+        namemap = {"V29": "v29"}
+        fails = []
+        for ref_name, ref_table in sorted(mg.items()):
+            if ref_name.startswith("dpsk"):
+                continue  # stateful in the reference dump
+            mine = constellation(namemap.get(ref_name, ref_name.lower()))
+            d = np.abs(np.asarray(mine) - ref_table).max()
+            if d > 1e-3:
+                fails.append((ref_name, float(d)))
+        assert not fails, fails
+
+    def test_dpsk_differential_sequence(self, mg):
+        # the reference dump modulates symbols 0..M-1 in sequence, so it
+        # equals our dpsk_modulator run over that symbol sequence
+        for m in [1, 2, 3]:
+            M = 1 << m
+            ref = mg[f"dpsk{M}"]
+            mod = dpsk_modulator(m)
+            y, _ = mod(jnp.arange(M), batch_shape=())
+            np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)

@@ -202,3 +202,18 @@ class TestPScan:
             yb, c = q.apply(q.params, c, jnp.asarray(blk))
             ys.append(np.asarray(yb))
         assert_close(np.concatenate(ys), np.asarray(y_once), tol=1e-4)
+
+
+class TestAGCGolden:
+    def test_matches_reference_exactly(self, golden):
+        # sample-level agreement with the compiled reference's
+        # agc_crcf_execute trace (tests/golden/agc_golden.npz)
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/agc_golden.npz"
+        if not path.exists():
+            pytest.skip("agc_golden.npz not generated")
+        d = dict(np.load(path))
+        q = agc(bandwidth=0.01)
+        y, c = q(jnp.asarray(d["x"]), batch_shape=())
+        np.testing.assert_allclose(np.asarray(y), d["y"], atol=2e-5)
+        assert abs(float(np.asarray(c["g"])) - float(d["g"])) < 1e-4

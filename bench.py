@@ -12,13 +12,105 @@ tests/baseline_measured.json; otherwise 0.0 (the reference publishes no
 absolute numbers — BASELINE.md).
 """
 import json
+import os
 import pathlib
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
-def main():
+def _tpu_healthy(timeout_s: float = 150.0) -> bool:
+    """Probe the accelerator backend in a CHILD process: tiny jit + value
+    readback.  The axon TPU tunnel intermittently hangs on device->host
+    transfers (PERF.md backend caveats); a hang in-process would be
+    unkillable, so probe out-of-process with a hard timeout."""
+    try:
+        r = subprocess.run(
+            [sys.executable, __file__, "--probe"],
+            capture_output=True, timeout=timeout_s, text=True)
+        return r.returncode == 0 and "probe-ok" in r.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _probe() -> int:
+    import jax
+    import jax.numpy as jnp
+    x = jnp.asarray(np.arange(16, dtype=np.float32))
+    v = np.asarray(jax.jit(lambda a: a * 2.0)(x))
+    assert float(v[3]) == 6.0
+    print("probe-ok")
+    return 0
+
+
+def planes_fallback(batch, T):
+    """Float-plane variant of the headline chain for backends whose
+    complex support is unavailable (the axon tunnel intermittently lacks
+    complex device transfers; PERF.md).  Same DSP chain — mix, 64-tap
+    FIR, 57-tap FIR (direct form), halfband decimation — computed on
+    real/imag planes with f32 arrays end-to-end."""
+    import jax
+    import jax.numpy as jnp
+    from liquid_dsp_tpu.design.firdes import firdes_kaiser
+    from liquid_dsp_tpu.ops.resample import halfband_taps
+
+    h1 = jnp.asarray(firdes_kaiser(64, 0.2, 60.0).astype(np.float32))
+    h2 = jnp.asarray(firdes_kaiser(57, 0.3, 60.0).astype(np.float32))
+    hb = jnp.asarray((0.5 * halfband_taps(7, 0.0, 60.0)).astype(np.float32))
+    dphi = 0.125
+
+    def conv_same(p, h):
+        L = h.shape[-1]
+        pp = jnp.pad(p, ((0, 0), (0, 0), (L - 1, 0)))
+        return jax.lax.conv_general_dilated(
+            pp[:, None, 0], h[None, None, :], (1,), "VALID")[:, 0], \
+            jax.lax.conv_general_dilated(
+            pp[:, None, 1], h[None, None, :], (1,), "VALID")[:, 0]
+
+    @jax.jit
+    def step(theta0, xr, xi, chk):
+        t = jnp.arange(xr.shape[-1], dtype=jnp.float32)
+        ph = theta0 + dphi * t
+        c, sn = jnp.cos(ph), jnp.sin(ph)
+        # down-mix: (xr + j xi) * (c - j sn)
+        yr = xr * c + xi * sn
+        yi = xi * c - xr * sn
+        p = jnp.stack([yr, yi], axis=1)          # [B, 2, T]
+        r1, i1 = conv_same(p, h1)
+        p = jnp.stack([r1, i1], axis=1)
+        r2, i2 = conv_same(p, h2)
+        p = jnp.stack([r2, i2], axis=1)
+        # halfband 2:1 decimation
+        r3, i3 = conv_same(p, hb)
+        r3, i3 = r3[..., ::2], i3[..., ::2]
+        chk = chk + jnp.sum(r3[..., :8])
+        return jnp.mod(theta0 + dphi * xr.shape[-1], 2 * np.pi), r3, i3, chk
+
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.standard_normal((batch, T)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((batch, T)).astype(np.float32))
+    th = jnp.zeros((), jnp.float32)
+    th, r, i, chk = step(th, xr, xi, jnp.float32(0))
+    float(np.asarray(chk))  # value readback
+    n_trials = 1
+    while True:
+        t0 = time.perf_counter()
+        th = jnp.zeros((), jnp.float32)
+        chk = jnp.float32(0)
+        for _ in range(n_trials):
+            th, r, i, chk = step(th, xr, xi, chk)
+        float(np.asarray(chk))  # value readback: proves completion
+        dt = time.perf_counter() - t0
+        if dt > 0.25 or n_trials >= 4096:
+            break
+        n_trials = max(n_trials * 2, int(n_trials * 0.35 / max(dt, 1e-6)))
+        n_trials = min(n_trials, 4096)
+    return batch * T * n_trials / dt / 1e6
+
+
+def main(cpu_fallback: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -42,33 +134,55 @@ def main():
 
     batch, T = 16, 1 << 17  # 2M complex samples per step
     rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.standard_normal((batch, T)) +
-                     1j * rng.standard_normal((batch, T))).astype(np.complex64))
-    carry = proc.init(batch_shape=(batch,))
+    fallback = False
+    try:
+        x = jnp.asarray((rng.standard_normal((batch, T)) +
+                         1j * rng.standard_normal((batch, T))
+                         ).astype(np.complex64))
+        carry = proc.init(batch_shape=(batch,))
+    except Exception:
+        fallback = True
 
-    # params must be jit ARGUMENTS (closed-over device constants fail to
-    # lower on the axon TPU backend: device->host copy is unimplemented)
-    step = jax.jit(proc.apply)
-    params = proc.params
-    y, c = step(params, carry, x)
-    jax.block_until_ready(y)  # compile + warmup
+    if not fallback:
+        try:
+            # params must be jit ARGUMENTS (closed-over device constants
+            # fail to lower on the axon TPU backend); a scalar checksum is
+            # read back to the host each step so the timing cannot complete
+            # before the computation does (PERF.md backend caveats)
+            raw_step = jax.jit(proc.apply)
 
-    # calibrate trial count into the 50-500ms window (reference policy)
-    n_trials = 1
-    while True:
-        t0 = time.perf_counter()
-        c2 = carry
-        for _ in range(n_trials):
-            y, c2 = step(params, c2, x)
-        jax.block_until_ready(y)
-        dt = time.perf_counter() - t0
-        if dt > 0.25 or n_trials >= 4096:
-            break
-        n_trials = max(n_trials * 2, int(n_trials * 0.35 / max(dt, 1e-6)))
-        n_trials = min(n_trials, 4096)
+            def step(params, c, x):
+                y, c2 = raw_step(params, c, x)
+                chk = jnp.sum(jnp.abs(y[..., :4]))
+                return y, c2, chk
 
-    samples = batch * T * n_trials
-    msps = samples / dt / 1e6
+            params = proc.params
+            y, c, chk = step(params, carry, x)
+            float(np.asarray(chk))  # value readback: proves completion
+        except Exception:
+            fallback = True
+
+    metric_note = " [cpu fallback: tpu backend unhealthy]" if cpu_fallback \
+        else ""
+    if fallback:
+        msps = planes_fallback(batch, T)
+        metric_note += " [float-plane fallback]"
+    else:
+        # calibrate trial count into the 50-500ms window (reference policy)
+        n_trials = 1
+        while True:
+            t0 = time.perf_counter()
+            c2 = carry
+            for _ in range(n_trials):
+                y, c2, chk = step(params, c2, x)
+            float(np.asarray(chk))  # value readback: proves completion
+            dt = time.perf_counter() - t0
+            if dt > 0.25 or n_trials >= 4096:
+                break
+            n_trials = max(n_trials * 2,
+                           int(n_trials * 0.35 / max(dt, 1e-6)))
+            n_trials = min(n_trials, 4096)
+        msps = batch * T * n_trials / dt / 1e6
 
     baseline_file = pathlib.Path(__file__).parent / "tests/baseline_measured.json"
     vs = 0.0
@@ -79,7 +193,7 @@ def main():
             vs = msps / ref_msps
 
     print(json.dumps({
-        "metric": "complex Msamples/s/chip (mix+FIR64+fftfilt57+msresamp chain)",
+        "metric": "complex Msamples/s/chip (mix+FIR64+fftfilt57+msresamp chain)" + metric_note,
         "value": round(msps, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(vs, 3),
@@ -87,4 +201,23 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--probe" in sys.argv:
+        sys.exit(_probe())
+    if "--cpu" in sys.argv:
+        # the ambient sitecustomize pins the TPU backend; override it when
+        # explicitly falling back to CPU
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        main(cpu_fallback=True)
+    elif os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        main()
+    else:
+        if _tpu_healthy():
+            main()
+        else:
+            # the TPU tunnel hangs on device->host transfers: re-exec on CPU
+            # (a trustworthy number beats a hung driver; the CPU path still
+            # exceeds the reference C baseline)
+            os.execv(sys.executable, [sys.executable, __file__, "--cpu"])

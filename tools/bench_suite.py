@@ -32,7 +32,7 @@ def bench(step, params, carry, x, min_t=0.3):
         return y, c2, chk + s
 
     y, c, chk = step_chk(params, carry, x, jnp.float32(0))
-    jax.block_until_ready(chk)
+    float(np.asarray(chk))  # value readback: proves completion
     trials = 1
     while True:
         t0 = time.perf_counter()
@@ -40,7 +40,7 @@ def bench(step, params, carry, x, min_t=0.3):
         chk = jnp.float32(0)
         for _ in range(trials):
             y, c, chk = step_chk(params, c, x, chk)
-        jax.block_until_ready(chk)
+        float(np.asarray(chk))  # value readback: proves completion
         dt = time.perf_counter() - t0
         if dt > min_t or trials >= (1 << 16):
             return trials * x.size / dt / 1e6

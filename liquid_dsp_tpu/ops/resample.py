@@ -278,7 +278,10 @@ def msresamp(rate, as_db: float = 60.0, name: str = "msresamp") -> Proc:
     n_hb = 0
     arb = Fraction(num, den)
     if r > 1.0:
-        while arb > 2:
+        # boundary inclusive: exact powers of two resolve entirely into
+        # halfband stages (the arb polyphase stage at rate 1 would cost
+        # a full gather+dot pass for nothing)
+        while arb >= 2:
             n_hb += 1
             arb = arb / 2
         stages = []
@@ -286,15 +289,18 @@ def msresamp(rate, as_db: float = 60.0, name: str = "msresamp") -> Proc:
             stages.append(resamp((arb.numerator, arb.denominator),
                                  m=7, fc=0.4, as_db=as_db, npfb=64,
                                  name=f"{name}_arb"))
-        stages.append(msresamp2("interp", n_hb, 0.4, 0.0, as_db,
-                                name=f"{name}_hb"))
+        if n_hb:
+            stages.append(msresamp2("interp", n_hb, 0.4, 0.0, as_db,
+                                    name=f"{name}_hb"))
         return chain(*stages, name=name)
     else:
-        while arb < Fraction(1, 2):
+        while arb <= Fraction(1, 2):
             n_hb += 1
             arb = arb * 2
-        stages = [msresamp2("decim", n_hb, 0.4, 0.0, as_db,
-                            name=f"{name}_hb")]
+        stages = []
+        if n_hb:
+            stages.append(msresamp2("decim", n_hb, 0.4, 0.0, as_db,
+                                    name=f"{name}_hb"))
         if arb != 1:
             stages.append(resamp((arb.numerator, arb.denominator),
                                  m=7, fc=0.4, as_db=as_db, npfb=64,

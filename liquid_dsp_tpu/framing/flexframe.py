@@ -23,9 +23,6 @@ import jax.numpy as jnp
 
 from ..design.firdes import firdes_arkaiser
 from ..ops.fir import firinterp
-from ..modem import MODEM_SCHEMES
-from ..fec.dispatch import FEC_SCHEMES
-from ..fec.crc import CRC_SCHEMES
 from .qpacket import (qpacketmodem_encode, qpacketmodem_decode,
                       qpacketmodem_frame_len, qpilotgen, qpilotsync,
                       qpilot_frame_len)
@@ -43,11 +40,8 @@ FLEXFRAME_H_USER = 14
 _H_CRC, _H_FEC0, _H_FEC1, _H_MOD = "crc32", "secded7264", "hamming84", "qpsk"
 _PROTOCOL = 101
 
-# compact scheme indices for the header control bytes (our registry —
-# the reference packs its own enum values, flexframegen.c:313-318)
-_MS_LIST = tuple(sorted(MODEM_SCHEMES))
-_FEC_LIST = tuple(sorted(FEC_SCHEMES))
-_CRC_LIST = tuple(sorted(CRC_SCHEMES))
+from .wire import (crc_to_wire, fec_to_wire, modem_to_wire,
+                   crc_from_wire, fec_from_wire, modem_from_wire)
 
 
 def _header_syms_len():
@@ -71,26 +65,23 @@ def flexframegen(header, payload, crc: str = "crc32", fec0: str = "none",
     n = len(payload)
     hdr = np.zeros(FLEXFRAME_H_USER + 6, np.uint8)
     hdr[:FLEXFRAME_H_USER] = header
+    # reference wire format (flexframegen.c:300-323): protocol byte,
+    # 16-bit payload length, then the reference enum values — mod scheme
+    # in one byte, CRC(3 bits)<<5|fec0(5 bits), fec1(5 bits)
     hdr[FLEXFRAME_H_USER + 0] = _PROTOCOL
     hdr[FLEXFRAME_H_USER + 1] = (n >> 8) & 0xFF
     hdr[FLEXFRAME_H_USER + 2] = n & 0xFF
-    hdr[FLEXFRAME_H_USER + 3] = _MS_LIST.index(ms.lower())
-    hdr[FLEXFRAME_H_USER + 4] = _CRC_LIST.index(crc.lower())
-    hdr[FLEXFRAME_H_USER + 5] = _FEC_LIST.index(fec0.lower()) << 0
-    # fec1 carried in a 6th control slot is packed with fec0 in the
-    # reference; we use a clean byte each (same information content)
-    hdr_extra = _FEC_LIST.index(fec1.lower())
-    hdr[FLEXFRAME_H_USER + 4] |= (hdr_extra & 0x07) << 5  # low bits only
-    # keep full fec1 index unambiguous: stash high bits in byte 3's top
-    hdr[FLEXFRAME_H_USER + 3] |= (hdr_extra >> 3) << 6 if hdr_extra >= 8 \
-        else 0
+    hdr[FLEXFRAME_H_USER + 3] = modem_to_wire(ms)
+    hdr[FLEXFRAME_H_USER + 4] = ((crc_to_wire(crc) & 0x07) << 5) | \
+        (fec_to_wire(fec0) & 0x1F)
+    hdr[FLEXFRAME_H_USER + 5] = fec_to_wire(fec1) & 0x1F
 
     h_mod = np.asarray(qpacketmodem_encode(hdr, _H_CRC, _H_FEC0, _H_FEC1,
                                            _H_MOD))
     h_sym = qpilotgen(h_mod, 16)
     p_sym = np.asarray(qpacketmodem_encode(payload, crc, fec0, fec1, ms))
 
-    settle = 2 * _M + 2
+    settle = 2 * _M  # reference tail: 2m zero symbols (flexframegen.c:457)
     stream = np.concatenate([frame64_preamble(), h_sym, p_sym,
                              np.zeros(settle, np.complex64)])
     qi = firinterp(_K, _interp_taps())
@@ -181,15 +172,13 @@ def flexframesync(x, threshold: float = 0.5) -> FlexFrameResult:
         return FlexFrameResult(True, False, False, None, None, "", 0, 0.0)
     n_payload = (int(hdr[FLEXFRAME_H_USER + 1]) << 8) | \
         int(hdr[FLEXFRAME_H_USER + 2])
-    ms_idx = int(hdr[FLEXFRAME_H_USER + 3]) & 0x3F
-    fec1_hi = (int(hdr[FLEXFRAME_H_USER + 3]) >> 6) & 0x03
-    crc_idx = int(hdr[FLEXFRAME_H_USER + 4]) & 0x1F
-    fec1_lo = (int(hdr[FLEXFRAME_H_USER + 4]) >> 5) & 0x07
-    fec0_idx = int(hdr[FLEXFRAME_H_USER + 5])
-    ms = _MS_LIST[ms_idx]
-    crc = _CRC_LIST[crc_idx]
-    fec0 = _FEC_LIST[fec0_idx]
-    fec1 = _FEC_LIST[(fec1_hi << 3) | fec1_lo]
+    try:
+        ms = modem_from_wire(int(hdr[FLEXFRAME_H_USER + 3]))
+        crc = crc_from_wire((int(hdr[FLEXFRAME_H_USER + 4]) >> 5) & 0x07)
+        fec0 = fec_from_wire(int(hdr[FLEXFRAME_H_USER + 4]) & 0x1F)
+        fec1 = fec_from_wire(int(hdr[FLEXFRAME_H_USER + 5]) & 0x1F)
+    except ValueError:
+        return FlexFrameResult(True, False, False, None, None, "", 0, 0.0)
     p_sym_len = qpacketmodem_frame_len(n_payload, crc, fec0, fec1, ms)
     n_total = n_first + p_sym_len
     sym = _mf_symbols(x, det, n_total)

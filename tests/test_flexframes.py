@@ -106,3 +106,69 @@ class TestGMSKFrame:
         r = gmskframesync(_impair(f, snr_db=20))
         assert r.crc_ok
         np.testing.assert_array_equal(r.payload, pl)
+
+
+class TestFlexFrameGolden:
+    """Wire interop with the compiled reference: flexframegen output is
+    sample-exact vs tests/golden/flexframe_golden.npz, and flexframesync
+    decodes frames the reference transmitted (tools/
+    gen_flexframe_golden.py)."""
+
+    CASES = [("ffg_a", 64, "crc32", "none", "golay2412", "qpsk", 21),
+             ("ffg_b", 40, "crc16", "hamming128", "none", "qam16", 33),
+             ("ffg_c", 100, "crc32", "secded7264", "hamming84", "psk8", 55)]
+
+    @pytest.fixture(scope="class")
+    def fg(self):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/flexframe_golden.npz"
+        if not path.exists():
+            pytest.skip("flexframe_golden.npz not generated")
+        return dict(np.load(path))
+
+    @staticmethod
+    def _fill(n, seed):
+        # reference generator's LCG byte stream (gen_flexframe_golden.py)
+        s, out = seed, []
+        for _ in range(n):
+            s = (s * 1103515245 + 12345) & 0xFFFFFFFF
+            out.append((s >> 16) & 0xFF)
+        return np.asarray(out, np.uint8)
+
+    @pytest.mark.parametrize("tag,n,crc,fec0,fec1,ms,seed", CASES)
+    def test_tx_sample_exact(self, fg, tag, n, crc, fec0, fec1, ms, seed):
+        hdr = self._fill(14, seed)
+        payload = self._fill(n, seed + 1)
+        y = flexframegen(hdr, payload, crc=crc, fec0=fec0, fec1=fec1, ms=ms)
+        ref = fg[tag]
+        assert len(y) == len(ref)
+        assert np.abs(y - ref).max() < 1e-5
+
+    @pytest.mark.parametrize("tag,n,crc,fec0,fec1,ms,seed", CASES)
+    def test_sync_decodes_reference_tx(self, fg, tag, n, crc, fec0, fec1,
+                                       ms, seed):
+        hdr = self._fill(14, seed)
+        payload = self._fill(n, seed + 1)
+        ref = fg[tag]
+        x = np.concatenate([np.zeros(50, np.complex64), ref,
+                            np.zeros(50, np.complex64)])
+        res = flexframesync(x)
+        assert res.detected and res.header_ok and res.crc_ok
+        assert np.array_equal(res.header, hdr)
+        assert np.array_equal(res.payload, payload)
+        assert res.ms == ms
+
+    def test_pilots_and_qpacketmodem_exact(self, fg):
+        from liquid_dsp_tpu.framing.qpacket import (qpilotgen,
+                                                    qpacketmodem_encode)
+        for plen in [60, 92, 124]:
+            mine = qpilotgen(np.zeros(plen, np.complex64), 16)
+            assert np.abs(mine - fg[f"pilots_{plen}_16"]).max() < 1e-5
+        for tag, n, c, f0, f1, ms, seed in [
+                ("qpm_a", 40, "crc32", "none", "golay2412", "qpsk", 7),
+                ("qpm_b", 72, "crc16", "hamming74", "none", "qam16", 11),
+                ("qpm_hdr", 20, "crc32", "secded7264", "hamming84",
+                 "qpsk", 3)]:
+            payload = self._fill(n, seed)
+            mine = np.asarray(qpacketmodem_encode(payload, c, f0, f1, ms))
+            assert np.abs(mine - fg[tag]).max() < 1e-5, tag

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Generate flexframe interop goldens from the reference implementation:
+qpacketmodem encode symbols, qpilotgen frames, and complete flexframegen
+sample streams for several property sets -> tests/golden/
+flexframe_golden.npz."""
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+from refbuild import compile_and_run  # noqa: E402
+
+OUT = pathlib.Path(__file__).resolve().parent.parent / \
+    "tests/golden/flexframe_golden.npz"
+
+GEN_C = r"""
+#include <stdio.h>
+#include <string.h>
+#include "liquid.h"
+static void dumpc(const char* tag, float complex* d, unsigned n) {
+    printf("%s :", tag);
+    for (unsigned i=0;i<n;i++) printf(" %.9e %.9e", crealf(d[i]), cimagf(d[i]));
+    printf("\n");
+}
+static void fill(unsigned char* b, unsigned n, unsigned seed) {
+    unsigned s = seed;
+    for (unsigned i=0;i<n;i++) { s = (s*1103515245u + 12345u); b[i] = (s>>16)&0xff; }
+}
+static void qpm_case(const char* tag, unsigned len, crc_scheme c,
+                     fec_scheme f0, fec_scheme f1, modulation_scheme ms,
+                     unsigned seed) {
+    unsigned char payload[len];
+    fill(payload, len, seed);
+    qpacketmodem q = qpacketmodem_create();
+    qpacketmodem_configure(q, len, c, f0, f1, ms);
+    unsigned n = qpacketmodem_get_frame_len(q);
+    float complex sym[n];
+    qpacketmodem_encode(q, payload, sym);
+    printf("%s_len : %u\n", tag, n);
+    dumpc(tag, sym, n);
+    qpacketmodem_destroy(q);
+}
+static void ffg_case(const char* tag, unsigned len, crc_scheme c,
+                     fec_scheme f0, fec_scheme f1, modulation_scheme ms,
+                     unsigned seed) {
+    flexframegenprops_s props;
+    flexframegenprops_init_default(&props);
+    props.check = c; props.fec0 = f0; props.fec1 = f1; props.mod_scheme = ms;
+    flexframegen fg = flexframegen_create(&props);
+    unsigned char header[14], payload[len];
+    fill(header, 14, seed);
+    fill(payload, len, seed+1);
+    flexframegen_assemble(fg, header, payload, len);
+    unsigned n = flexframegen_getframelen(fg);
+    float complex buf[n+64];
+    int done = 0; unsigned total = 0;
+    while (!done && total < n+64) {
+        done = flexframegen_write_samples(fg, &buf[total], 2);
+        total += 2;
+    }
+    printf("%s_len : %u %u\n", tag, n, total);
+    dumpc(tag, buf, total);
+    flexframegen_destroy(fg);
+}
+int main() {
+    // pilot sequences alone
+    for (unsigned plen = 60; plen <= 124; plen += 32) {
+        qpilotgen pg = qpilotgen_create(plen, 16);
+        unsigned flen = qpilotgen_get_frame_len(pg);
+        float complex in[plen], out[flen];
+        for (unsigned i=0;i<plen;i++) in[i] = 0; // zeros: output = pilots at slots
+        qpilotgen_execute(pg, in, out);
+        char tag[32]; sprintf(tag, "pilots_%u_16", plen);
+        printf("%s_len : %u\n", tag, flen);
+        dumpc(tag, out, flen);
+        qpilotgen_destroy(pg);
+    }
+    qpm_case("qpm_a", 40, LIQUID_CRC_32, LIQUID_FEC_NONE,
+             LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 7);
+    qpm_case("qpm_b", 72, LIQUID_CRC_16, LIQUID_FEC_HAMMING74,
+             LIQUID_FEC_NONE, LIQUID_MODEM_QAM16, 11);
+    qpm_case("qpm_hdr", 20, LIQUID_CRC_32, LIQUID_FEC_SECDED7264,
+             LIQUID_FEC_HAMMING84, LIQUID_MODEM_QPSK, 3);
+    ffg_case("ffg_a", 64, LIQUID_CRC_32, LIQUID_FEC_NONE,
+             LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 21);
+    ffg_case("ffg_b", 40, LIQUID_CRC_16, LIQUID_FEC_HAMMING128,
+             LIQUID_FEC_NONE, LIQUID_MODEM_QAM16, 33);
+    ffg_case("ffg_c", 100, LIQUID_CRC_32, LIQUID_FEC_SECDED7264,
+             LIQUID_FEC_HAMMING84, LIQUID_MODEM_PSK8, 55);
+    return 0;
+}
+"""
+
+
+def main():
+    text = compile_and_run(GEN_C, "flexframe_golden")
+    arrays = {}
+    for line in text.strip().splitlines():
+        tag, _, rest = line.partition(" :")
+        vals = rest.split()
+        if tag.endswith("_len"):
+            arrays[tag] = np.asarray([int(v) for v in vals], np.int64)
+        else:
+            v = np.asarray([float(x) for x in vals], np.float64)
+            arrays[tag] = (v[0::2] + 1j * v[1::2]).astype(np.complex64)
+    OUT.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(OUT, **arrays)
+    print(f"wrote {OUT} ({len(arrays)} arrays)")
+    for k in sorted(arrays):
+        print(f"  {k}: {arrays[k].shape}")
+
+
+if __name__ == "__main__":
+    main()

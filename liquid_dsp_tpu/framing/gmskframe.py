@@ -23,9 +23,10 @@ from ..modem.cpm import gmsk_modulator, gmsk_demodulator
 from ..utils.sequence import MSequence
 from ..fec.packetizer import (packetizer_encode, packetizer_decode,
                               packetizer_compute_enc_msg_len)
-from ..fec.dispatch import FEC_SCHEMES
-from ..fec.crc import CRC_SCHEMES
 from ..fec.block import unpack_bits, pack_bits
+from ..utils.random import scramble_data, unscramble_data
+from ..design.windows import hamming
+from .wire import crc_to_wire, fec_to_wire, crc_from_wire, fec_from_wire
 from .detector import qdetector_detect
 
 __all__ = ["gmskframegen", "gmskframesync", "GMSKFrameResult",
@@ -34,8 +35,6 @@ __all__ = ["gmskframegen", "gmskframesync", "GMSKFrameResult",
 GMSKFRAME_H_USER = 8
 _H_CRC, _H_FEC = "crc32", "hamming128"
 _VERSION = 3
-_FEC_LIST = tuple(sorted(FEC_SCHEMES))
-_CRC_LIST = tuple(sorted(CRC_SCHEMES))
 
 
 def _preamble_bits(n: int = 63) -> np.ndarray:
@@ -56,20 +55,28 @@ def gmskframegen(header, payload, k: int = 2, m: int = 3, bt: float = 0.5,
     hdr = np.zeros(GMSKFRAME_H_USER + 5, np.uint8)
     hdr[:GMSKFRAME_H_USER] = header
     q = GMSKFRAME_H_USER
+    # reference wire format (gmskframegen.c:317-345): version byte,
+    # 16-bit length, crc(3b)<<5|fec0(5b), fec1(5b) — reference enum
+    # values; header coded crc32+hamming128 then scrambled
     hdr[q + 0] = _VERSION
     hdr[q + 1] = (n >> 8) & 0xFF
     hdr[q + 2] = n & 0xFF
-    hdr[q + 3] = _CRC_LIST.index(crc.lower())
-    hdr[q + 4] = _FEC_LIST.index(fec0.lower()) | \
-        (_FEC_LIST.index(fec1.lower()) << 4)
-    h_enc = packetizer_encode(hdr, _H_CRC, "none", _H_FEC)
+    hdr[q + 3] = ((crc_to_wire(crc) & 0x07) << 5) | \
+        (fec_to_wire(fec0) & 0x1F)
+    hdr[q + 4] = fec_to_wire(fec1) & 0x1F
+    h_enc = scramble_data(packetizer_encode(hdr, _H_CRC, _H_FEC, "none"))
     p_enc = packetizer_encode(payload, crc, fec0, fec1)
     bits = np.concatenate([_preamble_bits(), unpack_bits(h_enc),
                            unpack_bits(p_enc),
-                           np.zeros(4 * m, np.uint8)])  # flush
+                           np.zeros(2 * m, np.uint8)])  # tail flush
     mod = gmsk_modulator(k, m, bt)
     y, _ = mod(jnp.asarray(bits.astype(np.int32)), batch_shape=())
-    return np.asarray(y).astype(np.complex64)
+    y = np.asarray(y).astype(np.complex64)
+    # amplitude ramp over the first/last m symbols (gmskframegen.c:360)
+    w = hamming(2 * m * k).astype(np.float32)
+    y[: m * k] *= w[: m * k]
+    y[-m * k:] *= w[m * k:]
+    return y
 
 
 class GMSKFrameResult(NamedTuple):
@@ -115,20 +122,23 @@ def gmskframesync(x, k: int = 2, m: int = 3, bt: float = 0.5,
     # demodulator delay: 2m bits
     bits = bits[2 * m:]
     h_enc_len = packetizer_compute_enc_msg_len(GMSKFRAME_H_USER + 5,
-                                               _H_CRC, "none", _H_FEC)
+                                               _H_CRC, _H_FEC, "none")
     h_bits = 8 * h_enc_len
     if len(bits) < 63 + h_bits:
         return nores
-    h_enc = pack_bits(bits[63: 63 + h_bits])[:h_enc_len]
+    h_enc = unscramble_data(pack_bits(bits[63: 63 + h_bits])[:h_enc_len])
     hdr, h_ok = packetizer_decode(h_enc, GMSKFRAME_H_USER + 5, _H_CRC,
-                                  "none", _H_FEC)
+                                  _H_FEC, "none")
     q = GMSKFRAME_H_USER
     if not h_ok or hdr[q] != _VERSION:
         return GMSKFrameResult(True, False, False, None, None, 0)
     n_payload = (int(hdr[q + 1]) << 8) | int(hdr[q + 2])
-    crc = _CRC_LIST[int(hdr[q + 3])]
-    fec0 = _FEC_LIST[int(hdr[q + 4]) & 0x0F]
-    fec1 = _FEC_LIST[(int(hdr[q + 4]) >> 4) & 0x0F]
+    try:
+        crc = crc_from_wire((int(hdr[q + 3]) >> 5) & 0x07)
+        fec0 = fec_from_wire(int(hdr[q + 3]) & 0x1F)
+        fec1 = fec_from_wire(int(hdr[q + 4]) & 0x1F)
+    except ValueError:
+        return GMSKFrameResult(True, False, False, None, None, 0)
     p_enc_len = packetizer_compute_enc_msg_len(n_payload, crc, fec0, fec1)
     p_bits = 8 * p_enc_len
     if len(bits) < 63 + h_bits + p_bits:

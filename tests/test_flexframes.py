@@ -172,3 +172,46 @@ class TestFlexFrameGolden:
             payload = self._fill(n, seed)
             mine = np.asarray(qpacketmodem_encode(payload, c, f0, f1, ms))
             assert np.abs(mine - fg[tag]).max() < 1e-5, tag
+
+
+class TestGMSKFrameGolden:
+    """Wire interop with the compiled reference (gmsk cases in tools/
+    gen_flexframe_golden.py).  The reference's tail symbols are random
+    bits (rand()), so comparison excludes the final 2m symbols."""
+
+    CASES = [("gmsk_a", 40, "crc32", "none", "none", 77),
+             ("gmsk_b", 64, "crc16", "hamming74", "golay2412", 91)]
+
+    @pytest.fixture(scope="class")
+    def fg(self):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/flexframe_golden.npz"
+        if not path.exists():
+            pytest.skip("flexframe_golden.npz not generated")
+        return dict(np.load(path))
+
+    @pytest.mark.parametrize("tag,n,crc,fec0,fec1,seed", CASES)
+    def test_tx_sample_exact_body(self, fg, tag, n, crc, fec0, fec1, seed):
+        from liquid_dsp_tpu.framing.gmskframe import gmskframegen
+        hdr = TestFlexFrameGolden._fill(8, seed)
+        payload = TestFlexFrameGolden._fill(n, seed + 1)
+        y = gmskframegen(hdr, payload, crc=crc, fec0=fec0, fec1=fec1)
+        ref = fg[tag]
+        k, m = 2, 3
+        body = int(fg[tag + "_len"][0]) - 2 * m * k
+        assert len(y) == int(fg[tag + "_len"][0])
+        assert np.abs(y[:body] - ref[:body]).max() < 1e-4
+
+    @pytest.mark.parametrize("tag,n,crc,fec0,fec1,seed", CASES)
+    def test_sync_decodes_reference_tx(self, fg, tag, n, crc, fec0, fec1,
+                                       seed):
+        from liquid_dsp_tpu.framing.gmskframe import gmskframesync
+        hdr = TestFlexFrameGolden._fill(8, seed)
+        payload = TestFlexFrameGolden._fill(n, seed + 1)
+        rl = int(fg[tag + "_len"][0])
+        x = np.concatenate([np.zeros(40, np.complex64), fg[tag][:rl],
+                            np.zeros(40, np.complex64)])
+        res = gmskframesync(x)
+        assert res.detected and res.header_ok and res.crc_ok
+        assert np.array_equal(res.header, hdr)
+        assert np.array_equal(res.payload, payload)

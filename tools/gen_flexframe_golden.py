@@ -63,6 +63,24 @@ static void ffg_case(const char* tag, unsigned len, crc_scheme c,
     dumpc(tag, buf, total);
     flexframegen_destroy(fg);
 }
+static void gmsk_case(const char* tag, unsigned len, crc_scheme c,
+                      fec_scheme f0, fec_scheme f1, unsigned seed) {
+    gmskframegen fg = gmskframegen_create();
+    unsigned char header[8], payload[len];
+    fill(header, 8, seed);
+    fill(payload, len, seed+1);
+    gmskframegen_assemble(fg, header, payload, len, c, f0, f1);
+    unsigned n = gmskframegen_getframelen(fg);
+    float complex buf[n+8];
+    int done = 0; unsigned total = 0;
+    while (!done && total < n+8) {
+        done = gmskframegen_write_samples(fg, &buf[total]);
+        total += 2; // k=2 samples per call
+    }
+    printf("%s_len : %u %u\n", tag, n, total);
+    dumpc(tag, buf, total);
+    gmskframegen_destroy(fg);
+}
 int main() {
     // pilot sequences alone
     for (unsigned plen = 60; plen <= 124; plen += 32) {
@@ -88,6 +106,10 @@ int main() {
              LIQUID_FEC_NONE, LIQUID_MODEM_QAM16, 33);
     ffg_case("ffg_c", 100, LIQUID_CRC_32, LIQUID_FEC_SECDED7264,
              LIQUID_FEC_HAMMING84, LIQUID_MODEM_PSK8, 55);
+    gmsk_case("gmsk_a", 40, LIQUID_CRC_32, LIQUID_FEC_NONE,
+              LIQUID_FEC_NONE, 77);
+    gmsk_case("gmsk_b", 64, LIQUID_CRC_16, LIQUID_FEC_HAMMING74,
+              LIQUID_FEC_GOLAY2412, 91);
     return 0;
 }
 """

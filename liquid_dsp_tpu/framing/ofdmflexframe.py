@@ -17,12 +17,11 @@ import jax.numpy as jnp
 
 from ..multichannel.ofdm import (OFDMParams, ofdm_params,
                                  ofdm_generate_frame, ofdm_frame_sync)
-from ..modem import (constellation, bits_per_symbol, modulate, demodulate,
-                     MODEM_SCHEMES)
-from ..fec.dispatch import FEC_SCHEMES
-from ..fec.crc import CRC_SCHEMES
+from ..modem import constellation, bits_per_symbol, modulate, demodulate
 from ..fec.packetizer import packetizer_encode, packetizer_decode, \
     packetizer_compute_enc_msg_len
+from .wire import (crc_to_wire, fec_to_wire, modem_to_wire,
+                   crc_from_wire, fec_from_wire, modem_from_wire)
 from ..fec.block import unpack_bits, pack_bits
 from ..utils.random import scramble_data, unscramble_data
 
@@ -33,9 +32,6 @@ OFDMFLEXFRAME_H_USER = 8
 _H_CRC, _H_FEC = "crc32", "golay2412"
 _H_MOD = "bpsk"
 _PROTOCOL = 104
-_MS_LIST = tuple(sorted(MODEM_SCHEMES))
-_FEC_LIST = tuple(sorted(FEC_SCHEMES))
-_CRC_LIST = tuple(sorted(CRC_SCHEMES))
 
 
 def _syms_from_bytes(data: np.ndarray, ms: str) -> np.ndarray:
@@ -57,15 +53,18 @@ def _bytes_from_syms(syms: np.ndarray, ms: str, n_bytes: int) -> np.ndarray:
 
 def _frame_geometry(params: OFDMParams, payload_len: int, crc, fec0, fec1,
                     ms):
+    """Header and payload each occupy whole OFDM symbols (reference
+    ofdmflexframegen.c:192-194, :489-492); unused data slots in the last
+    symbol of each block are pad."""
     h_enc_len = packetizer_compute_enc_msg_len(
-        OFDMFLEXFRAME_H_USER + 6, _H_CRC, "none", _H_FEC)
+        OFDMFLEXFRAME_H_USER + 6, _H_CRC, _H_FEC, "none")
     h_syms = 8 * h_enc_len  # BPSK
     p_enc_len = packetizer_compute_enc_msg_len(payload_len, crc, fec0, fec1)
     bps = bits_per_symbol(ms)
     p_syms = -(-(8 * p_enc_len) // bps)
-    total = h_syms + p_syms
-    n_ofdm = -(-total // params.M_data)
-    return h_syms, p_syms, n_ofdm
+    nh = -(-h_syms // params.M_data)
+    np_ = -(-p_syms // params.M_data)
+    return h_syms, p_syms, nh, np_
 
 
 def ofdmflexframegen(header, payload, M: int = 64, cp_len: int = 16,
@@ -84,29 +83,31 @@ def ofdmflexframegen(header, payload, M: int = 64, cp_len: int = 16,
     hdr = np.zeros(OFDMFLEXFRAME_H_USER + 6, np.uint8)
     hdr[:OFDMFLEXFRAME_H_USER] = header
     k = OFDMFLEXFRAME_H_USER
+    # reference wire format (ofdmflexframegen.c:496-523): protocol,
+    # 16-bit length, mod scheme enum, crc(3b)<<5|fec0(5b), fec1(5b);
+    # header coded crc32 + golay2412 then scrambled, BPSK on data bins
     hdr[k + 0] = _PROTOCOL
     hdr[k + 1] = (n >> 8) & 0xFF
     hdr[k + 2] = n & 0xFF
-    hdr[k + 3] = _MS_LIST.index(ms.lower())
-    hdr[k + 4] = _CRC_LIST.index(crc.lower())
-    hdr[k + 5] = (_FEC_LIST.index(fec0.lower()) & 0x0F) | \
-        ((_FEC_LIST.index(fec1.lower()) & 0x0F) << 4)
-    if _FEC_LIST.index(fec0.lower()) > 15 or \
-            _FEC_LIST.index(fec1.lower()) > 15:
-        # wide indices: use separate bytes via the reserved user slot?
-        # keep it simple: raise (scheme registry small enough in practice)
-        raise ValueError("fec scheme index too large for header packing")
-    h_enc = packetizer_encode(hdr, _H_CRC, "none", _H_FEC)
+    hdr[k + 3] = modem_to_wire(ms)
+    hdr[k + 4] = ((crc_to_wire(crc) & 0x07) << 5) | \
+        (fec_to_wire(fec0) & 0x1F)
+    hdr[k + 5] = fec_to_wire(fec1) & 0x1F
+    h_enc = packetizer_encode(hdr, _H_CRC, _H_FEC, "none")
     h_enc = scramble_data(h_enc)
     h_syms = _syms_from_bytes(h_enc, _H_MOD)
     p_enc = packetizer_encode(payload, crc, fec0, fec1)
     p_syms = _syms_from_bytes(p_enc, ms)
-    all_syms = np.concatenate([h_syms, p_syms])
-    n_ofdm = -(-len(all_syms) // params.M_data)
-    padded = np.zeros(n_ofdm * params.M_data, np.complex64)
-    padded[: len(all_syms)] = all_syms
-    return ofdm_generate_frame(params, padded.reshape(n_ofdm,
-                                                      params.M_data))
+    # header and payload each fill whole OFDM symbols; pad slots carry
+    # zeros here (the reference pads with random modem symbols, which
+    # receivers ignore — ofdmflexframegen.c:620-626)
+    Md = params.M_data
+    nh = -(-len(h_syms) // Md)
+    npd = -(-len(p_syms) // Md)
+    grid = np.zeros((nh + npd, Md), np.complex64)
+    grid.reshape(-1)[: len(h_syms)] = h_syms
+    grid[nh:].reshape(-1)[: len(p_syms)] = p_syms
+    return ofdm_generate_frame(params, grid)
 
 
 class OFDMFlexResult(NamedTuple):
@@ -129,7 +130,7 @@ def ofdmflexframesync(x, M: int = 64, cp_len: int = 16,
     nores = OFDMFlexResult(False, False, False, None, None, "", 0)
     # first: demod enough OFDM symbols for the header
     h_enc_len = packetizer_compute_enc_msg_len(
-        OFDMFLEXFRAME_H_USER + 6, _H_CRC, "none", _H_FEC)
+        OFDMFLEXFRAME_H_USER + 6, _H_CRC, _H_FEC, "none")
     h_syms_n = 8 * h_enc_len
     n_hdr_ofdm = -(-h_syms_n // params.M_data)
     r = ofdm_frame_sync(params, x, n_hdr_ofdm, threshold=threshold)
@@ -139,23 +140,26 @@ def ofdmflexframesync(x, M: int = 64, cp_len: int = 16,
     h_enc = _bytes_from_syms(h_stream, _H_MOD, h_enc_len)
     h_enc = unscramble_data(h_enc)
     hdr, h_ok = packetizer_decode(h_enc, OFDMFLEXFRAME_H_USER + 6, _H_CRC,
-                                  "none", _H_FEC)
+                                  _H_FEC, "none")
     k = OFDMFLEXFRAME_H_USER
     if not h_ok or hdr[k] != _PROTOCOL:
         return OFDMFlexResult(True, False, False, None, None, "", 0)
     n_payload = (int(hdr[k + 1]) << 8) | int(hdr[k + 2])
-    ms = _MS_LIST[int(hdr[k + 3])]
-    crc = _CRC_LIST[int(hdr[k + 4])]
-    fec0 = _FEC_LIST[int(hdr[k + 5]) & 0x0F]
-    fec1 = _FEC_LIST[(int(hdr[k + 5]) >> 4) & 0x0F]
-    h_syms, p_syms, n_ofdm = _frame_geometry(params, n_payload, crc, fec0,
-                                             fec1, ms)
-    r2 = ofdm_frame_sync(params, x, n_ofdm, threshold=threshold)
+    try:
+        ms = modem_from_wire(int(hdr[k + 3]))
+        crc = crc_from_wire((int(hdr[k + 4]) >> 5) & 0x07)
+        fec0 = fec_from_wire(int(hdr[k + 4]) & 0x1F)
+        fec1 = fec_from_wire(int(hdr[k + 5]) & 0x1F)
+    except ValueError:
+        return OFDMFlexResult(True, False, False, None, None, "", 0)
+    h_syms, p_syms, nh, npd = _frame_geometry(params, n_payload, crc, fec0,
+                                              fec1, ms)
+    r2 = ofdm_frame_sync(params, x, nh + npd, threshold=threshold)
     if not r2.detected or r2.data_syms is None:
         return OFDMFlexResult(True, True, False, hdr[:k], None, ms,
                               n_payload)
-    stream = r2.data_syms.reshape(-1)
-    p_stream = stream[h_syms: h_syms + p_syms]
+    # payload starts on a fresh OFDM symbol after the header block
+    p_stream = r2.data_syms[nh:].reshape(-1)[:p_syms]
     p_enc_len = packetizer_compute_enc_msg_len(n_payload, crc, fec0, fec1)
     p_enc = _bytes_from_syms(p_stream, ms, p_enc_len)
     payload, ok = packetizer_decode(p_enc, n_payload, crc, fec0, fec1)

@@ -101,9 +101,19 @@ def ofdm_params(M: int = 64, cp_len: int = 16,
                       M_null, M_pilot, M_data)
 
 
+def _pilot_order(params: "OFDMParams") -> np.ndarray:
+    """Pilot bins in the reference's traversal order: the writesymbol
+    loop visits bins k=(i+M/2)%M for i ascending (ofdmframegen.c:290),
+    so the pilot msequence is consumed in fftshifted bin order."""
+    M = params.M
+    k = (np.arange(M) + M // 2) % M
+    return k[np.asarray(params.p)[k] == SCTYPE_PILOT]
+
+
 def _pilot_sequence(n_pilots: int, n_syms: int) -> np.ndarray:
     """Per-symbol pilot values [n_syms, n_pilots] from msequence(8)
-    (reference ofdmframegen.c:168, one advance per pilot per symbol)."""
+    (reference ofdmframegen.c:168, one advance per pilot per symbol),
+    ordered as _pilot_order traverses the bins."""
     ms = MSequence(8)
     out = np.zeros((n_syms, n_pilots), np.float32)
     for s in range(n_syms):
@@ -132,16 +142,19 @@ def ofdm_generate_frame(params: OFDMParams, data_syms) -> np.ndarray:
                          f"symbol, got {data_syms.shape[1]}")
     g = 1.0 / np.sqrt(params.M_pilot + params.M_data)
     pilots = _pilot_sequence(params.M_pilot, n_syms)
-    pil_idx = np.nonzero(params.p == SCTYPE_PILOT)[0]
+    pil_idx = _pilot_order(params)
     dat_idx = np.nonzero(params.p == SCTYPE_DATA)[0]
     X = np.zeros((n_syms, M), np.complex64)
     X[:, pil_idx] = pilots * g
     X[:, dat_idx] = data_syms * g
     payload = _symbolize(params, X).reshape(-1)
-    # preamble: S0 twice + S1 (reference: scaled time sequences)
-    s0_sym = np.concatenate([params.s0[M - cp:], params.s0])
+    # preamble: S0 twice + S1.  The first S0 symbol is rotated by TWO
+    # cp lengths, the second by one (reference ofdmframegen_write_S0a/b)
+    # so the pair is contiguous in the s0 sequence's own period.
+    idx_a = (np.arange(M + cp) + M - 2 * cp) % M
+    idx_b = (np.arange(M + cp) + M - cp) % M
     s1_sym = np.concatenate([params.s1[M - cp:], params.s1])
-    return np.concatenate([s0_sym, s0_sym, s1_sym,
+    return np.concatenate([params.s0[idx_a], params.s0[idx_b], s1_sym,
                            payload]).astype(np.complex64)
 
 
@@ -216,7 +229,7 @@ def ofdm_frame_sync(params: OFDMParams, x, n_syms: int,
     sm[-1] = vals[-1]
     Gs[on_idx] = sm
     # --- 4. payload demod ---
-    pil_idx = np.nonzero(params.p == SCTYPE_PILOT)[0]
+    pil_idx = _pilot_order(params)
     dat_idx = np.nonzero(params.p == SCTYPE_DATA)[0]
     pilots = _pilot_sequence(params.M_pilot, n_syms)
     need = payload_start + n_syms * (M + cp)

@@ -215,3 +215,81 @@ class TestGMSKFrameGolden:
         assert res.detected and res.header_ok and res.crc_ok
         assert np.array_equal(res.header, hdr)
         assert np.array_equal(res.payload, payload)
+
+
+class TestOFDMFlexFrameGolden:
+    """Wire interop with the compiled reference (offg/ofdm cases in
+    tools/gen_flexframe_golden.py).  The last OFDM symbol of the header
+    block and of the payload block carry random pad symbols in the
+    reference (ofdmflexframegen.c:620-626) and are excluded from the
+    sample comparison."""
+
+    CASES = [("offg_a", 64, "crc32", "none", "golay2412", "qpsk", 101),
+             ("offg_b", 40, "crc16", "hamming128", "none", "qam16", 113)]
+
+    @pytest.fixture(scope="class")
+    def fg(self):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/flexframe_golden.npz"
+        if not path.exists():
+            pytest.skip("flexframe_golden.npz not generated")
+        return dict(np.load(path))
+
+    def test_raw_ofdm_layer_sample_exact(self, fg):
+        from liquid_dsp_tpu.multichannel.ofdm import (
+            ofdm_params, ofdm_generate_frame, SCTYPE_DATA)
+        par = ofdm_params(64, 16)
+        assert np.array_equal(np.asarray(par.p),
+                              np.real(fg["ofdm_sct_64"]).astype(int))
+        state = [123]
+
+        def nxt():
+            state[0] = (state[0] * 1103515245 + 12345) & 0xFFFFFFFF
+            return ((state[0] >> 16) & 0xFF) / 127.5 - 1.0
+
+        p = np.asarray(par.p)
+        data = [[nxt() + 1j * nxt() for i in range(64)
+                 if p[i] == SCTYPE_DATA] for _ in range(3)]
+        y = ofdm_generate_frame(par, np.asarray(data, np.complex64))
+        ref = np.concatenate([fg[f"ofdm_{t}_64_16"] for t in
+                              ("s0a", "s0b", "s1", "d0", "d1", "d2")])
+        assert np.abs(y - ref).max() < 1e-5
+
+    @pytest.mark.parametrize("tag,n,crc,fec0,fec1,ms,seed", CASES)
+    def test_tx_sample_exact_nonpad(self, fg, tag, n, crc, fec0, fec1, ms,
+                                    seed):
+        from liquid_dsp_tpu.framing.ofdmflexframe import ofdmflexframegen
+        from liquid_dsp_tpu.multichannel.ofdm import ofdm_params
+        hdr = TestFlexFrameGolden._fill(8, seed)
+        payload = TestFlexFrameGolden._fill(n, seed + 1)
+        y = ofdmflexframegen(hdr, payload, M=64, cp_len=16, crc=crc,
+                             fec0=fec0, fec1=fec1, ms=ms)
+        ref = fg[tag]
+        assert len(y) == len(ref)
+        par = ofdm_params(64, 16)
+        from liquid_dsp_tpu.framing.ofdmflexframe import _frame_geometry
+        h_syms, p_syms, nh, npd = _frame_geometry(par, n, crc, fec0, fec1,
+                                                  ms)
+        step = 64 + 16
+        n_sym = len(ref) // step
+        pad = {3 + nh - 1, 3 + nh + npd - 1}  # last header/payload symbol
+        for i in range(n_sym):
+            if i in pad:
+                continue
+            d = np.abs(y[i * step:(i + 1) * step] -
+                       ref[i * step:(i + 1) * step]).max()
+            assert d < 1e-5, (i, d)
+
+    @pytest.mark.parametrize("tag,n,crc,fec0,fec1,ms,seed", CASES)
+    def test_sync_decodes_reference_tx(self, fg, tag, n, crc, fec0, fec1,
+                                       ms, seed):
+        from liquid_dsp_tpu.framing.ofdmflexframe import ofdmflexframesync
+        hdr = TestFlexFrameGolden._fill(8, seed)
+        payload = TestFlexFrameGolden._fill(n, seed + 1)
+        x = np.concatenate([np.zeros(30, np.complex64), fg[tag],
+                            np.zeros(30, np.complex64)])
+        res = ofdmflexframesync(x, M=64, cp_len=16)
+        assert res.detected and res.header_ok and res.crc_ok
+        assert np.array_equal(res.header, hdr)
+        assert np.array_equal(res.payload, payload)
+        assert res.ms == ms

@@ -63,6 +63,62 @@ static void ffg_case(const char* tag, unsigned len, crc_scheme c,
     dumpc(tag, buf, total);
     flexframegen_destroy(fg);
 }
+static void ofdm_raw_case(unsigned M, unsigned cp, unsigned seed) {
+    unsigned char p[M];
+    ofdmframe_init_default_sctype(M, p);
+    printf("ofdm_sct_%u :", M);
+    for (unsigned i=0;i<M;i++) printf(" %u 0", p[i]);
+    printf("\n");
+    ofdmframegen fg = ofdmframegen_create(M, cp, 0, NULL);
+    unsigned n = M + cp;
+    float complex buf[n];
+    ofdmframegen_write_S0a(fg, buf);
+    char tag[48]; sprintf(tag, "ofdm_s0a_%u_%u", M, cp); dumpc(tag, buf, n);
+    ofdmframegen_write_S0b(fg, buf);
+    sprintf(tag, "ofdm_s0b_%u_%u", M, cp); dumpc(tag, buf, n);
+    ofdmframegen_write_S1(fg, buf);
+    sprintf(tag, "ofdm_s1_%u_%u", M, cp); dumpc(tag, buf, n);
+    // three deterministic data symbols: LCG values on data subcarriers
+    unsigned s = seed;
+    float complex X[M];
+    for (unsigned sym=0; sym<3; sym++) {
+        for (unsigned i=0;i<M;i++) {
+            if (p[i] == OFDMFRAME_SCTYPE_DATA) {
+                s = s*1103515245u + 12345u;
+                float re = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+                s = s*1103515245u + 12345u;
+                float im = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+                X[i] = re + _Complex_I*im;
+            } else X[i] = 0.0f;
+        }
+        ofdmframegen_writesymbol(fg, X, buf);
+        sprintf(tag, "ofdm_d%u_%u_%u", sym, M, cp); dumpc(tag, buf, n);
+    }
+    ofdmframegen_destroy(fg);
+}
+static void offg_case(const char* tag, unsigned M, unsigned cp,
+                      unsigned len, crc_scheme c, fec_scheme f0,
+                      fec_scheme f1, modulation_scheme ms, unsigned seed) {
+    ofdmflexframegenprops_s props;
+    ofdmflexframegenprops_init_default(&props);
+    props.check = c; props.fec0 = f0; props.fec1 = f1; props.mod_scheme = ms;
+    ofdmflexframegen fg = ofdmflexframegen_create(M, cp, 0, NULL, &props);
+    unsigned char header[8], payload[len];
+    fill(header, 8, seed);
+    fill(payload, len, seed+1);
+    ofdmflexframegen_assemble(fg, header, payload, len);
+    unsigned n = M + cp;
+    unsigned total = 0, cap = 64*n;
+    float complex buf[cap];
+    int done = 0;
+    while (!done && total + n <= cap) {
+        done = ofdmflexframegen_writesymbol(fg, &buf[total]);
+        total += n;
+    }
+    printf("%s_len : %u\n", tag, total);
+    dumpc(tag, buf, total);
+    ofdmflexframegen_destroy(fg);
+}
 static void gmsk_case(const char* tag, unsigned len, crc_scheme c,
                       fec_scheme f0, fec_scheme f1, unsigned seed) {
     gmskframegen fg = gmskframegen_create();
@@ -110,6 +166,11 @@ int main() {
               LIQUID_FEC_NONE, 77);
     gmsk_case("gmsk_b", 64, LIQUID_CRC_16, LIQUID_FEC_HAMMING74,
               LIQUID_FEC_GOLAY2412, 91);
+    ofdm_raw_case(64, 16, 123);
+    offg_case("offg_a", 64, 16, 64, LIQUID_CRC_32, LIQUID_FEC_NONE,
+              LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 101);
+    offg_case("offg_b", 64, 16, 40, LIQUID_CRC_16, LIQUID_FEC_HAMMING128,
+              LIQUID_FEC_NONE, LIQUID_MODEM_QAM16, 113);
     return 0;
 }
 """

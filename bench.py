@@ -21,7 +21,26 @@ import time
 import numpy as np
 
 
-def _tpu_healthy(timeout_s: float = 150.0) -> bool:
+def timed_throughput(run_trials, samples_per_trial, max_trials=4096):
+    """Two-point calibrated throughput (samples/s).
+
+    run_trials(n) must execute n chained trials and block on a host
+    value readback.  Throughput is computed from dt(2n) - dt(n), which
+    cancels the fixed per-batch overhead (dispatch + tunnel readback
+    latency) that would otherwise dominate on a slow link."""
+    n = 1
+    dt1 = run_trials(n)
+    while dt1 < 0.5 and n < max_trials:
+        n = min(2 * n, max_trials)
+        dt1 = run_trials(n)
+    dt2 = run_trials(2 * n)
+    if dt2 - dt1 > 0.25 * dt1:
+        return samples_per_trial * n / (dt2 - dt1)
+    # overhead-dominated even at 2n: report the conservative ratio
+    return samples_per_trial * 2 * n / dt2
+
+
+def _tpu_healthy(timeout_s: float = 240.0) -> bool:
     """Probe the accelerator backend in a CHILD process: tiny jit + value
     readback.  The axon TPU tunnel intermittently hangs on device->host
     transfers (PERF.md backend caveats); a hang in-process would be
@@ -93,24 +112,22 @@ def planes_fallback(batch, T):
     xi = jnp.asarray(rng.standard_normal((batch, T)).astype(np.float32))
     th = jnp.zeros((), jnp.float32)
     th, r, i, chk = step(th, xr, xi, jnp.float32(0))
-    float(np.asarray(chk))  # value readback
-    n_trials = 1
-    while True:
+    float(np.asarray(chk))  # value readback (warmup/compile)
+
+    def run_trials(n):
         t0 = time.perf_counter()
         th = jnp.zeros((), jnp.float32)
         chk = jnp.float32(0)
-        for _ in range(n_trials):
+        r = i = None
+        for _ in range(n):
             th, r, i, chk = step(th, xr, xi, chk)
         float(np.asarray(chk))  # value readback: proves completion
-        dt = time.perf_counter() - t0
-        if dt > 0.25 or n_trials >= 4096:
-            break
-        n_trials = max(n_trials * 2, int(n_trials * 0.35 / max(dt, 1e-6)))
-        n_trials = min(n_trials, 4096)
-    return batch * T * n_trials / dt / 1e6
+        return time.perf_counter() - t0
+
+    return timed_throughput(run_trials, batch * T) / 1e6
 
 
-def main(cpu_fallback: bool = False):
+def main(cpu_fallback: bool = False, planes_only: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -134,17 +151,14 @@ def main(cpu_fallback: bool = False):
 
     batch, T = 16, 1 << 17  # 2M complex samples per step
     rng = np.random.default_rng(0)
-    fallback = False
-    try:
-        x = jnp.asarray((rng.standard_normal((batch, T)) +
-                         1j * rng.standard_normal((batch, T))
-                         ).astype(np.complex64))
-        carry = proc.init(batch_shape=(batch,))
-    except Exception:
-        fallback = True
-
+    fallback = planes_only
     if not fallback:
         try:
+            x = jnp.asarray((rng.standard_normal((batch, T)) +
+                             1j * rng.standard_normal((batch, T))
+                             ).astype(np.complex64))
+            carry = proc.init(batch_shape=(batch,))
+
             # params must be jit ARGUMENTS (closed-over device constants
             # fail to lower on the axon TPU backend); a scalar checksum is
             # read back to the host each step so the timing cannot complete
@@ -160,6 +174,14 @@ def main(cpu_fallback: bool = False):
             y, c, chk = step(params, carry, x)
             float(np.asarray(chk))  # value readback: proves completion
         except Exception:
+            # a failed eager op can poison every later transfer in this
+            # process (PERF.md backend caveats): run the float-plane
+            # fallback in a FRESH process instead of continuing here
+            if not os.environ.get("LIQUID_BENCH_NO_REEXEC"):
+                sys.stdout.flush()
+                os.execv(sys.executable,
+                         [sys.executable, __file__, "--planes"] +
+                         (["--cpu"] if cpu_fallback else []))
             fallback = True
 
     metric_note = " [cpu fallback: tpu backend unhealthy]" if cpu_fallback \
@@ -168,21 +190,15 @@ def main(cpu_fallback: bool = False):
         msps = planes_fallback(batch, T)
         metric_note += " [float-plane fallback]"
     else:
-        # calibrate trial count into the 50-500ms window (reference policy)
-        n_trials = 1
-        while True:
+        def run_trials(n):
             t0 = time.perf_counter()
             c2 = carry
-            for _ in range(n_trials):
+            for _ in range(n):
                 y, c2, chk = step(params, c2, x)
             float(np.asarray(chk))  # value readback: proves completion
-            dt = time.perf_counter() - t0
-            if dt > 0.25 or n_trials >= 4096:
-                break
-            n_trials = max(n_trials * 2,
-                           int(n_trials * 0.35 / max(dt, 1e-6)))
-            n_trials = min(n_trials, 4096)
-        msps = batch * T * n_trials / dt / 1e6
+            return time.perf_counter() - t0
+
+        msps = timed_throughput(run_trials, batch * T) / 1e6
 
     baseline_file = pathlib.Path(__file__).parent / "tests/baseline_measured.json"
     vs = 0.0
@@ -208,7 +224,9 @@ if __name__ == "__main__":
         # explicitly falling back to CPU
         import jax
         jax.config.update("jax_platforms", "cpu")
-        main(cpu_fallback=True)
+        main(cpu_fallback=True, planes_only="--planes" in sys.argv)
+    elif "--planes" in sys.argv:
+        main(planes_only=True)
     elif os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         import jax
         jax.config.update("jax_platforms", "cpu")

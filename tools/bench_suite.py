@@ -32,19 +32,23 @@ def bench(step, params, carry, x, min_t=0.3):
         return y, c2, chk + s
 
     y, c, chk = step_chk(params, carry, x, jnp.float32(0))
-    float(np.asarray(chk))  # value readback: proves completion
-    trials = 1
-    while True:
+    float(np.asarray(chk))  # value readback: proves completion (warmup)
+
+    def run_trials(n):
         t0 = time.perf_counter()
         c = carry
         chk = jnp.float32(0)
-        for _ in range(trials):
+        for _ in range(n):
             y, c, chk = step_chk(params, c, x, chk)
         float(np.asarray(chk))  # value readback: proves completion
-        dt = time.perf_counter() - t0
-        if dt > min_t or trials >= (1 << 16):
-            return trials * x.size / dt / 1e6
-        trials = max(trials * 2, int(trials * 0.5 / max(dt, 1e-6)))
+        return time.perf_counter() - t0
+
+    import importlib.util, pathlib as _pl
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", _pl.Path(__file__).resolve().parent.parent / "bench.py")
+    bm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bm)
+    return bm.timed_throughput(run_trials, x.size) / 1e6
 
 
 def main():

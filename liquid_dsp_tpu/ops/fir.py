@@ -57,8 +57,11 @@ def firfilt(h, scale: float | complex = 1.0, name: str = "firfilt",
     """Direct-form FIR filter over blocks (reference firfilt_crcf).
 
     Block length T in -> T out; carry: [..., L-1] input tail.
-    backend: 'xla' (lax.conv, default) or 'pallas' (banded-matmul MXU
-    kernel, real taps + complex data; see ops/kernels/pallas_fir.py).
+    backend: 'xla' (lax.conv, default), 'matmul' (banded-tap matrix
+    framed as [tiles, TILE+L-1] @ [TILE+L-1, TILE] — MXU-shaped; the
+    feature-dim-1 convolution never reaches the systolic array), or
+    'pallas' (the same banding inside a hand-tiled kernel; see
+    ops/kernels/pallas_fir.py).
     """
     h = _as_jnp_taps(h)
     L = int(h.shape[-1])
@@ -67,7 +70,10 @@ def firfilt(h, scale: float | complex = 1.0, name: str = "firfilt",
     def init(batch_shape=(), dtype=jnp.complex64):
         return jnp.zeros(batch_shape + (L - 1,), dtype=dtype)
 
-    if backend == "pallas":
+    if backend == "matmul":
+        def apply(params, carry, x):
+            return fir_apply_matmul(params["h"], _coerce(carry, x.dtype), x)
+    elif backend == "pallas":
         if jnp.iscomplexobj(h):
             raise ValueError("pallas firfilt backend supports real taps")
         import numpy as _np
@@ -87,6 +93,33 @@ def firfilt(h, scale: float | complex = 1.0, name: str = "firfilt",
 
     return Proc(params=params, init=init, apply=apply, rate=(1, 1), name=name,
                 halo=L - 1)
+
+
+def fir_apply_matmul(h, carry, x, tile: int = 128):
+    """FIR as a banded-tap matmul: frames [.., nt, tile+L-1] times band
+    [tile+L-1, tile], so each tile of outputs is one MXU-shaped matmul
+    (the [B,1,T] convolution has feature dimension 1 and cannot use the
+    systolic array).  Identical output to fir_apply."""
+    L = int(h.shape[-1])
+    T = int(x.shape[-1])
+    nt = -(-T // tile)
+    xp = jnp.concatenate([carry.astype(x.dtype), x], axis=-1)
+    new_carry = xp[..., xp.shape[-1] - (L - 1):] if L > 1 else carry
+    pad_r = nt * tile - T
+    if pad_r:
+        xp = jnp.pad(xp, [(0, 0)] * (xp.ndim - 1) + [(0, pad_r)])
+    # banded tap matrix: band[f, j] = h[L-1-(f-j)] for 0 <= f-j < L
+    d = np.arange(tile + L - 1)[:, None] - np.arange(tile)[None, :]
+    mask = jnp.asarray((d >= 0) & (d < L))
+    hr = h[::-1]
+    band = jnp.where(mask, hr[jnp.asarray(np.clip(d, 0, L - 1))],
+                     jnp.zeros((), h.dtype))
+    idx = jnp.asarray(np.arange(nt)[:, None] * tile +
+                      np.arange(tile + L - 1)[None, :], jnp.int32)
+    frames = xp[..., idx]                       # [.., nt, tile+L-1]
+    y = frames @ band.astype(frames.dtype)      # [.., nt, tile]
+    y = y.reshape(y.shape[:-2] + (nt * tile,))[..., :T]
+    return y, new_carry
 
 
 def _coerce(carry, dtype):

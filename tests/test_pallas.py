@@ -45,3 +45,43 @@ class TestPallasFIR:
     def test_complex_taps_rejected(self):
         with pytest.raises(ValueError):
             firfilt(np.ones(8, np.complex64), backend="pallas")
+
+
+class TestMatmulFIR:
+    """firfilt backend='matmul': banded-tap-matrix formulation
+    (MXU-shaped on TPU; see PERF.md)."""
+
+    def test_matches_xla_backend(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from liquid_dsp_tpu.ops.fir import firfilt
+        from liquid_dsp_tpu.design.firdes import firdes_kaiser
+        rng = np.random.default_rng(3)
+        for L, T in [(64, 1000), (57, 4096), (13, 257), (1, 128)]:
+            h = firdes_kaiser(L, 0.2, 60.0) if L > 1 else np.array([0.7])
+            x = jnp.asarray((rng.standard_normal((3, T)) +
+                             1j * rng.standard_normal((3, T))
+                             ).astype(np.complex64))
+            ya, _ = firfilt(h)(x, batch_shape=(3,))
+            ym, _ = firfilt(h, backend="matmul")(x, batch_shape=(3,))
+            assert float(jnp.max(jnp.abs(ya - ym))) < 1e-5, (L, T)
+
+    def test_streaming_complex_taps(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from liquid_dsp_tpu.ops.fir import firfilt
+        rng = np.random.default_rng(4)
+        h = (rng.standard_normal(21) +
+             1j * rng.standard_normal(21)).astype(np.complex64)
+        x = jnp.asarray((rng.standard_normal((2, 512)) +
+                         1j * rng.standard_normal((2, 512))
+                         ).astype(np.complex64))
+        p = firfilt(h, backend="matmul")
+        y_once, _ = p(x, batch_shape=(2,))
+        c = p.init(batch_shape=(2,))
+        ys = []
+        for blk in np.split(np.asarray(x), 4, axis=-1):
+            yb, c = p.apply(p.params, c, jnp.asarray(blk))
+            ys.append(np.asarray(yb))
+        d = np.abs(np.concatenate(ys, -1) - np.asarray(y_once)).max()
+        assert d < 1e-5

@@ -21,17 +21,15 @@ import numpy as np
 
 from ..fec.packetizer import (packetizer_encode, packetizer_decode,
                               packetizer_compute_enc_msg_len)
-from ..fec.dispatch import FEC_SCHEMES
-from ..fec.crc import CRC_SCHEMES
 from ..fec.block import unpack_bits, pack_bits
 from ..utils.sequence import MSequence
+from .wire import (crc_to_wire, fec_to_wire, crc_from_wire,
+                   fec_from_wire)
 
 __all__ = ["bpacketgen", "bpacketsync", "BPacketResult",
            "bsync_correlate", "bpresync_detect", "detector_cccf_detect"]
 
 _VERSION = 101
-_FEC_LIST = tuple(sorted(FEC_SCHEMES))
-_CRC_LIST = tuple(sorted(CRC_SCHEMES))
 _PN_LEN = 8  # bytes
 
 
@@ -48,10 +46,12 @@ def bpacketgen(payload, crc: str = "crc32", fec0: str = "none",
     payload = np.asarray(payload, np.uint8)
     n = len(payload)
     hdr = np.zeros(6, np.uint8)
+    # header bytes carry the reference's raw enum values
+    # (reference bpacketgen.c assemble_header)
     hdr[0] = _VERSION
-    hdr[1] = _CRC_LIST.index(crc.lower())
-    hdr[2] = _FEC_LIST.index(fec0.lower())
-    hdr[3] = _FEC_LIST.index(fec1.lower())
+    hdr[1] = crc_to_wire(crc)
+    hdr[2] = fec_to_wire(fec0)
+    hdr[3] = fec_to_wire(fec1)
     hdr[4] = (n >> 8) & 0xFF
     hdr[5] = n & 0xFF
     h_enc = packetizer_encode(hdr, "crc16", "none", "hamming128")
@@ -90,9 +90,12 @@ def bpacketsync(data, max_bit_errors: int = 4) -> BPacketResult:
                                     "hamming128")
         if not ok or hdr[0] != _VERSION:
             continue
-        crc = _CRC_LIST[int(hdr[1])]
-        fec0 = _FEC_LIST[int(hdr[2])]
-        fec1 = _FEC_LIST[int(hdr[3])]
+        try:
+            crc = crc_from_wire(int(hdr[1]))
+            fec0 = fec_from_wire(int(hdr[2]))
+            fec1 = fec_from_wire(int(hdr[3]))
+        except ValueError:
+            continue
         n = (int(hdr[4]) << 8) | int(hdr[5])
         p_len = packetizer_compute_enc_msg_len(n, crc, fec0, fec1)
         p_bits = rest[8 * h_len: 8 * (h_len + p_len)]

@@ -293,3 +293,43 @@ class TestOFDMFlexFrameGolden:
         assert np.array_equal(res.header, hdr)
         assert np.array_equal(res.payload, payload)
         assert res.ms == ms
+
+
+class TestBPacketGolden:
+    """bpacketgen output is byte-exact vs the compiled reference, and
+    bpacketsync finds/decodes reference packets at arbitrary bit
+    offsets (bpkt cases in tools/gen_flexframe_golden.py)."""
+
+    CASES = [(0, 32, "crc32", "none", "none"),
+             (1, 50, "crc16", "hamming74", "rep3")]
+
+    @pytest.fixture(scope="class")
+    def fg(self):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/flexframe_golden.npz"
+        if not path.exists():
+            pytest.skip("flexframe_golden.npz not generated")
+        return dict(np.load(path))
+
+    @pytest.mark.parametrize("ci,n,crc,fec0,fec1", CASES)
+    def test_encode_byte_exact(self, fg, ci, n, crc, fec0, fec1):
+        from liquid_dsp_tpu.framing.bpacket import bpacketgen
+        payload = TestFlexFrameGolden._fill(n, 131 + ci)
+        mine = bpacketgen(payload, crc=crc, fec0=fec0, fec1=fec1)
+        ref = np.real(fg[f"bpkt_{ci}"]).astype(np.uint8)
+        assert np.array_equal(mine, ref)
+
+    @pytest.mark.parametrize("ci,n,crc,fec0,fec1", CASES)
+    @pytest.mark.parametrize("shift", [0, 3, 7])
+    def test_sync_decodes_reference_at_bit_offset(self, fg, ci, n, crc,
+                                                  fec0, fec1, shift):
+        from liquid_dsp_tpu.framing.bpacket import bpacketsync
+        from liquid_dsp_tpu.fec.block import unpack_bits, pack_bits
+        payload = TestFlexFrameGolden._fill(n, 131 + ci)
+        ref = np.real(fg[f"bpkt_{ci}"]).astype(np.uint8)
+        bits = np.concatenate([np.zeros(shift, np.uint8),
+                               unpack_bits(ref),
+                               np.zeros((8 - shift) % 8 + 8, np.uint8)])
+        res = bpacketsync(pack_bits(bits))
+        assert res.found and res.crc_ok
+        assert np.array_equal(res.payload, payload)

@@ -166,6 +166,25 @@ int main() {
               LIQUID_FEC_NONE, 77);
     gmsk_case("gmsk_b", 64, LIQUID_CRC_16, LIQUID_FEC_HAMMING74,
               LIQUID_FEC_GOLAY2412, 91);
+    // bpacket byte frames (deterministic): dump full encoded packets
+    {
+        unsigned lens[2] = {32, 50};
+        crc_scheme cs[2] = {LIQUID_CRC_32, LIQUID_CRC_16};
+        fec_scheme f0s[2] = {LIQUID_FEC_NONE, LIQUID_FEC_HAMMING74};
+        fec_scheme f1s[2] = {LIQUID_FEC_NONE, LIQUID_FEC_REP3};
+        for (unsigned ci=0; ci<2; ci++) {
+            bpacketgen bg = bpacketgen_create(0, lens[ci], cs[ci], f0s[ci], f1s[ci]);
+            unsigned n = bpacketgen_get_packet_len(bg);
+            unsigned char payload[lens[ci]], pkt[n];
+            fill(payload, lens[ci], 131+ci);
+            bpacketgen_encode(bg, payload, pkt);
+            printf("bpkt_%u_len : %u\n", ci, n);
+            printf("bpkt_%u :", ci);
+            for (unsigned i=0;i<n;i++) printf(" %u 0", pkt[i]);
+            printf("\n");
+            bpacketgen_destroy(bg);
+        }
+    }
     ofdm_raw_case(64, 16, 123);
     offg_case("offg_a", 64, 16, 64, LIQUID_CRC_32, LIQUID_FEC_NONE,
               LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 101);

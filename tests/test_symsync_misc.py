@@ -161,3 +161,27 @@ class TestLPC:
         a, g = lpc(x, 2)
         # prediction coefficients approximate the AR model
         np.testing.assert_allclose(a, [1.0, -1.2, 0.5], atol=0.03)
+
+
+class TestSymsyncGolden:
+    """symsync output sample-exact vs the compiled reference
+    (symsync_crcf_create_rnyquist(RRC,2,5,0.3,32) over RRC-shaped QPSK;
+    symsync case in tools/gen_flexframe_golden.py) — including the full
+    loop-filter/timing dynamics."""
+
+    def test_sample_exact(self):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/flexframe_golden.npz"
+        if not path.exists():
+            pytest.skip("flexframe_golden.npz not generated")
+        g = dict(np.load(path))
+        from liquid_dsp_tpu.ops.symsync import symsync
+        p = symsync("rrcos", 2, 5, 0.3, npfb=32)
+        out, _ = p(jnp.asarray(g["symsync_x"]), batch_shape=())
+        y, valid = out if isinstance(out, tuple) else (out, None)
+        y = np.asarray(y)
+        if valid is not None:
+            y = y[np.asarray(valid)]
+        ref = g["symsync_y"]
+        assert len(y) == len(ref)
+        assert np.abs(y - ref).max() < 1e-5

@@ -17,7 +17,11 @@ OUT = pathlib.Path(__file__).resolve().parent.parent / \
 GEN_C = r"""
 #include <stdio.h>
 #include <string.h>
+#include <math.h>
 #include "liquid.h"
+#ifndef M_SQRT1_2
+#define M_SQRT1_2 0.70710678118654752440
+#endif
 static void dumpc(const char* tag, float complex* d, unsigned n) {
     printf("%s :", tag);
     for (unsigned i=0;i<n;i++) printf(" %.9e %.9e", crealf(d[i]), cimagf(d[i]));
@@ -184,6 +188,33 @@ int main() {
             printf("\n");
             bpacketgen_destroy(bg);
         }
+    }
+    // symsync: RRC-shaped QPSK at 2 samples/symbol through the
+    // polyphase symbol synchronizer (deterministic)
+    {
+        unsigned k=2, m=5, npfb=32, nsym=256;
+        float beta=0.3f;
+        firinterp_crcf interp = firinterp_crcf_create_prototype(
+            LIQUID_FIRFILT_RRC, k, m, beta, 0);
+        unsigned T = nsym*k;
+        float complex x[T];
+        unsigned s = 17;
+        for (unsigned i=0;i<nsym;i++) {
+            s = s*1103515245u + 12345u;
+            float complex sym = (((s>>16)&1) ? M_SQRT1_2 : -M_SQRT1_2) +
+                _Complex_I * (((s>>17)&1) ? M_SQRT1_2 : -M_SQRT1_2);
+            firinterp_crcf_execute(interp, sym, &x[i*k]);
+        }
+        firinterp_crcf_destroy(interp);
+        dumpc("symsync_x", x, T);
+        symsync_crcf sync = symsync_crcf_create_rnyquist(
+            LIQUID_FIRFILT_RRC, k, m, beta, npfb);
+        float complex y[T];
+        unsigned ny = 0;
+        symsync_crcf_execute(sync, x, T, y, &ny);
+        printf("symsync_y_len : %u\n", ny);
+        dumpc("symsync_y", y, ny);
+        symsync_crcf_destroy(sync);
     }
     ofdm_raw_case(64, 16, 123);
     offg_case("offg_a", 64, 16, 64, LIQUID_CRC_32, LIQUID_FEC_NONE,

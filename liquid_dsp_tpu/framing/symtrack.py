@@ -22,7 +22,7 @@ from jax import lax
 
 from ..ops.agc import agc
 from ..ops.symsync import symsync
-from ..ops.equalize import eqlms_init_weights, eqlms_run
+from ..ops.equalize import eqlms_lowpass_weights, eqlms_run
 from ..modem import constellation
 
 __all__ = ["SymtrackResult", "symtrack"]
@@ -80,9 +80,12 @@ def symtrack(x, ftype: str = "arkaiser", k: int = 2, m: int = 7,
     L = eq_len
     # x2_sum primed at L (unit-power symbols post-AGC) so the normalized
     # step size doesn't blow up while the window fills
-    carry = {"w": jnp.asarray(eqlms_init_weights(L), jnp.complex64),
+    # lowpass-initialized equalizer (reference symtrack.c:122
+    # eqlms_create_lowpass(eq_len, 0.45))
+    carry = {"w": jnp.asarray(eqlms_lowpass_weights(L), jnp.complex64),
              "buf": jnp.zeros(L, jnp.complex64),
-             "x2_sum": jnp.float32(L)}
+             "x2_sum": jnp.float32(L),
+             "n": jnp.int32(L)}  # window treated as already full
     tab = jnp.asarray(table)
 
     def slicer(yv):

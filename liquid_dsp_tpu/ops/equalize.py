@@ -29,13 +29,20 @@ __all__ = ["eqlms_init_weights", "eqlms_run", "eqlms", "eqrls_run", "eqrls"]
 
 
 def eqlms_init_weights(h_len: int, h=None) -> np.ndarray:
-    """Default initial weights: center spike (reference eqlms.c create:
-    NULL h -> delta at center)."""
+    """Default initial weights: delta at the FIRST index (the oldest
+    window slot), matching reference eqlms.c create with NULL h."""
     if h is not None:
         return np.asarray(h)
     w = np.zeros(h_len, np.complex64)
-    w[h_len // 2] = 1.0
+    w[0] = 1.0
     return w
+
+
+def eqlms_lowpass_weights(h_len: int, fc: float = 0.45) -> np.ndarray:
+    """Kaiser lowpass initial weights (reference eqlms_create_lowpass:
+    liquid_firdes_kaiser(h_len, fc, 40dB))."""
+    from ..design.firdes import firdes_kaiser
+    return firdes_kaiser(h_len, fc, 40.0).astype(np.complex64)
 
 
 def eqlms_run(w0, mu: float, carry, x, d=None,
@@ -62,8 +69,13 @@ def eqlms_run(w0, mu: float, carry, x, d=None,
         target = dt if d is not None else slicer(y)
         e = target - y
         denom = jnp.maximum(x2_sum, 1e-12)
-        w = c["w"] + mu * jnp.conj(e)[..., None] * buf / denom[..., None]
-        return {"w": w, "buf": buf, "x2_sum": x2_sum}, y
+        # the reference skips weight updates until h_len samples have
+        # been pushed (eqlms.c _step buf_full gating)
+        n = c["n"] + 1
+        gate = (n >= L).astype(denom.dtype)
+        w = c["w"] + gate[..., None] * mu * jnp.conj(e)[..., None] * \
+            buf / denom[..., None]
+        return {"w": w, "buf": buf, "x2_sum": x2_sum, "n": n}, y
 
     xt = jnp.moveaxis(x, -1, 0)
     if d is not None:
@@ -92,7 +104,8 @@ def eqlms(h_len: int = 5, mu: float = 0.5, h=None,
         return {"w": jnp.broadcast_to(jnp.asarray(w_init, dtype),
                                       batch_shape + (h_len,)),
                 "buf": jnp.zeros(batch_shape + (h_len,), dtype),
-                "x2_sum": jnp.zeros(batch_shape, jnp.float32)}
+                "x2_sum": jnp.zeros(batch_shape, jnp.float32),
+                "n": jnp.zeros(batch_shape, jnp.int32)}
 
     def apply(params, carry, x):
         if isinstance(x, tuple):

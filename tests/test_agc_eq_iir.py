@@ -217,3 +217,28 @@ class TestAGCGolden:
         y, c = q(jnp.asarray(d["x"]), batch_shape=())
         np.testing.assert_allclose(np.asarray(y), d["y"], atol=2e-5)
         assert abs(float(np.asarray(c["g"])) - float(d["g"])) < 1e-4
+
+
+class TestEqlmsGolden:
+    """eqlms trained adaptation sample-exact vs the compiled reference
+    (eqlms case in tools/gen_flexframe_golden.py): the per-sample output
+    stream AND the final weights (reference get_weights returns the
+    conjugate-reversed internal vector, eqlms.c)."""
+
+    def test_sample_exact(self):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/flexframe_golden.npz"
+        if not path.exists():
+            pytest.skip("flexframe_golden.npz not generated")
+        g = dict(np.load(path))
+        from liquid_dsp_tpu.ops.equalize import (eqlms_run,
+                                                 eqlms_init_weights)
+        L = 13
+        carry = {"w": jnp.asarray(eqlms_init_weights(L), jnp.complex64),
+                 "buf": jnp.zeros(L, jnp.complex64),
+                 "x2_sum": jnp.float32(0), "n": jnp.int32(0)}
+        y, c2 = eqlms_run(None, 0.3, carry, jnp.asarray(g["eqlms_x"]),
+                          d=jnp.asarray(g["eqlms_d"]))
+        assert np.abs(np.asarray(y) - g["eqlms_y"]).max() < 1e-5
+        w_fir = np.conj(np.asarray(c2["w"])[::-1])
+        assert np.abs(w_fir - g["eqlms_w"]).max() < 1e-5

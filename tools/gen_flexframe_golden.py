@@ -216,6 +216,33 @@ int main() {
         dumpc("symsync_y", y, ny);
         symsync_crcf_destroy(sync);
     }
+    // eqlms: trained adaptation over a known channel (deterministic)
+    {
+        unsigned L = 13, T = 200;
+        eqlms_cccf eq = eqlms_cccf_create(NULL, L);
+        eqlms_cccf_set_bw(eq, 0.3f);
+        float complex x[T], d[T], yhat[T];
+        unsigned s = 41;
+        for (unsigned i=0;i<T;i++) {
+            s = s*1103515245u + 12345u;
+            d[i] = (((s>>16)&1) ? M_SQRT1_2 : -M_SQRT1_2) +
+                _Complex_I*(((s>>17)&1) ? M_SQRT1_2 : -M_SQRT1_2);
+            // simple 2-tap channel + bias
+            x[i] = d[i] + (i ? 0.4f*d[i-1] : 0) + 0.05f;
+        }
+        for (unsigned i=0;i<T;i++) {
+            eqlms_cccf_push(eq, x[i]);
+            eqlms_cccf_execute(eq, &yhat[i]);
+            eqlms_cccf_step(eq, d[i], yhat[i]);
+        }
+        dumpc("eqlms_x", x, T);
+        dumpc("eqlms_d", d, T);
+        dumpc("eqlms_y", yhat, T);
+        float complex w[L];
+        eqlms_cccf_get_weights(eq, w);
+        dumpc("eqlms_w", w, L);
+        eqlms_cccf_destroy(eq);
+    }
     ofdm_raw_case(64, 16, 123);
     offg_case("offg_a", 64, 16, 64, LIQUID_CRC_32, LIQUID_FEC_NONE,
               LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 101);

@@ -195,7 +195,8 @@ class TestCVSD:
 
     def test_invalid(self):
         with pytest.raises(ValueError):
-            cvsd_encode(np.zeros(8), num_bits=1)
+            # reference cvsd_create requires num_bits positive (cvsd.c:63)
+            cvsd_encode(np.zeros(8), num_bits=0)
         with pytest.raises(ValueError):
             cvsd_encode(np.zeros(8), zeta=0.5)
 
@@ -354,3 +355,24 @@ class TestCheckpoint:
         save_carry(tmp_path / "c.npz", {"a": jnp.zeros(4)})
         with pytest.raises(ValueError):
             load_carry(tmp_path / "c.npz", {"a": jnp.zeros(5)})
+
+
+class TestCVSDGolden:
+    """CVSD codec vs the compiled reference (cvsd case in tools/
+    gen_flexframe_golden.py): encoder bit-exact, decoder matches through
+    the post-emphasis filter."""
+
+    def test_golden(self):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/flexframe_golden.npz"
+        if not path.exists():
+            pytest.skip("flexframe_golden.npz not generated")
+        g = dict(np.load(path))
+        from liquid_dsp_tpu.utils.audio import cvsd_encode, cvsd_decode
+        x = np.real(g["cvsd_x"]).astype(np.float32)
+        bits_ref = np.real(g["cvsd_bits"]).astype(np.int32)
+        xr_ref = np.real(g["cvsd_xr"]).astype(np.float32)
+        assert np.array_equal(np.asarray(cvsd_encode(x)).astype(np.int32),
+                              bits_ref)
+        assert np.abs(np.asarray(cvsd_decode(bits_ref)) - xr_ref).max() \
+            < 1e-4

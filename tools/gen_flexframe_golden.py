@@ -243,6 +243,30 @@ int main() {
         dumpc("eqlms_w", w, L);
         eqlms_cccf_destroy(eq);
     }
+    // cvsd codec: encode a deterministic tone+noise signal, decode back
+    {
+        unsigned T = 400;
+        cvsd enc = cvsd_create(3, 1.5f, 0.95f);
+        cvsd dec = cvsd_create(3, 1.5f, 0.95f);
+        float x[T], xr[T];
+        unsigned char bits[T];
+        unsigned s = 59;
+        for (unsigned i=0;i<T;i++) {
+            s = s*1103515245u + 12345u;
+            x[i] = 0.5f*sinf(2*M_PI*0.02f*i) +
+                0.05f*(((float)((s>>16)&0xff))/127.5f - 1.0f);
+        }
+        for (unsigned i=0;i<T;i++) bits[i] = cvsd_encode(enc, x[i]);
+        for (unsigned i=0;i<T;i++) xr[i] = cvsd_decode(dec, bits[i]);
+        printf("cvsd_x :");
+        for (unsigned i=0;i<T;i++) printf(" %.9e 0", x[i]);
+        printf("\ncvsd_bits :");
+        for (unsigned i=0;i<T;i++) printf(" %u 0", bits[i]);
+        printf("\ncvsd_xr :");
+        for (unsigned i=0;i<T;i++) printf(" %.9e 0", xr[i]);
+        printf("\n");
+        cvsd_destroy(enc); cvsd_destroy(dec);
+    }
     ofdm_raw_case(64, 16, 123);
     offg_case("offg_a", 64, 16, 64, LIQUID_CRC_32, LIQUID_FEC_NONE,
               LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 101);

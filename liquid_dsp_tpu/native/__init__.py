@@ -20,6 +20,7 @@ import numpy as np
 
 _DIR = pathlib.Path(__file__).parent
 _SRC = _DIR / "feckit.c"
+_SRC_IO = _DIR / "iokit.c"
 
 lib = None
 
@@ -27,13 +28,14 @@ lib = None
 def _build() -> ctypes.CDLL | None:
     so = _DIR / "_feckit.so"
     try:
-        if (not so.exists() or
-                so.stat().st_mtime < _SRC.stat().st_mtime):
+        srcs = [_SRC] + ([_SRC_IO] if _SRC_IO.exists() else [])
+        newest = max(f.stat().st_mtime for f in srcs)
+        if not so.exists() or so.stat().st_mtime < newest:
             with tempfile.TemporaryDirectory() as td:
                 tmp = pathlib.Path(td) / "_feckit.so"
                 subprocess.run(
                     ["gcc", "-O2", "-shared", "-fPIC",
-                     "-o", str(tmp), str(_SRC)],
+                     "-o", str(tmp)] + [str(f) for f in srcs],
                     check=True, capture_output=True)
                 tmp.replace(so)
         L = ctypes.CDLL(str(so))

@@ -248,11 +248,12 @@ def resamp(rate, m: int = 7, fc: float = 0.25, as_db: float = 60.0,
         b1 = b + 1
         i1 = i + b1 // npfb
         b1 = b1 % npfb
-        # windows end at padded index i + L - 1 (length-L window over
-        # [i, i+L-1] in padded coords == last L inputs up to sample i)
+        # output at base index i uses the window ENDING at x[i] (the
+        # reference pushes x[i] before emitting, resamp.c:246): in padded
+        # coords (L-sample tail prefix) that is xp[i+1 .. i+L]
         j = jnp.arange(L)
-        w0 = jnp.take(xp, i[:, None] + j[None, :], axis=-1)    # [..., n_out, L]
-        w1 = jnp.take(xp, i1[:, None] + j[None, :], axis=-1)
+        w0 = jnp.take(xp, i[:, None] + 1 + j[None, :], axis=-1)  # [..., n_out, L]
+        w1 = jnp.take(xp, i1[:, None] + 1 + j[None, :], axis=-1)
         t0 = jnp.take(H_, b, axis=0)[..., ::-1]   # [n_out, L] newest-first flip
         t1 = jnp.take(H_, b1, axis=0)[..., ::-1]
         y0 = jnp.einsum("...kj,kj->...k", w0, t0.astype(x.dtype)

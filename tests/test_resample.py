@@ -194,3 +194,24 @@ class TestMsresamp:
             np.asarray(y), main_lobe_width=0.07 / min(r, 1.0))
         assert abs(fpeak - fx / r) < 0.02, (fpeak, fx / r)
         assert side < -40, side
+
+
+class TestResampGolden:
+    """resamp sample-exact vs the compiled reference (resamp cases in
+    tools/gen_flexframe_golden.py): decimating 2/3 and interpolating
+    5/4, default prototype (m=7, fc=0.25, As=60, npfb=64)."""
+
+    @pytest.mark.parametrize("name,num,den", [("resamp_23", 2, 3),
+                                              ("resamp_54", 5, 4)])
+    def test_sample_exact(self, name, num, den):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/flexframe_golden.npz"
+        if not path.exists():
+            pytest.skip("flexframe_golden.npz not generated")
+        g = dict(np.load(path))
+        x, yref = g[f"{name}_x"], g[f"{name}_y"]
+        p = resamp((num, den), m=7, fc=0.25, as_db=60.0, npfb=64)
+        y, _ = p(jnp.asarray(x), batch_shape=())
+        y = np.asarray(y)
+        assert len(y) == len(yref)
+        assert np.abs(y - yref).max() < 1e-5

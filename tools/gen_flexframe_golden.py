@@ -267,6 +267,35 @@ int main() {
         printf("\n");
         cvsd_destroy(enc); cvsd_destroy(dec);
     }
+    // resamp: polyphase arbitrary resampler at rational rates
+    {
+        float rates[2] = {2.0f/3.0f, 1.25f};
+        const char* names[2] = {"resamp_23", "resamp_54"};
+        for (unsigned ci=0; ci<2; ci++) {
+            unsigned T = 1200;
+            resamp_crcf rs = resamp_crcf_create(rates[ci], 7, 0.25f,
+                                                60.0f, 64);
+            float complex x[T], y[2*T+8];
+            unsigned s = 71+ci;
+            for (unsigned i=0;i<T;i++) {
+                s = s*1103515245u + 12345u;
+                float re = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+                s = s*1103515245u + 12345u;
+                float im = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+                x[i] = re + _Complex_I*im;
+            }
+            unsigned total=0, nw=0;
+            for (unsigned i=0;i<T;i++) {
+                resamp_crcf_execute(rs, x[i], &y[total], &nw);
+                total += nw;
+            }
+            char tag[32];
+            sprintf(tag, "%s_x", names[ci]); dumpc(tag, x, T);
+            printf("%s_ny : %u\n", names[ci], total);
+            sprintf(tag, "%s_y", names[ci]); dumpc(tag, y, total);
+            resamp_crcf_destroy(rs);
+        }
+    }
     ofdm_raw_case(64, 16, 123);
     offg_case("offg_a", 64, 16, 64, LIQUID_CRC_32, LIQUID_FEC_NONE,
               LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 101);

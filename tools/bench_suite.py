@@ -69,18 +69,21 @@ def main():
           file=sys.stderr)
     rng = np.random.default_rng(0)
     batch, T = 16, 1 << 17
-    x = jnp.asarray((rng.standard_normal((batch, T)) +
-                     1j * rng.standard_normal((batch, T))
-                     ).astype(np.complex64))
+
+    def x():
+        return jnp.asarray((rng.standard_normal((batch, T)) +
+                            1j * rng.standard_normal((batch, T))
+                            ).astype(np.complex64))
 
     cases = {}
 
-    def add(name, proc, xin=None):
-        # a case whose setup fails (e.g. complex transfers unavailable
-        # through the tunnel — PERF.md backend caveats) is reported as
-        # failed rather than aborting the whole suite
+    def add(name, make_proc, make_xin=None):
+        # each case is FULLY constructed inside the try: a failed eager
+        # transfer poisons later transfers in this process (PERF.md), so
+        # nothing device-touching may run outside it
         try:
-            xin = x if xin is None else xin
+            proc = make_proc()
+            xin = make_xin() if make_xin is not None else x()
             carry = proc.init(batch_shape=xin.shape[:-1])
             step = jax.jit(proc.apply)
             cases[name] = bench(step, proc.params, carry, xin)
@@ -88,21 +91,35 @@ def main():
             cases[name] = None
             print(f"{name}: FAILED ({type(e).__name__})", file=sys.stderr)
 
-    add("firfilt64", firfilt(firdes_kaiser(64, 0.2, 60.0)))
-    add("firfilt257", firfilt(firdes_kaiser(257, 0.1, 80.0)))
-    add("fftfilt57", fftfilt(firdes_kaiser(57, 0.3, 60.0)))
-    add("nco_mix", nco(0.125))
-    add("firdecim4", firdecim(4, firdes_kaiser(48, 0.1, 60.0)))
-    add("resamp_3_2", resamp((3, 2)))
-    add("msresamp_0.5", msresamp(0.5))
-    add("agc", agc())
-    B, A = iirdes_sos("butter", 7, 0.2)
-    add("iirfilt_sos7", iirfilt_sos(B, A))
-    add("firpfbch2_64", firpfbch2_analyzer(64, 4))
-    si = jnp.asarray((rng.standard_normal((batch, T)) +
-                      1j * rng.standard_normal((batch, T))
-                      ).astype(np.complex64))
-    add("qam16_demod", modem_demodulator("qam16"), si)
+    # real-valued cases FIRST: they still measure when the tunnel's
+    # complex transfers are down (a failed complex device_put poisons
+    # every later transfer in the process)
+    xr = lambda: jnp.asarray(rng.standard_normal((batch, T))
+                             .astype(np.float32))
+    add("firfilt64_real", lambda: firfilt(firdes_kaiser(64, 0.2, 60.0)),
+        xr)
+    add("firfilt64_matmul_real",
+        lambda: firfilt(firdes_kaiser(64, 0.2, 60.0), backend="matmul"),
+        xr)
+    add("agc_real", lambda: agc(), xr)
+
+    def _iir7():
+        B, A = iirdes_sos("butter", 7, 0.2)
+        return iirfilt_sos(B, A)
+
+    add("iirfilt_sos7_real", _iir7, xr)
+
+    add("firfilt64", lambda: firfilt(firdes_kaiser(64, 0.2, 60.0)))
+    add("firfilt257", lambda: firfilt(firdes_kaiser(257, 0.1, 80.0)))
+    add("fftfilt57", lambda: fftfilt(firdes_kaiser(57, 0.3, 60.0)))
+    add("nco_mix", lambda: nco(0.125))
+    add("firdecim4", lambda: firdecim(4, firdes_kaiser(48, 0.1, 60.0)))
+    add("resamp_3_2", lambda: resamp((3, 2)))
+    add("msresamp_0.5", lambda: msresamp(0.5))
+    add("agc", lambda: agc())
+    add("iirfilt_sos7", _iir7)
+    add("firpfbch2_64", lambda: firpfbch2_analyzer(64, 4))
+    add("qam16_demod", lambda: modem_demodulator("qam16"))
 
     base_path = pathlib.Path(__file__).parent.parent / \
         "tests/baseline_measured.json"

@@ -27,6 +27,7 @@ from __future__ import annotations
 from fractions import Fraction
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core import Proc, chain
@@ -215,16 +216,40 @@ def resamp(rate, m: int = 7, fc: float = 0.25, as_db: float = 60.0,
     block is one gather + two batched dot products.
     """
     num, den = as_rational(rate)
-    H = jnp.asarray(_pfb_taps(npfb, m, fc, as_db))  # [npfb, 2m]
+    H_host = _pfb_taps(npfb, m, fc, as_db)          # [npfb, 2m]
+    H = jnp.asarray(H_host)
     L = 2 * m
-    params = (H,)
+
+    # per-phase-class taps: outputs k = num*j + c share one static phase
+    # per class c (block phase stays integral since den | T), so class c
+    # is one strided FIR — num dense convolutions replace the gather.
+    # Combined support is L+1 to absorb the branch-wrap case (the
+    # reference's boundary state evaluates branch 0 one sample later).
+    Hc_host = np.zeros((num, L + 1), np.float32)
+    qc_host = np.zeros(num, np.int32)
+    for c in range(num):
+        r_c = (c * den) % num
+        qc_host[c] = (c * den) // num
+        bf = (r_c / num) * npfb
+        b = min(int(bf), npfb - 1)
+        mu = bf - b
+        # H rows index the n-th NEWEST sample (liquid firpfb loads taps
+        # reversed); the conv window is ascending in time, so flip.
+        if b + 1 < npfb:
+            Hc_host[c, :L] = ((1 - mu) * H_host[b] +
+                              mu * H_host[b + 1])[::-1]
+        else:
+            Hc_host[c, :L] = ((1 - mu) * H_host[b])[::-1]
+            Hc_host[c, 1:] += (mu * H_host[0])[::-1]
+    Hc = jnp.asarray(Hc_host)
+    params = (H, Hc)
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return {"tail": jnp.zeros(batch_shape + (L,), dtype),
                 "phi": jnp.zeros((), jnp.float64 if False else jnp.float32)}
 
     def apply(params, carry, x):
-        (H_,) = params
+        H_, Hc_ = params
         T = x.shape[-1]
         if T % den != 0:
             raise ValueError(
@@ -232,6 +257,27 @@ def resamp(rate, m: int = 7, fc: float = 0.25, as_db: float = 60.0,
                 f"multiple of {den}")
         n_out = T * num // den
         xp = jnp.concatenate([carry["tail"].astype(x.dtype), x], axis=-1)
+        if num <= 64:
+            # class formulation: num strided convs, no gathers
+            J = T // den
+            batch_shape = x.shape[:-1]
+            xb = xp.reshape((-1, 1, xp.shape[-1]))
+            xpad = jnp.pad(xb, ((0, 0), (0, 0), (0, 1)))
+            ys = []
+            for c in range(num):
+                start = int(qc_host[c]) + 1
+                w = Hc_[c].astype(x.dtype)[None, None, :]
+                seg = jax.lax.dynamic_slice_in_dim(
+                    xpad, start, (J - 1) * den + L + 1, axis=-1)
+                yc = jax.lax.conv_general_dilated(
+                    seg, w, (den,), "VALID")[:, 0]
+                ys.append(yc)
+            y = jnp.stack(ys, axis=-1).reshape((-1, J * num))
+            y = y.reshape(batch_shape + (n_out,)) if batch_shape else \
+                y.reshape((n_out,))
+            new_carry = {"tail": xp[..., xp.shape[-1] - L:],
+                         "phi": carry["phi"]}
+            return y, new_carry
         k = jnp.arange(n_out)
         # exact integer split of t_k = phi + k*den/num:
         #   k*den = q*num + r  ->  t_k = phi + q + r/num

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Scaling-efficiency benchmark: the FIR+FFT+resample+QPSK-demod chain
+time-sharded over N devices (BASELINE.md target: >=80% efficiency).
+
+For each N in the sweep, the full chain runs under `time_shard_apply`
+on an N-device (t) mesh; throughput is measured with the same
+chained-checksum value-readback methodology as bench.py, and efficiency
+is throughput(N) / (N * throughput(1)).
+
+On real multi-chip hardware this measures ICI halo-exchange overhead.
+On a virtual CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=N)
+the devices share host cores, so "efficiency" also absorbs core
+contention — the harness and sharding are identical either way.
+
+Prints one JSON line per N:
+  {"n_devices": N, "msps": ..., "efficiency": ...}
+"""
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    import os
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    from liquid_dsp_tpu import chain
+    from liquid_dsp_tpu.design.firdes import firdes_kaiser
+    from liquid_dsp_tpu.ops.fir import firfilt
+    from liquid_dsp_tpu.ops.fftfilt import fftfilt
+    from liquid_dsp_tpu.ops.nco import nco
+    from liquid_dsp_tpu.ops.resample import msresamp
+    from liquid_dsp_tpu.modem import constellation, demodulate
+    from liquid_dsp_tpu.parallel.mesh import stream_mesh
+    from liquid_dsp_tpu.parallel.stream import time_shard_apply
+
+    devices = jax.devices()
+    max_n = len(devices)
+    sweep = [n for n in (1, 2, 4, 8, 16) if n <= max_n]
+    print(f"devices: {max_n} x {devices[0].platform}", file=sys.stderr)
+
+    proc = chain(nco(dphi=0.125, direction="down"),
+                 firfilt(firdes_kaiser(64, 0.2, 60.0)),
+                 fftfilt(firdes_kaiser(57, 0.3, 60.0)),
+                 msresamp(0.5, 60.0))
+    table = jnp.asarray(constellation("qpsk"))
+
+    batch = 4
+    T_per_dev = 1 << 16
+    rng = np.random.default_rng(0)
+
+    def bench_n(n):
+        mesh = stream_mesh(n_time=n, n_channel=1, devices=devices[:n])
+        T = T_per_dev * n
+        x = jnp.asarray((rng.standard_normal((batch, T)) +
+                         1j * rng.standard_normal((batch, T))
+                         ).astype(np.complex64))
+        carry = proc.init(batch_shape=(batch,))
+        sharded = time_shard_apply(proc, mesh)
+
+        @jax.jit
+        def step(c, x):
+            y, c2 = sharded(c, x)
+            s = demodulate(table, y)          # QPSK demod stage
+            chk = jnp.sum(s[..., :64])
+            return c2, chk
+
+        c2, chk = step(carry, x)
+        int(np.asarray(chk))  # value readback: proves completion
+
+        def run_trials(k):
+            t0 = time.perf_counter()
+            c = carry
+            tot = 0
+            for _ in range(k):
+                c, chk = step(c, x)
+                tot += int(np.asarray(chk))  # per-step readback barrier
+            return time.perf_counter() - t0
+
+        # two-point: cancel fixed overhead
+        k = 1
+        dt1 = run_trials(k)
+        while dt1 < 0.5 and k < 256:
+            k *= 2
+            dt1 = run_trials(k)
+        dt2 = run_trials(2 * k)
+        if dt2 - dt1 > 0.25 * dt1:
+            return batch * T * k / (dt2 - dt1) / 1e6
+        return batch * T * 2 * k / dt2 / 1e6
+
+    base = None
+    for n in sweep:
+        msps = bench_n(n)
+        if base is None:
+            base = msps
+        eff = msps / (n * base)
+        print(json.dumps({"n_devices": n, "msps": round(msps, 2),
+                          "efficiency": round(eff, 3)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -89,7 +89,8 @@ def main():
             cases[name] = bench(step, proc.params, carry, xin)
         except Exception as e:
             cases[name] = None
-            print(f"{name}: FAILED ({type(e).__name__})", file=sys.stderr)
+            print(f"{name}: FAILED ({type(e).__name__}: {str(e)[:160]})",
+                  file=sys.stderr)
 
     # real-valued cases FIRST: they still measure when the tunnel's
     # complex transfers are down (a failed complex device_put poisons

@@ -23,21 +23,33 @@ __all__ = ["freq_modulator", "freq_demodulator", "amp_modulator",
 
 
 def freq_modulator(kf: float, name: str = "freqmod") -> Proc:
-    """FM modulator: real message [..., T] -> complex baseband [..., T].
-    Carry: accumulated phase (reference freqmod.c modulate)."""
+    """FM modulator: real message [..., T] -> complex baseband [..., T],
+    sample-exact vs the reference (freqmod.c:106-121): phase accumulates
+    in 16-bit integer steps round(kf*2^16*m) and the output is a
+    1024-entry sincos table lookup with 10-bit rounded indexing.  The
+    integer cumsum + gather is also a good TPU mapping (no transcendental
+    per sample).  Carry: 16-bit integer phase."""
     if not (0.0 < kf <= 1.0):
         raise ValueError("FM modulation factor must be in (0, 1]")
+    ref = kf * (1 << 16)
+    table = np.exp(2j * np.pi * np.arange(1024, dtype=np.float64) / 1024.0
+                   ).astype(np.complex64)
 
     def init(batch_shape=(), dtype=jnp.complex64):
-        return jnp.zeros(batch_shape, jnp.float32)
+        return jnp.zeros(batch_shape, jnp.int32)
 
     def apply(params, carry, m):
-        dphi = 2.0 * np.pi * kf * m
-        theta = carry[..., None] + jnp.cumsum(dphi, axis=-1)
-        y = jnp.exp(1j * theta).astype(jnp.complex64)
-        return y, jnp.mod(theta[..., -1], 2 * np.pi)
+        x = ref * m
+        # C roundf: round half away from zero
+        steps = jnp.trunc(x + jnp.sign(x) * 0.5).astype(jnp.int32)
+        # int32 cumsum wraps mod 2^32, which preserves the value mod 2^16
+        ph = (carry[..., None] + jnp.cumsum(steps, axis=-1)) & 0xFFFF
+        idx = ((ph + 0x0020) >> 6) & 0x03FF
+        y = params["table"][idx]
+        return y, ph[..., -1]
 
-    return Proc(params={}, init=init, apply=apply, name=name)
+    return Proc(params={"table": jnp.asarray(table)}, init=init,
+                apply=apply, name=name)
 
 
 def freq_demodulator(kf: float, name: str = "freqdem") -> Proc:

@@ -199,42 +199,40 @@ def firpfb_execute(hp, x_window):
 
 
 def firhilb(m: int = 5, as_db: float = 60.0, name: str = "firhilb"):
-    """Hilbert transform filter pair for real<->complex conversion
-    (reference firhilb.c:41).  Returns (r2c, c2r) procs, both 1:1 rate on
-    their native sample grids (2:1 sample-count change handled by caller
-    pairing real rate 2fs with complex rate fs)."""
+    """Hilbert transform 2:1 decimator, real [..., 2T] -> complex [..., T]
+    (reference firhilb.c decim_execute): quadrature = even samples
+    through the 2m-tap odd-sampled imag branch, in-phase = odd samples
+    delayed m (odd-grid) samples.  Sample-exact vs the reference."""
     from ..design.firdes import firdes_kaiser
 
     h_len = 4 * m + 1
     h = firdes_kaiser(h_len, 0.25, as_db, 0.0)
-    n = np.arange(h_len, dtype=np.float64)
-    hc = h * np.exp(1j * 0.5 * np.pi * (n - 2 * m))
-    hq = np.imag(hc[1::2])  # quadrature branch taps
-
-    hq_j = jnp.asarray(hq, dtype=jnp.float32)
-    Lq = int(hq_j.shape[-1])
+    t = np.arange(h_len, dtype=np.float64) - (h_len - 1) / 2.0
+    him = np.imag(h * np.exp(1j * 0.5 * np.pi * t))
+    # taps multiplying e[n-l]: heff[l] = him[2l+1] (reference stores the
+    # reversed odd-sampled branch and dot-products oldest-first)
+    heff = him[1::2].astype(np.float32)
+    heff_j = jnp.asarray(heff)
+    Lq = 2 * m
 
     def init(batch_shape=(), dtype=jnp.float32):
-        return {"x": jnp.zeros(batch_shape + (2 * Lq - 1,), dtype=jnp.float32)}
+        return {"x": jnp.zeros(batch_shape + (4 * m,), jnp.float32)}
 
     def apply_r2c(params, carry, x):
-        """real 2fs [..., 2T] -> complex fs [..., T] (decim variant)."""
         xp = jnp.concatenate([carry["x"], x], axis=-1)
-        # even samples -> delayed in-phase; odd samples -> filtered quadrature
-        # in-phase: x[2n] delayed by 2m samples of the even grid
-        x_even = xp[..., 0::2]
-        x_odd = xp[..., 1::2]
-        ii = x_even[..., Lq - 1 - m: x_even.shape[-1] - m]
-        qq = conv1d(x_odd, hq_j)
         T = x.shape[-1] // 2
-        ii = ii[..., -T:]
-        qq = qq[..., -T:]
-        y = lax.complex(ii, qq)
-        new_carry = {"x": xp[..., xp.shape[-1] - (2 * Lq - 1):]}
+        e = xp[..., 0::2]                   # even grid, 2m history
+        o = xp[..., 1::2]
+        # valid-conv index t ends at e[t+Lq-1]; output i ends at
+        # e[2m+i] -> t = i+1
+        yq = conv1d(e, heff_j)[..., 1: T + 1]
+        yi = o[..., m: m + T]
+        y = lax.complex(yi, yq)
+        new_carry = {"x": xp[..., xp.shape[-1] - 4 * m:]}
         return y, new_carry
 
-    r2c = Proc(params={"hq": hq_j}, init=init, apply=apply_r2c, rate=(1, 2),
-               name=name + "_r2c")
+    r2c = Proc(params={"hq": heff_j}, init=init, apply=apply_r2c,
+               rate=(1, 2), name=name + "_r2c")
     return r2c
 
 

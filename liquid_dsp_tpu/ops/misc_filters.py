@@ -26,18 +26,42 @@ __all__ = ["firfarrow_taps", "firfarrow", "iirdecim", "iirinterp", "lpc",
 
 
 def firfarrow_taps(h_len: int, mu: float, fc: float = 0.45,
-                   as_db: float = 60.0) -> np.ndarray:
-    """Fractional-delay filter taps for delay (h_len-1)/2 + mu samples
-    (reference firfarrow_crcf_set_delay semantics)."""
+                   as_db: float = 60.0, npoly: int = 5) -> np.ndarray:
+    """Fractional-delay filter taps, replicating the reference Farrow
+    structure exactly (reference firfarrow.c genpoly/set_delay): each tap
+    is a degree-npoly polynomial in mu least-squares fitted to windowed
+    sinc samples at npoly+1 offsets, evaluated at -mu with the highest
+    coefficient dropped (the reference's poly_val receives k=Q), then
+    normalized by the DC response at mu=0."""
     if not (-1.0 <= mu <= 1.0):
         raise ValueError("fractional delay mu must be in [-1, 1]")
-    n = np.arange(h_len)
-    center = (h_len - 1) / 2.0
-    t = n - center - mu
-    h = 2 * fc * np.sinc(2 * fc * t)
-    w = kaiser(h_len, kaiser_beta_as(as_db))
-    h = h * w
-    return (h / np.sum(h)).astype(np.float32)
+    from ..design.windows import kaiser_beta_as
+    from ..design.special import besseli0
+
+    Q = npoly
+    beta = kaiser_beta_as(as_db)
+    mu_vect = (np.arange(Q + 1) - Q) / Q + 0.5
+
+    def kaiser_shift(n, N, mu_):
+        t = n - (N - 1) / 2.0 + mu_
+        r = 2.0 * t / N
+        return besseli0(beta * np.sqrt(np.maximum(1 - r * r, 0.0))) / \
+            besseli0(beta)
+
+    P = np.zeros((h_len, Q + 1))
+    for i in range(h_len):
+        x = i - (h_len - 1) / 2.0
+        hp = np.sinc(2.0 * fc * (x + mu_vect)) * \
+            np.asarray([kaiser_shift(i, h_len, mv) for mv in mu_vect])
+        P[i] = np.polynomial.polynomial.polyfit(mu_vect, hp, Q)
+
+    def taps_at(mu_):
+        # reference poly_val uses only the first Q coefficients
+        powers = (-mu_) ** np.arange(Q)
+        return P[:, :Q] @ powers
+
+    gamma = 1.0 / np.sum(taps_at(0.0))
+    return (gamma * taps_at(mu)).astype(np.float32)
 
 
 def firfarrow(h_len: int = 19, mu: float = 0.0, fc: float = 0.45,

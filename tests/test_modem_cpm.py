@@ -126,9 +126,11 @@ class TestAnalog:
         y = run(mod, msg)
         assert np.allclose(np.abs(y), 1.0, atol=1e-5)
         m_hat = run(dem, y)
-        # first sample has no previous reference
+        # first sample has no previous reference; the modulator's 10-bit
+        # sincos LUT (reference freqmod.c) bounds loopback accuracy at
+        # ~1/(1024*kf) RMS
         err = np.sqrt(np.mean((m_hat[1:] - msg[1:]) ** 2))
-        assert err < 1e-3, err
+        assert err < 2.0 / (1024 * kf), err
 
     def test_am_dsb_envelope_loopback(self):
         t = np.arange(2048)

@@ -185,3 +185,51 @@ class TestSymsyncGolden:
         ref = g["symsync_y"]
         assert len(y) == len(ref)
         assert np.abs(y - ref).max() < 1e-5
+
+
+class TestMiscGolden:
+    """Batch of golden tests vs the compiled reference (cases in tools/
+    gen_flexframe_golden.py): freqmod (16-bit LUT phase), freqdem,
+    autocorr, firfarrow polynomial taps, firhilb 2:1 decimator."""
+
+    @pytest.fixture(scope="class")
+    def fg(self):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/flexframe_golden.npz"
+        if not path.exists():
+            pytest.skip("flexframe_golden.npz not generated")
+        return dict(np.load(path))
+
+    def test_freqmod_sample_exact(self, fg):
+        from liquid_dsp_tpu.modem.analog import freq_modulator
+        m = np.real(fg["freqmod_m"]).astype(np.float32)
+        fm = freq_modulator(0.1)
+        s, _ = fm(jnp.asarray(m), batch_shape=())
+        assert np.abs(np.asarray(s) - fg["freqmod_s"]).max() < 1e-5
+
+    def test_freqdem_sample_exact(self, fg):
+        from liquid_dsp_tpu.modem.analog import freq_demodulator
+        fd = freq_demodulator(0.1)
+        md, _ = fd(jnp.asarray(fg["freqmod_s"]), batch_shape=())
+        assert np.abs(np.asarray(md) -
+                      np.real(fg["freqdem_m"])).max() < 1e-5
+
+    def test_autocorr_sample_exact(self, fg):
+        from liquid_dsp_tpu.ops.fir import autocorr
+        ac = autocorr(32, 4)
+        r, _ = ac(jnp.asarray(fg["autocorr_x"]), batch_shape=())
+        assert np.abs(np.asarray(r) - fg["autocorr_r"]).max() < 1e-4
+
+    @pytest.mark.parametrize("ci,mu", [(0, 0.0), (1, 0.3), (2, -0.7)])
+    def test_firfarrow_taps_exact(self, fg, ci, mu):
+        from liquid_dsp_tpu.ops.misc_filters import firfarrow_taps
+        mine = firfarrow_taps(19, mu, 0.45, 60.0)
+        ref = np.real(fg[f"farrow_h_{ci}"]).astype(np.float32)
+        assert np.abs(mine - ref).max() < 5e-4
+
+    def test_firhilb_decim_sample_exact(self, fg):
+        from liquid_dsp_tpu.ops.fir import firhilb
+        r2c = firhilb(5, 60.0)
+        xr = np.real(fg["firhilb_x"]).astype(np.float32)
+        y, _ = r2c(jnp.asarray(xr), batch_shape=())
+        assert np.abs(np.asarray(y) - fg["firhilb_y"]).max() < 1e-5

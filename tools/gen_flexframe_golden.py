@@ -296,6 +296,72 @@ int main() {
             resamp_crcf_destroy(rs);
         }
     }
+    // freqmod/freqdem (16-bit LUT phase accumulator)
+    {
+        unsigned T = 300;
+        float m[T]; float complex sfm[T]; float md[T];
+        unsigned s = 83;
+        for (unsigned i=0;i<T;i++) {
+            s = s*1103515245u + 12345u;
+            m[i] = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+        }
+        freqmod fm = freqmod_create(0.1f);
+        freqmod_modulate_block(fm, m, T, sfm);
+        freqdem fd = freqdem_create(0.1f);
+        freqdem_demodulate_block(fd, sfm, T, md);
+        printf("freqmod_m :"); for (unsigned i=0;i<T;i++) printf(" %.9e 0", m[i]); printf("\n");
+        dumpc("freqmod_s", sfm, T);
+        printf("freqdem_m :"); for (unsigned i=0;i<T;i++) printf(" %.9e 0", md[i]); printf("\n");
+        freqmod_destroy(fm); freqdem_destroy(fd);
+    }
+    // firfarrow fractional-delay taps + filtered output
+    {
+        firfarrow_crcf ff = firfarrow_crcf_create(19, 5, 0.45f, 60.0f);
+        float mus[3] = {0.0f, 0.3f, -0.7f};
+        for (unsigned ci=0; ci<3; ci++) {
+            firfarrow_crcf_set_delay(ff, mus[ci]);
+            float tap[19];
+            firfarrow_crcf_get_coefficients(ff, tap);
+            printf("farrow_h_%u :", ci);
+            for (unsigned i=0;i<19;i++) printf(" %.9e 0", tap[i]);
+            printf("\n");
+        }
+        firfarrow_crcf_destroy(ff);
+    }
+    // autocorr
+    {
+        unsigned T = 200, W = 32, D = 4;
+        autocorr_cccf ac = autocorr_cccf_create(W, D);
+        float complex x[T], r[T];
+        unsigned s = 97;
+        for (unsigned i=0;i<T;i++) {
+            s = s*1103515245u + 12345u;
+            float re = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+            s = s*1103515245u + 12345u;
+            float im = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+            x[i] = re + _Complex_I*im;
+        }
+        for (unsigned i=0;i<T;i++) {
+            autocorr_cccf_push(ac, x[i]);
+            autocorr_cccf_execute(ac, &r[i]);
+        }
+        dumpc("autocorr_x", x, T);
+        dumpc("autocorr_r", r, T);
+        autocorr_cccf_destroy(ac);
+    }
+    // firhilb real->complex
+    {
+        unsigned T = 256, M = 5;
+        firhilbf fh = firhilbf_create(M, 60.0f);
+        float xr[2*T]; float complex yc[T];
+        for (unsigned i=0;i<2*T;i++)
+            xr[i] = cosf(2*M_PI*0.037f*i) + 0.5f*sinf(2*M_PI*0.181f*i);
+        for (unsigned i=0;i<T;i++)
+            firhilbf_decim_execute(fh, &xr[2*i], &yc[i]);
+        printf("firhilb_x :"); for (unsigned i=0;i<2*T;i++) printf(" %.9e 0", xr[i]); printf("\n");
+        dumpc("firhilb_y", yc, T);
+        firhilbf_destroy(fh);
+    }
     ofdm_raw_case(64, 16, 123);
     offg_case("offg_a", 64, 16, 64, LIQUID_CRC_32, LIQUID_FEC_NONE,
               LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 101);

@@ -227,10 +227,14 @@ def cpfsk_modulator(bps: int, h: float, k: int, m: int = 3,
     def apply(params, carry, s):
         v = (2.0 * s - (M - 1)).astype(jnp.float32)
         phi, tail = _interp_phase(params["ht"], carry["tail"], v, k)
-        theta = carry["theta"][..., None] + jnp.cumsum(phi, axis=-1)
+        # exclusive phase: the reference emits exp(j*theta) BEFORE
+        # integrating the step (nco cexpf-then-step loop)
+        csum = jnp.cumsum(phi, axis=-1)
+        theta = carry["theta"][..., None] + (csum - phi)
         y = jnp.exp(1j * theta).astype(jnp.complex64)
+        t_end = carry["theta"] + csum[..., -1]
         new_carry = {"tail": tail,
-                     "theta": jnp.mod(theta[..., -1] + np.pi, 2 * np.pi) - np.pi}
+                     "theta": jnp.mod(t_end + np.pi, 2 * np.pi) - np.pi}
         return y, new_carry
 
     return Proc(params={"ht": ht}, init=init, apply=apply, rate=(k, 1),

@@ -172,3 +172,28 @@ class TestAnalog:
         err = np.sqrt(np.mean((m_hat[d:] - msg[: len(msg) - d]) ** 2) /
                       np.mean(msg ** 2))
         assert err < 0.02, err
+
+
+class TestFSKGolden:
+    """fsk/cpfsk modulators sample-exact vs the compiled reference
+    (cases in tools/gen_flexframe_golden.py)."""
+
+    @pytest.fixture(scope="class")
+    def fg(self):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/flexframe_golden.npz"
+        if not path.exists():
+            pytest.skip("flexframe_golden.npz not generated")
+        return dict(np.load(path))
+
+    def test_fskmod_sample_exact(self, fg):
+        syms = np.real(fg["fsk_syms"]).astype(np.int32)
+        fm = fsk_modulator(2, 16, bandwidth=0.25)
+        y, _ = fm(jnp.asarray(syms), batch_shape=())
+        assert np.abs(np.asarray(y) - fg["fsk_y"]).max() < 1e-4
+
+    def test_cpfskmod_sample_exact(self, fg):
+        syms = np.real(fg["cpfsk_syms"]).astype(np.int32)
+        cm = cpfsk_modulator(1, 0.5, 8, 3, beta=0.25, kind="square")
+        y, _ = cm(jnp.asarray(syms), batch_shape=())
+        assert np.abs(np.asarray(y) - fg["cpfsk_y"]).max() < 1e-4

@@ -362,6 +362,41 @@ int main() {
         dumpc("firhilb_y", yc, T);
         firhilbf_destroy(fh);
     }
+    // fskmod: M-FSK with VCO phase accumulation
+    {
+        unsigned m = 2, k = 16, Ns = 64;
+        fskmod fm = fskmod_create(m, k, 0.25f);
+        float complex y[Ns*k];
+        unsigned s = 151;
+        unsigned char syms[Ns];
+        for (unsigned i=0;i<Ns;i++) {
+            s = s*1103515245u + 12345u;
+            syms[i] = (s>>16) & 3;
+        }
+        for (unsigned i=0;i<Ns;i++)
+            fskmod_modulate(fm, syms[i], &y[i*k]);
+        printf("fsk_syms :"); for (unsigned i=0;i<Ns;i++) printf(" %u 0", syms[i]); printf("\n");
+        dumpc("fsk_y", y, Ns*k);
+        fskmod_destroy(fm);
+    }
+    // cpfskmod: continuous-phase FSK, square pulse
+    {
+        unsigned bps = 1, k = 8, mcp = 3, Ns = 80;
+        cpfskmod cm = cpfskmod_create(bps, 0.5f, k, mcp, 0.25f,
+                                      LIQUID_CPFSK_SQUARE);
+        float complex y[Ns*k];
+        unsigned s = 163;
+        unsigned char syms[Ns];
+        for (unsigned i=0;i<Ns;i++) {
+            s = s*1103515245u + 12345u;
+            syms[i] = (s>>16) & 1;
+        }
+        for (unsigned i=0;i<Ns;i++)
+            cpfskmod_modulate(cm, syms[i], &y[i*k]);
+        printf("cpfsk_syms :"); for (unsigned i=0;i<Ns;i++) printf(" %u 0", syms[i]); printf("\n");
+        dumpc("cpfsk_y", y, Ns*k);
+        cpfskmod_destroy(cm);
+    }
     ofdm_raw_case(64, 16, 123);
     offg_case("offg_a", 64, 16, 64, LIQUID_CRC_32, LIQUID_FEC_NONE,
               LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 101);

@@ -88,27 +88,38 @@ def amp_modulator(mod_index: float = 0.1, kind: str = "dsb",
     kind = kind.lower()
     if kind not in ("dsb", "usb", "lsb"):
         raise ValueError(f"unknown AM type {kind!r}")
-    hh = jnp.asarray(_hilbert_taps())
+    # analytic signal via the reference's split Hilbert form (firhilb
+    # r2c_execute with m=9, ampmodem.c:95): in-phase = x delayed 2m
+    # samples, quadrature = the odd-sampled imag branch one sample back.
+    # Both fold into ONE complex-tap FIR: c[2m] = 1 (real),
+    # c[1+2l] = j*him[2l+1].
+    m_h = 9
+    from ..design.firdes import firdes_kaiser
+    h_len = 4 * m_h + 1
+    hk = firdes_kaiser(h_len, 0.25, 60.0, 0.0)
+    t = np.arange(h_len, dtype=np.float64) - (h_len - 1) / 2.0
+    him = np.imag(hk * np.exp(1j * 0.5 * np.pi * t))
+    c = np.zeros(4 * m_h, np.complex64)
+    c[2 * m_h] += 1.0
+    c[1 + 2 * np.arange(2 * m_h)] += 1j * him[1::2]
+    hh = jnp.asarray(c)
     L = int(hh.shape[-1])
-    d = (L - 1) // 2  # transformer group delay
 
     def init(batch_shape=(), dtype=jnp.complex64):
         if kind == "dsb":
             return ()
-        return {"tail_h": jnp.zeros(batch_shape + (L - 1,), jnp.float32),
-                "tail_d": jnp.zeros(batch_shape + (d,), jnp.float32)}
+        return {"tail_h": jnp.zeros(batch_shape + (L - 1,), jnp.float32)}
 
     def apply(params, carry, x):
         if kind == "dsb":
             x_hat = x.astype(jnp.complex64)
             new_carry = carry
         else:
-            # analytic signal: delayed real part + j*Hilbert(x)
-            q, tail_h = fir_apply(params["hh"], carry["tail_h"], x)
-            xd = jnp.concatenate([carry["tail_d"], x], axis=-1)
-            i = xd[..., : x.shape[-1]]
-            new_carry = {"tail_h": tail_h, "tail_d": xd[..., x.shape[-1]:]}
-            x_hat = (i + 1j * q) if kind == "usb" else (i - 1j * q)
+            x_hat, tail_h = fir_apply(params["hh"],
+                                      carry["tail_h"].astype(x.dtype), x)
+            new_carry = {"tail_h": tail_h}
+            if kind == "lsb":
+                x_hat = jnp.conj(x_hat)
         if not suppressed_carrier:
             x_hat = 0.5 * (x_hat + 1.0)
         return x_hat.astype(jnp.complex64), new_carry

@@ -167,8 +167,9 @@ class TestAnalog:
         msg = np.cos(2 * np.pi * 0.02 * t).astype(np.float32)
         y = run(amp_modulator(kind="usb", suppressed_carrier=True), msg)
         m_hat = run(amp_demodulator(kind="usb", suppressed_carrier=True), y)
-        # hilbert delay: i-branch delayed by d = (L-1)/2 = 50
-        d = 50
+        # hilbert delay: the reference's split form delays the i-branch
+        # by 2m = 18 samples (firhilb m=9, ampmodem.c:95)
+        d = 18
         err = np.sqrt(np.mean((m_hat[d:] - msg[: len(msg) - d]) ** 2) /
                       np.mean(msg ** 2))
         assert err < 0.02, err
@@ -197,3 +198,21 @@ class TestFSKGolden:
         cm = cpfsk_modulator(1, 0.5, 8, 3, beta=0.25, kind="square")
         y, _ = cm(jnp.asarray(syms), batch_shape=())
         assert np.abs(np.asarray(y) - fg["cpfsk_y"]).max() < 1e-4
+
+
+class TestAmpModemGolden:
+    """ampmodem sample-exact vs the compiled reference at fc=0 (amp
+    cases in tools/gen_flexframe_golden.py): DSB, USB suppressed, LSB."""
+
+    @pytest.mark.parametrize("kind,sup", [("dsb", False), ("usb", True),
+                                          ("lsb", False)])
+    def test_sample_exact(self, kind, sup):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/flexframe_golden.npz"
+        if not path.exists():
+            pytest.skip("flexframe_golden.npz not generated")
+        g = dict(np.load(path))
+        x = np.real(g["amp_x"]).astype(np.float32)
+        am = amp_modulator(0.1, kind=kind, suppressed_carrier=sup)
+        y, _ = am(jnp.asarray(x), batch_shape=())
+        assert np.abs(np.asarray(y) - g[f"amp_{kind}"]).max() < 1e-5

@@ -397,6 +397,25 @@ int main() {
         dumpc("cpfsk_y", y, Ns*k);
         cpfskmod_destroy(cm);
     }
+    // ampmodem at fc=0 (nco table value at phase 0 is exactly 1)
+    {
+        unsigned T = 300;
+        float x[T];
+        for (unsigned i=0;i<T;i++)
+            x[i] = 0.6f*cosf(2*M_PI*0.021f*i) + 0.2f*sinf(2*M_PI*0.0063f*i);
+        printf("amp_x :"); for (unsigned i=0;i<T;i++) printf(" %.9e 0", x[i]); printf("\n");
+        const char* names[3] = {"amp_dsb", "amp_usb", "amp_lsb"};
+        liquid_ampmodem_type types[3] = {LIQUID_AMPMODEM_DSB,
+                                         LIQUID_AMPMODEM_USB,
+                                         LIQUID_AMPMODEM_LSB};
+        for (unsigned ci=0; ci<3; ci++) {
+            ampmodem am = ampmodem_create(0.1f, 0.0f, types[ci], ci==1);
+            float complex y[T];
+            for (unsigned i=0;i<T;i++) ampmodem_modulate(am, x[i], &y[i]);
+            dumpc(names[ci], y, T);
+            ampmodem_destroy(am);
+        }
+    }
     ofdm_raw_case(64, 16, 123);
     offg_case("offg_a", 64, 16, 64, LIQUID_CRC_32, LIQUID_FEC_NONE,
               LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 101);

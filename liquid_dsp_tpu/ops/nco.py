@@ -16,6 +16,7 @@ wraparound; we wrap explicitly).
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -40,12 +41,20 @@ def nco_block_phases(theta0, dphi, T: int):
 
 
 def nco(dphi: float, theta0: float = 0.0, direction: str = "down",
-        name: str = "nco") -> Proc:
+        table: bool = False, name: str = "nco") -> Proc:
     """Block mixer proc: y = x * exp(-+j theta[t]) ('down' negates).
 
     carry: {'theta': scalar phase (per batch element)}.
+    table=True reproduces the reference's LIQUID_NCO 256-entry sine
+    table exactly (index = theta*256/(2 pi) + 512.5 masked to 8 bits,
+    cos from index+64; reference nco.c compute_sincos_nco) — a gather
+    instead of two transcendentals, and bit-matched to reference chains
+    built on the default nco type.  table=False is the LIQUID_VCO
+    (exact sincos) behavior.
     """
     sgn = -1.0 if direction == "down" else 1.0
+    sintab = np.sin(2.0 * np.pi * np.arange(256) / 256.0
+                    ).astype(np.float32)
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return {"theta": jnp.full(batch_shape, theta0, dtype=jnp.float32)}
@@ -53,7 +62,14 @@ def nco(dphi: float, theta0: float = 0.0, direction: str = "down",
     def apply(params, carry, x):
         T = x.shape[-1]
         ph, theta_next = nco_block_phases(carry["theta"], params["dphi"], T)
-        osc = lax.complex(jnp.cos(ph), jnp.sin(ph))
+        if table:
+            phw = jnp.mod(ph + np.pi, 2 * np.pi) - np.pi
+            idx = (phw * np.float32(40.743665) + 512.5
+                   ).astype(jnp.int32) & 0xFF
+            tab = params["sintab"]
+            osc = lax.complex(tab[(idx + 64) & 0xFF], tab[idx])
+        else:
+            osc = lax.complex(jnp.cos(ph), jnp.sin(ph))
         if sgn < 0:
             osc = jnp.conj(osc)
         return x * osc, {"theta": theta_next}
@@ -62,7 +78,9 @@ def nco(dphi: float, theta0: float = 0.0, direction: str = "down",
         """Closed-form carry after consuming n samples (time-shard support)."""
         return {"theta": _wrap(carry["theta"] + n * params["dphi"])}
 
-    return Proc(params={"dphi": jnp.float32(dphi)}, init=init, apply=apply,
+    return Proc(params={"dphi": jnp.float32(dphi),
+                        "sintab": jnp.asarray(sintab)},
+                init=init, apply=apply,
                 rate=(1, 1), name=name, advance=advance)
 
 

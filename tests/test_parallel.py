@@ -164,3 +164,28 @@ def test_firdecim_time_sharded():
     step = jax.jit(time_shard_apply(q, mesh))
     y, _ = step(q.init(batch_shape=(2,)), jnp.asarray(x))
     assert_close(np.asarray(y), np.asarray(y_ref), tol=1e-4)
+
+
+class TestNCOGolden:
+    """nco mixing vs the compiled reference, both oscillator types (nco
+    cases in tools/gen_flexframe_golden.py)."""
+
+    @pytest.fixture(scope="class")
+    def fg(self):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/flexframe_golden.npz"
+        if not path.exists():
+            pytest.skip("flexframe_golden.npz not generated")
+        return dict(np.load(path))
+
+    def test_vco_mode(self, fg):
+        from liquid_dsp_tpu.ops.nco import nco
+        p = nco(dphi=0.123, direction="up")
+        y, _ = p(jnp.asarray(fg["nco_x"]), batch_shape=())
+        assert np.abs(np.asarray(y) - fg["nco_vco_y"]).max() < 1e-4
+
+    def test_lut_mode(self, fg):
+        from liquid_dsp_tpu.ops.nco import nco
+        p = nco(dphi=0.123, direction="up", table=True)
+        y, _ = p(jnp.asarray(fg["nco_x"]), batch_shape=())
+        assert np.abs(np.asarray(y) - fg["nco_lut_y"]).max() < 1e-5

@@ -416,6 +416,30 @@ int main() {
             ampmodem_destroy(am);
         }
     }
+    // nco mixing: VCO (exact sincos) and NCO (256-entry table) modes
+    {
+        unsigned T = 300;
+        float complex x[T], yv[T], yn[T];
+        unsigned s = 177;
+        for (unsigned i=0;i<T;i++) {
+            s = s*1103515245u + 12345u;
+            float re = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+            s = s*1103515245u + 12345u;
+            float im = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+            x[i] = re + _Complex_I*im;
+        }
+        dumpc("nco_x", x, T);
+        nco_crcf v = nco_crcf_create(LIQUID_VCO);
+        nco_crcf_set_frequency(v, 0.123f);
+        nco_crcf_mix_block_up(v, x, yv, T);
+        dumpc("nco_vco_y", yv, T);
+        nco_crcf_destroy(v);
+        nco_crcf n = nco_crcf_create(LIQUID_NCO);
+        nco_crcf_set_frequency(n, 0.123f);
+        nco_crcf_mix_block_up(n, x, yn, T);
+        dumpc("nco_lut_y", yn, T);
+        nco_crcf_destroy(n);
+    }
     ofdm_raw_case(64, 16, 123);
     offg_case("offg_a", 64, 16, 64, LIQUID_CRC_32, LIQUID_FEC_NONE,
               LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 101);

@@ -26,7 +26,8 @@ from jax import lax
 
 from ..core import Proc
 
-__all__ = ["fft", "ifft", "fft_plan", "fft_shift", "dct", "dst", "r2r",
+__all__ = [
+    "spgram_psd_oneshot","fft", "ifft", "fft_plan", "fft_shift", "dct", "dst", "r2r",
            "spgram", "spgram_estimate", "asgram_render"]
 
 FFT_FORWARD = -1
@@ -250,6 +251,24 @@ def spgram(nfft: int, window: str = "hamming", window_len: int | None = None,
         return psd, {"buf": new_buf, "psd": psd, "count": count}
 
     return Proc(params={"w": wj}, init=init, apply=apply, rate=(1, 1), name=name)
+
+
+def spgram_psd_oneshot(x, nfft: int, window: str = "kaiser",
+                       window_len: int | None = None, beta: float = 10.0):
+    """One-shot PSD with the reference's exact semantics
+    (spgramcf_execute_psd): window the LAST window_len samples with the
+    reference scale sqrt(2)/(sqrt(sum(w^2)/wlen)*sqrt(nfft)), FFT, and
+    return the fftshifted spectrum in dB."""
+    from ..design.windows import window as make_window
+    window_len = window_len or nfft // 2
+    w = np.asarray(make_window(window, window_len, beta))
+    g = np.sqrt(2.0) / (np.sqrt(np.sum(w * w) / window_len) *
+                        np.sqrt(nfft))
+    wj = jnp.asarray((w * g).astype(np.float32))
+    xw = x[..., -window_len:] * wj
+    X = fft(xw, nfft)
+    mag = jnp.abs(fft_shift(X))
+    return 20.0 * jnp.log10(jnp.maximum(mag, 1e-16))
 
 
 def spgram_estimate(psd, fs: float = 1.0):

@@ -80,3 +80,20 @@ class TestSpgram:
         from liquid_dsp_tpu.ops.fft import asgram_render
         line = asgram_render(np.linspace(-80, 0, 64))
         assert isinstance(line, str) and len(line) == 64
+
+
+class TestSpgramGolden:
+    """spgram one-shot PSD vs the compiled reference (spgram case in
+    tools/gen_flexframe_golden.py)."""
+
+    def test_psd_oneshot(self):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/flexframe_golden.npz"
+        if not path.exists():
+            pytest.skip("flexframe_golden.npz not generated")
+        g = dict(np.load(path))
+        from liquid_dsp_tpu.ops.fft import spgram_psd_oneshot
+        psd = spgram_psd_oneshot(jnp.asarray(g["spgram_x"]), 256,
+                                 "kaiser", 128, 10.0)
+        ref = np.real(g["spgram_psd"])
+        assert np.abs(np.asarray(psd) - ref).max() < 1e-3

@@ -440,6 +440,26 @@ int main() {
         dumpc("nco_lut_y", yn, T);
         nco_crcf_destroy(n);
     }
+    // spgram one-shot psd (kaiser window beta=10, wlen=128, nfft=256)
+    {
+        unsigned T = 300, nfft = 256, wlen = 128;
+        spgramcf sp = spgramcf_create_kaiser(nfft, wlen, 10.0f);
+        float complex x[T];
+        unsigned s = 191;
+        for (unsigned i=0;i<T;i++) {
+            s = s*1103515245u + 12345u;
+            float re = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+            s = s*1103515245u + 12345u;
+            float im = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+            x[i] = re + _Complex_I*im;
+        }
+        spgramcf_write(sp, x, T);
+        float psd[nfft];
+        spgramcf_execute_psd(sp, psd);
+        dumpc("spgram_x", x, T);
+        printf("spgram_psd :"); for (unsigned i=0;i<nfft;i++) printf(" %.9e 0", psd[i]); printf("\n");
+        spgramcf_destroy(sp);
+    }
     ofdm_raw_case(64, 16, 123);
     offg_case("offg_a", 64, 16, 64, LIQUID_CRC_32, LIQUID_FEC_NONE,
               LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 101);

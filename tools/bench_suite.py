@@ -110,6 +110,13 @@ def main():
 
     add("iirfilt_sos7_real", _iir7, xr)
 
+    import os
+    if os.environ.get("LIQUID_SUITE_REAL_ONLY"):
+        # reduced sweep for slow/flaky accelerator tunnels: real-plane
+        # cases only (complex transfers are often unavailable anyway)
+        _print_results(cases)
+        return 0
+
     add("firfilt64", lambda: firfilt(firdes_kaiser(64, 0.2, 60.0)))
     add("firfilt257", lambda: firfilt(firdes_kaiser(257, 0.1, 80.0)))
     add("fftfilt57", lambda: fftfilt(firdes_kaiser(57, 0.3, 60.0)))
@@ -122,6 +129,11 @@ def main():
     add("firpfbch2_64", lambda: firpfbch2_analyzer(64, 4))
     add("qam16_demod", lambda: modem_demodulator("qam16"))
 
+    _print_results(cases)
+    return 0
+
+
+def _print_results(cases):
     base_path = pathlib.Path(__file__).parent.parent / \
         "tests/baseline_measured.json"
     base = json.loads(base_path.read_text()) if base_path.exists() else {}
@@ -135,7 +147,6 @@ def main():
         r = ref.get(name)
         extra = f"  ({msps / r:8.0f}x reference C)" if r else ""
         print(f"{name:16s} {msps:12.1f} Msamples/s{extra}")
-    return 0
 
 
 if __name__ == "__main__":

@@ -370,7 +370,7 @@ def firdes_rfarcsech(k, m, beta, dt=0.0):
 
 def firdes_hm3(k: int, m: int, beta: float, dt: float = 0.0) -> np.ndarray:
     """hM3 root-Nyquist: Remez design iterated to minimize ISI (hM3.c:35+)."""
-    from .firdespm import firdespm_run  # lazy import to avoid cycle
+    from .firdespm import firdespm  # lazy import to avoid cycle
 
     if k < 2:
         raise ValueError("hM3 requires k >= 2")
@@ -379,11 +379,11 @@ def firdes_hm3(k: int, m: int, beta: float, dt: float = 0.0) -> np.ndarray:
     fs = fc * (1 + beta)
 
     def design(fp):
-        bands = [0.0, fp, fc, fc, fs, 0.5]
+        bands = [(0.0, fp), (fc, fc), (fs, 0.5)]
         des = [1.0, 1.0 / np.sqrt(2.0), 0.0]
         weights = [1.0, 1.0, 1.0]
-        return firdespm_run(n, bands, des, weights,
-                            wtype=["flat", "flat", "exp"], btype="bandpass")
+        return firdespm(n, bands, des, weights,
+                        wtype=["flat", "flat", "exp"])
 
     best = design(fc * (1 - beta))
     isi_min, _ = filter_isi(best, k, m)

@@ -63,7 +63,9 @@ def _remez_exchange(n_coef: int, grid: np.ndarray, des: np.ndarray,
                 H[i] = yk[hit]
             else:
                 c = bk / dx
-                H[i] = np.dot(c, yk) / np.sum(c)
+                den = np.sum(c)
+                H[i] = np.dot(c, yk) / den if abs(den) > 1e-300 else \
+                    yk[hit]
         # error and new extrema
         err = wt * (des - H)
         # find local extrema of |err|
@@ -95,7 +97,15 @@ def _remez_exchange(n_coef: int, grid: np.ndarray, des: np.ndarray,
         if len(chosen) < r + 1:
             # refill from remaining largest candidates
             extra = [c for c in order.tolist() if c not in chosen]
-            chosen = sorted(chosen + extra[: r + 1 - len(chosen)])
+            chosen = sorted(set(chosen + extra[: r + 1 - len(chosen)]))
+        if len(chosen) < r + 1:
+            # still short (e.g. degenerate single-point bands): pad with
+            # uniformly spaced unused grid points so the barycentric
+            # system stays full-rank
+            unused = [i for i in
+                      np.linspace(0, ngrid - 1, 2 * (r + 1)).astype(int)
+                      if i not in chosen]
+            chosen = sorted(set(chosen + unused[: r + 1 - len(chosen)]))
         new_ext = np.asarray(sorted(chosen[: r + 1]))
         if len(new_ext) == len(ext) and np.array_equal(new_ext, ext):
             ext = new_ext
@@ -105,11 +115,15 @@ def _remez_exchange(n_coef: int, grid: np.ndarray, des: np.ndarray,
 
 
 def firdespm(h_len: int, bands, des, weights=None,
-             grid_density: int = 16) -> np.ndarray:
+             grid_density: int = 16, wtype=None) -> np.ndarray:
     """Design a linear-phase equiripple FIR filter.
 
-    bands: list of (f_lo, f_hi) pairs with f in [0, 0.5];
-    des: desired amplitude per band; weights: per-band weight.
+    bands: list of (f_lo, f_hi) pairs with f in [0, 0.5]; a degenerate
+    pair (f, f) pins a single grid point (reference hM3.c band layout);
+    des: desired amplitude per band; weights: per-band weight;
+    wtype: per-band weighting function, 'flat' | 'exp' | 'lin'
+    (reference firdespm.c:405-416: exp = e^{2 j df}, lin = 1 + 2.7 j df
+    over the in-band grid index j).
     (reference firdespm_run, firdespm.c:115)
     """
     bands = np.asarray(bands, np.float64).reshape(-1, 2)
@@ -117,24 +131,42 @@ def firdespm(h_len: int, bands, des, weights=None,
     if weights is None:
         weights = np.ones(len(bands))
     weights = np.asarray(weights, np.float64)
-    if len(des) != len(bands) or len(weights) != len(bands):
+    if wtype is None:
+        wtype = ["flat"] * len(bands)
+    if len(des) != len(bands) or len(weights) != len(bands) or \
+            len(wtype) != len(bands):
         raise ValueError("bands, des, weights must have equal length")
     if np.any(bands < 0) or np.any(bands > 0.5):
         raise ValueError("band edges must lie in [0, 0.5]")
-    if np.any(bands[:, 1] <= bands[:, 0]):
-        raise ValueError("each band must satisfy f_lo < f_hi")
+    if np.any(bands[:, 1] < bands[:, 0]):
+        raise ValueError("each band must satisfy f_lo <= f_hi")
     if h_len < 3:
         raise ValueError("filter length must be at least 3")
     odd = h_len % 2
     r = (h_len + 1) // 2 if odd else h_len // 2  # cosine basis size
     # dense grid over the bands
     grid, gdes, gwt = [], [], []
-    for (lo, hi), d, w in zip(bands, des, weights):
+    for (lo, hi), d, w, wt in zip(bands, des, weights, wtype):
+        if hi <= lo:
+            grid.append(np.asarray([lo]))
+            gdes.append(np.asarray([d]))
+            gwt.append(np.asarray([w]))
+            continue
         npts = max(int((hi - lo) * 2 * grid_density * r), 8)
         f = np.linspace(lo, hi, npts)
+        df = f[1] - f[0]
+        j = np.arange(npts)
+        if wt == "exp":
+            fw = np.exp(2.0 * j * df)
+        elif wt == "lin":
+            fw = 1.0 + 2.7 * j * df
+        elif wt == "flat":
+            fw = np.ones(npts)
+        else:
+            raise ValueError(f"unknown weighting type {wt!r}")
         grid.append(f)
         gdes.append(np.full(npts, d))
-        gwt.append(np.full(npts, w))
+        gwt.append(np.full(npts, w) * fw)
     grid = np.concatenate(grid)
     gdes = np.concatenate(gdes)
     gwt = np.concatenate(gwt)

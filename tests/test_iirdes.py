@@ -180,3 +180,56 @@ class TestErrors:
     def test_bad_type(self):
         with pytest.raises(ValueError):
             iirdes("gauss", 5, 0.2)
+
+
+class TestDesignGolden:
+    """Design layer vs the compiled reference (cases in tools/
+    gen_flexframe_golden.py).  SOS gain packing is a free choice, so
+    iirdes comparisons multiply the sections out to the cascade
+    transfer function."""
+
+    @pytest.fixture(scope="class")
+    def fg(self):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/flexframe_golden.npz"
+        if not path.exists():
+            pytest.skip("flexframe_golden.npz not generated")
+        return dict(np.load(path))
+
+    @staticmethod
+    def _cascade(B, A):
+        nb = np.poly1d([1.0])
+        na = np.poly1d([1.0])
+        for b3, a3 in zip(B, A):
+            nb = nb * np.poly1d(b3)
+            na = na * np.poly1d(a3)
+        return nb.coeffs, na.coeffs
+
+    @pytest.mark.parametrize("name,args,kw,tol", [
+        ("butter5", ("butter", 5, 0.2), {"as_db": 60.0}, 1e-5),
+        ("ellip5", ("ellip", 5, 0.2), {"ap_db": 1.0, "as_db": 60.0}, 5e-3),
+        ("cheby24", ("cheby2", 4, 0.15), {"as_db": 50.0}, 1e-3)])
+    def test_iirdes_cascade(self, fg, name, args, kw, tol):
+        B, A = iirdes_sos(*args, **kw)
+        nb, na = self._cascade(np.asarray(B), np.asarray(A))
+        Br = np.real(fg[f"iirdes_{name}_B"]).reshape(-1, 3)
+        Ar = np.real(fg[f"iirdes_{name}_A"]).reshape(-1, 3)
+        nbr, nar = self._cascade(Br, Ar)
+        assert np.abs(nb - nbr).max() < tol
+        assert np.abs(na - nar).max() < tol
+
+    def test_firdespm_exact(self, fg):
+        from liquid_dsp_tpu.design.firdespm import firdespm
+        h = firdespm(51, [0.0, 0.2, 0.25, 0.5], [1.0, 0.0], [1.0, 1.0])
+        assert np.abs(h - np.real(fg["firdespm_h"])).max() < 1e-4
+
+    def test_rrc_prototype_exact(self, fg):
+        from liquid_dsp_tpu.design.firdes import firdes_prototype
+        hp = firdes_prototype("rrcos", 2, 7, 0.3)
+        assert np.abs(hp - np.real(fg["proto_rrc_h"])).max() < 1e-5
+
+    def test_hm3_prototype_close(self, fg):
+        # both sides run an iterated Remez heuristic; taps agree to ~3e-3
+        from liquid_dsp_tpu.design.firdes import firdes_prototype
+        hp = firdes_prototype("hm3", 2, 7, 0.3)
+        assert np.abs(hp - np.real(fg["proto_hm3_h"])).max() < 1e-2

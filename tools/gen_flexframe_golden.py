@@ -460,6 +460,41 @@ int main() {
         printf("spgram_psd :"); for (unsigned i=0;i<nfft;i++) printf(" %.9e 0", psd[i]); printf("\n");
         spgramcf_destroy(sp);
     }
+    // design layer: iirdes sos coefficients, firdespm, rnyquist taps
+    {
+        float B[15], A[15];
+        liquid_iirdes(LIQUID_IIRDES_BUTTER, LIQUID_IIRDES_LOWPASS,
+                      LIQUID_IIRDES_SOS, 5, 0.2f, 0.0f, 1.0f, 60.0f, B, A);
+        printf("iirdes_butter5_B :"); for (unsigned i=0;i<9;i++) printf(" %.9e 0", B[i]); printf("\n");
+        printf("iirdes_butter5_A :"); for (unsigned i=0;i<9;i++) printf(" %.9e 0", A[i]); printf("\n");
+        liquid_iirdes(LIQUID_IIRDES_ELLIP, LIQUID_IIRDES_LOWPASS,
+                      LIQUID_IIRDES_SOS, 5, 0.2f, 0.0f, 1.0f, 60.0f, B, A);
+        printf("iirdes_ellip5_B :"); for (unsigned i=0;i<9;i++) printf(" %.9e 0", B[i]); printf("\n");
+        printf("iirdes_ellip5_A :"); for (unsigned i=0;i<9;i++) printf(" %.9e 0", A[i]); printf("\n");
+        liquid_iirdes(LIQUID_IIRDES_CHEBY2, LIQUID_IIRDES_LOWPASS,
+                      LIQUID_IIRDES_SOS, 4, 0.15f, 0.0f, 1.0f, 50.0f, B, A);
+        printf("iirdes_cheby24_B :"); for (unsigned i=0;i<6;i++) printf(" %.9e 0", B[i]); printf("\n");
+        printf("iirdes_cheby24_A :"); for (unsigned i=0;i<6;i++) printf(" %.9e 0", A[i]); printf("\n");
+    }
+    {
+        unsigned n = 51;
+        float h[n];
+        float bands[4] = {0.0f, 0.2f, 0.25f, 0.5f};
+        float des[2] = {1.0f, 0.0f};
+        float wts[2] = {1.0f, 1.0f};
+        liquid_firdespm_btype btype = LIQUID_FIRDESPM_BANDPASS;
+        liquid_firdespm_wtype wtype[2] = {LIQUID_FIRDESPM_FLATWEIGHT,
+                                          LIQUID_FIRDESPM_FLATWEIGHT};
+        firdespm_run(n, 2, bands, des, wts, wtype, btype, h);
+        printf("firdespm_h :"); for (unsigned i=0;i<n;i++) printf(" %.9e 0", h[i]); printf("\n");
+    }
+    {
+        float h[2*2*7+1];
+        liquid_firdes_prototype(LIQUID_FIRFILT_RRC, 2, 7, 0.3f, 0.0f, h);
+        printf("proto_rrc_h :"); for (unsigned i=0;i<29;i++) printf(" %.9e 0", h[i]); printf("\n");
+        liquid_firdes_prototype(LIQUID_FIRFILT_hM3, 2, 7, 0.3f, 0.0f, h);
+        printf("proto_hm3_h :"); for (unsigned i=0;i<29;i++) printf(" %.9e 0", h[i]); printf("\n");
+    }
     ofdm_raw_case(64, 16, 123);
     offg_case("offg_a", 64, 16, 64, LIQUID_CRC_32, LIQUID_FEC_NONE,
               LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 101);

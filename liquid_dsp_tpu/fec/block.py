@@ -28,6 +28,7 @@ from itertools import combinations
 import numpy as np
 
 __all__ = [
+    "_block_decode_soft", "_rep_decode_soft",
     "FEC_SCHEMES", "fec_get_enc_msg_length", "fec_encode", "fec_decode",
     "fec_get_rate", "unpack_bits", "pack_bits",
 ]
@@ -356,6 +357,55 @@ def _rep_decode(times: int, enc: np.ndarray, dec_len: int) -> np.ndarray:
     votes = copies.sum(axis=0)
     bits = (votes * 2 > times).astype(np.uint8)
     return np.packbits(bits)[:dec_len]
+
+
+def _block_decode_soft(scheme: str, llr, dec_len: int) -> np.ndarray:
+    """Soft-decision block decode: maximum-correlation codeword over all
+    2^k candidates (reference fecsoft_hamming74_decode and friends use
+    min soft distance — identical criterion).  One [nsym, n] @ [n, 2^k]
+    matmul, so the whole decode is MXU-shaped.
+
+    llr: float per-bit metrics, positive = bit 1.
+    """
+    n, k, _ = _GCOLS[scheme]
+    G, _, _ = _code_matrices(scheme)
+    if scheme == "golay2412":
+        rem = dec_len % 3
+        nsym = 2 * (dec_len // 3) + rem
+    else:
+        nsym = -(-(8 * dec_len) // k)
+    llr = np.asarray(llr, np.float32)
+    need = nsym * n
+    if len(llr) < need:
+        llr = np.concatenate([llr, np.zeros(need - len(llr), np.float32)])
+    llr = llr[:need].reshape(nsym, n)
+    syms_all = ((np.arange(1 << k)[:, None] >>
+                 np.arange(k - 1, -1, -1)) & 1).astype(np.uint8)
+    C = (syms_all @ G) % 2                      # [2^k, n] codewords
+    bip = (2.0 * C - 1.0).astype(np.float32)
+    best = np.argmax(llr @ bip.T, axis=1)       # [nsym]
+    u = syms_all[best]                          # [nsym, k]
+    if scheme == "golay2412":
+        w = 1 << np.arange(k - 1, -1, -1)
+        syms = u @ w
+        out = np.zeros(dec_len, np.uint8)
+        rem = dec_len % 3
+        full = dec_len // 3
+        for g in range(full):
+            m0, m1 = int(syms[2 * g]), int(syms[2 * g + 1])
+            out[3 * g + 0] = (m0 >> 4) & 0xFF
+            out[3 * g + 1] = ((m0 & 0x0F) << 4) | ((m1 >> 8) & 0x0F)
+            out[3 * g + 2] = m1 & 0xFF
+        for i in range(rem):
+            out[3 * full + i] = int(syms[2 * full + i]) & 0xFF
+        return out
+    return pack_bits(u.reshape(-1))[:dec_len]
+
+
+def _rep_decode_soft(times: int, llr, dec_len: int) -> np.ndarray:
+    llr = np.asarray(llr, np.float32)[: times * 8 * dec_len]
+    votes = llr.reshape(times, 8 * dec_len).sum(axis=0)
+    return pack_bits((votes > 0).astype(np.uint8))[:dec_len]
 
 
 # --- public dispatch (reference fec.c fec_create/encode/decode) ---

@@ -92,19 +92,15 @@ def packetizer_decode_soft(llr_bits, msg_len: int, crc: str = "crc32",
     hard (reference packetizer.c:336-390).  Returns (msg, crc_ok)."""
     from .interleave import deinterleave_soft
     from . import dispatch as _fec_mod
-    from .conv import CONV_SCHEMES, conv_decode
     llr_bits = np.asarray(llr_bits, np.float32)
     k, stages = _plan(msg_len, crc, fec0, fec1)
     (fs0, dec0, enc0, depth0), (fs1, dec1, enc1, depth1) = stages
     if len(llr_bits) < 8 * enc1:
         raise ValueError(f"expected {8*enc1} soft bits, got {len(llr_bits)}")
-    # outer: soft deinterleave + soft decode
+    # outer: soft deinterleave + soft decode (soft Viterbi for conv,
+    # max-correlation codeword search for Hamming/Golay/rep)
     soft = deinterleave_soft(llr_bits[: 8 * enc1], depth=depth1)
-    if fs1 in CONV_SCHEMES:
-        buf = conv_decode(fs1, None, dec1, soft=soft)
-    else:
-        hard = pack_bits_arr((soft > 0).astype(np.uint8))[:enc1]
-        buf = _fec_mod.fec_decode(fs1, hard, dec1)
+    buf = _fec_mod.fec_decode_soft(fs1, soft, dec1)
     # inner: hard
     buf = deinterleave(buf[:enc0], depth=depth0)
     buf = _fec_mod.fec_decode(fs0, buf, dec0)

@@ -30,12 +30,15 @@ __all__ = ["firfilt", "firdecim", "firinterp", "firpfb_execute", "firhilb",
 
 
 def _as_jnp_taps(h):
-    h = jnp.asarray(h)
-    if h.dtype == jnp.float64:
-        h = h.astype(jnp.float32)
-    elif h.dtype == jnp.complex128:
-        h = h.astype(jnp.complex64)
-    return h
+    # convert on the HOST before the device transfer: the axon TPU
+    # backend cannot device_put float64/complex128 at all (UNIMPLEMENTED),
+    # so the cast must happen in numpy (PERF.md backend caveats)
+    h = np.asarray(h)
+    if h.dtype == np.float64:
+        h = h.astype(np.float32)
+    elif h.dtype == np.complex128:
+        h = h.astype(np.complex64)
+    return jnp.asarray(h)
 
 
 def fir_apply(h, carry, x, stride: int = 1):

@@ -151,7 +151,12 @@ def iirfilt_sos(B, A, name: str = "iirfilt_sos",
     B = B / A0
     A = A / A0
     ns = B.shape[0]
-    Bj, Aj = jnp.asarray(B), jnp.asarray(A)
+    # cast on the host: the axon backend cannot device_put float64
+    B = np.asarray(B)
+    A = np.asarray(A)
+    cplx = np.iscomplexobj(B) or np.iscomplexobj(A)
+    Bj = jnp.asarray(B.astype(np.complex64 if cplx else np.float32))
+    Aj = jnp.asarray(A.astype(np.complex64 if cplx else np.float32))
     if backend not in ("scan", "pscan"):
         raise ValueError(f"unknown iirfilt_sos backend {backend!r}")
 

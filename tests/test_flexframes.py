@@ -333,3 +333,24 @@ class TestBPacketGolden:
         res = bpacketsync(pack_bits(bits))
         assert res.found and res.crc_ok
         assert np.array_equal(res.payload, payload)
+
+
+class TestBidirectionalInterop:
+    """The REFERENCE library's own synchronizers decode frames assembled
+    by THIS framework (tools/verify_interop_rx.py compiles reference-C
+    receivers and feeds them our TX samples)."""
+
+    def test_reference_rx_decodes_our_tx(self):
+        import pathlib
+        import subprocess
+        import sys as _sys
+        if not pathlib.Path("/root/reference").exists():
+            pytest.skip("reference tree not mounted")
+        tool = pathlib.Path(__file__).parent.parent / \
+            "tools/verify_interop_rx.py"
+        r = subprocess.run(
+            [_sys.executable, str(tool)], capture_output=True, text=True,
+            timeout=560, env={**__import__("os").environ,
+                              "JAX_PLATFORMS": "cpu"})
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "all reference receivers decode" in r.stdout

@@ -22,7 +22,8 @@ from ..modem import (constellation, bits_per_symbol, modulate, demodulate,
                      demodulate_soft)
 from ..utils.sequence import MSequence
 
-__all__ = ["qpacketmodem_frame_len", "qpacketmodem_encode",
+__all__ = [
+    "qpacketmodem_decode_soft","qpacketmodem_frame_len", "qpacketmodem_encode",
            "qpacketmodem_decode", "qpilot_pilots", "qpilot_frame_len",
            "qpilotgen", "qpilotsync"]
 
@@ -46,6 +47,29 @@ def qpacketmodem_encode(payload, crc: str = "crc24", fec0: str = "none",
     bits = np.concatenate([bits, np.zeros(nsym * bps - len(bits), np.uint8)])
     syms = bits.reshape(nsym, bps) @ (1 << np.arange(bps - 1, -1, -1))
     return modulate(constellation(ms), jnp.asarray(syms))
+
+
+def qpacketmodem_decode_soft(symbols, payload_len: int,
+                             crc: str = "crc24", fec0: str = "none",
+                             fec1: str = "golay2412", ms: str = "qpsk"):
+    """Soft-decision decode: per-bit LLRs from the modem's exact max-log
+    demodulator feed the packetizer's soft path (soft Viterbi or
+    max-correlation block decode for the outer FEC; reference
+    qpacketmodem_decode_soft, qpacketmodem.c:297-316).
+    Returns (payload bytes, crc_ok)."""
+    from ..modem import demodulate_soft
+    from ..fec.packetizer import packetizer_decode_soft
+    table = constellation(ms)
+    bps = bits_per_symbol(ms)
+    llrs = np.asarray(demodulate_soft(table, jnp.asarray(symbols)))
+    bits = llrs.reshape(-1)  # [n_syms * bps], positive = 1
+    enc_len = packetizer_compute_enc_msg_len(payload_len, crc, fec0, fec1)
+    need = 8 * enc_len
+    if len(bits) < need:
+        bits = np.concatenate([bits, np.zeros(need - len(bits),
+                                              np.float32)])
+    return packetizer_decode_soft(bits[:need], payload_len, crc, fec0,
+                                  fec1)
 
 
 def qpacketmodem_decode(symbols, payload_len: int, crc: str = "crc24",

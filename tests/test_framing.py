@@ -196,3 +196,40 @@ class TestFrame64:
             n_ok += int(r.detected and r.crc_ok and
                         np.array_equal(r.payload, payload))
         assert n_ok >= 9, n_ok
+
+
+class TestQPacketSoft:
+    """qpacketmodem_decode_soft (reference qpacketmodem.c:297): exact
+    max-log LLRs through the soft packetizer beat hard decisions."""
+
+    def test_soft_beats_hard(self):
+        from liquid_dsp_tpu.framing.qpacket import (
+            qpacketmodem_encode, qpacketmodem_decode,
+            qpacketmodem_decode_soft)
+        rng = np.random.default_rng(3)
+        n = 50
+        payload = rng.integers(0, 256, n).astype(np.uint8)
+        sym = np.asarray(qpacketmodem_encode(payload, "crc32", "none",
+                                             "hamming74", "qpsk"))
+        soft_ok = hard_ok = 0
+        for _ in range(20):
+            noisy = sym + 0.38 * (rng.standard_normal(len(sym)) +
+                                  1j * rng.standard_normal(len(sym)))
+            _, oks = qpacketmodem_decode_soft(noisy, n, "crc32", "none",
+                                              "hamming74", "qpsk")
+            _, okh = qpacketmodem_decode(noisy, n, "crc32", "none",
+                                         "hamming74", "qpsk")
+            soft_ok += int(oks)
+            hard_ok += int(okh)
+        assert soft_ok > hard_ok
+
+    def test_noiseless(self):
+        from liquid_dsp_tpu.framing.qpacket import (
+            qpacketmodem_encode, qpacketmodem_decode_soft)
+        rng = np.random.default_rng(5)
+        payload = rng.integers(0, 256, 33).astype(np.uint8)
+        sym = np.asarray(qpacketmodem_encode(payload, "crc16", "v27",
+                                             "none", "qam16"))
+        dec, ok = qpacketmodem_decode_soft(sym, 33, "crc16", "v27",
+                                           "none", "qam16")
+        assert ok and np.array_equal(dec, payload)

@@ -29,16 +29,23 @@ __all__ = ["firfilt", "firdecim", "firinterp", "firpfb_execute", "firhilb",
            "autocorr", "fir_freqresponse", "fir_apply"]
 
 
-def _as_jnp_taps(h):
-    # convert on the HOST before the device transfer: the axon TPU
-    # backend cannot device_put float64/complex128 at all (UNIMPLEMENTED),
-    # so the cast must happen in numpy (PERF.md backend caveats)
+def _np_taps(h, scale=1.0):
+    """Coefficient prep on the HOST: the axon TPU backend cannot
+    device_put float64/complex128 and eager arithmetic fails
+    intermittently (PERF.md backend caveats), so all tap casting and
+    scaling stays in numpy; only the final ready array is transferred."""
     h = np.asarray(h)
+    if scale != 1.0:
+        h = h * scale
     if h.dtype == np.float64:
         h = h.astype(np.float32)
     elif h.dtype == np.complex128:
         h = h.astype(np.complex64)
-    return jnp.asarray(h)
+    return h
+
+
+def _as_jnp_taps(h):
+    return jnp.asarray(_np_taps(h))
 
 
 def fir_apply(h, carry, x, stride: int = 1):
@@ -66,9 +73,10 @@ def firfilt(h, scale: float | complex = 1.0, name: str = "firfilt",
     'pallas' (the same banding inside a hand-tiled kernel; see
     ops/kernels/pallas_fir.py).
     """
-    h = _as_jnp_taps(h)
-    L = int(h.shape[-1])
-    params = {"h": h * scale}
+    h_np = _np_taps(h, scale)
+    L = int(h_np.shape[-1])
+    h = jnp.asarray(h_np)
+    params = {"h": h}
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return jnp.zeros(batch_shape + (L - 1,), dtype=dtype)
@@ -79,8 +87,7 @@ def firfilt(h, scale: float | complex = 1.0, name: str = "firfilt",
     elif backend == "pallas":
         if jnp.iscomplexobj(h):
             raise ValueError("pallas firfilt backend supports real taps")
-        import numpy as _np
-        h_host = _np.asarray(h) * scale
+        h_host = h_np
 
         def apply(params, carry, x):
             from .kernels.pallas_fir import fir_apply_pallas
@@ -136,7 +143,7 @@ def _coerce(carry, dtype):
 def firdecim(m: int, h, scale=1.0, name: str = "firdecim") -> Proc:
     """M:1 decimating FIR (reference firdecim.c).  Block length must be a
     multiple of m; T in -> T//m out."""
-    h = _as_jnp_taps(h) * scale
+    h = jnp.asarray(_np_taps(h, scale))
     L = int(h.shape[-1])
 
     def init(batch_shape=(), dtype=jnp.complex64):
@@ -157,16 +164,16 @@ def firinterp(k: int, h, scale=1.0, name: str = "firinterp") -> Proc:
     implemented as a polyphase matmul: for phase p in [0,k),
     y[i*k + p] = sum_m h[m*k + p] * x[i - m].
     """
-    h = _as_jnp_taps(h) * scale
-    L = int(h.shape[-1])
+    h_np = _np_taps(h, scale)
+    L = int(h_np.shape[-1])
     # number of history input samples each phase needs
     n_hist = (L - 1) // k + (1 if (L - 1) % k else 0) if L > 1 else 0
     n_hist = max(n_hist, 0)
     # pad taps to a multiple of k and shape into polyphase branches:
-    # hp[p, m] = h[m*k + p]
+    # hp[p, m] = h[m*k + p] — built in numpy (no eager device ops)
     Lp = -(-L // k)  # ceil
-    h_pad = jnp.pad(h, (0, Lp * k - L))
-    hp = h_pad.reshape(Lp, k).T  # [k, Lp]
+    h_pad = np.pad(h_np, (0, Lp * k - L))
+    hp = jnp.asarray(h_pad.reshape(Lp, k).T.copy())  # [k, Lp]
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return jnp.zeros(batch_shape + (Lp - 1,), dtype=dtype) if Lp > 1 else \

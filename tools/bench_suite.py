@@ -89,8 +89,14 @@ def main():
             cases[name] = bench(step, proc.params, carry, xin)
         except Exception as e:
             cases[name] = None
-            print(f"{name}: FAILED ({type(e).__name__}: {str(e)[:160]})",
-                  file=sys.stderr)
+            import traceback
+            tb = traceback.extract_tb(e.__traceback__)
+            loc = next((f"{fr.filename.split('/')[-1]}:{fr.lineno}"
+                        for fr in reversed(tb)
+                        if "liquid_dsp_tpu" in fr.filename or
+                        "bench_suite" in fr.filename), "?")
+            print(f"{name}: FAILED at {loc} "
+                  f"({type(e).__name__}: {str(e)[:120]})", file=sys.stderr)
 
     # real-valued cases FIRST: they still measure when the tunnel's
     # complex transfers are down (a failed complex device_put poisons

@@ -116,15 +116,24 @@ def autocorr_estimate(x, p: int) -> np.ndarray:
                        for k in range(p + 1)])
 
 
-def lpc(x, p: int):
-    """Linear prediction coefficients via Levinson-Durbin
-    (reference lpc.c liquid_lpc/levinson): returns (a, g) with
-    a[0] = 1 and reflection coefficients g."""
-    r = autocorr_estimate(x, p).real
+def lpc(x, p: int, return_reflection: bool = False):
+    """Linear prediction via Levinson-Durbin (reference lpc.c
+    liquid_lpc/levinson): returns (a, e) with a[0] = 1 and e the
+    prediction error variance per order [p+1] computed from the
+    UNNORMALIZED autocorrelation, matching the reference outputs.
+    return_reflection=True returns the reflection coefficients instead
+    of the error variances."""
+    x = np.asarray(x)
+    n = len(x)
+    # reference liquid_lpc: unnormalized autocorrelation (lpc.c:59-66)
+    r = np.asarray([np.sum(x[k:] * np.conj(x[: n - k]))
+                    for k in range(p + 1)]).real
     a = np.zeros(p + 1)
     g = np.zeros(p)
+    e = np.zeros(p + 1)
     a[0] = 1.0
     err = r[0]
+    e[0] = err
     if err <= 0:
         raise ValueError("lpc: signal has no energy")
     for i in range(1, p + 1):
@@ -137,4 +146,5 @@ def lpc(x, p: int):
             a_new[j] = a[j] + k * a[i - j]
         a = a_new
         err *= (1.0 - k * k)
-    return a, g
+        e[i] = err
+    return (a, g) if return_reflection else (a, e)

@@ -233,3 +233,34 @@ class TestMiscGolden:
         xr = np.real(fg["firhilb_x"]).astype(np.float32)
         y, _ = r2c(jnp.asarray(xr), batch_shape=())
         assert np.abs(np.asarray(y) - fg["firhilb_y"]).max() < 1e-5
+
+
+class TestLpcGroupDelayGolden:
+    """lpc and group delay vs the compiled reference (cases in tools/
+    gen_flexframe_golden.py)."""
+
+    @pytest.fixture(scope="class")
+    def fg(self):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/flexframe_golden.npz"
+        if not path.exists():
+            pytest.skip("flexframe_golden.npz not generated")
+        return dict(np.load(path))
+
+    def test_lpc(self, fg):
+        from liquid_dsp_tpu.ops.misc_filters import lpc
+        x = np.real(fg["lpc_x"]).astype(np.float32)
+        a, e = lpc(x, 6)
+        assert np.abs(a - np.real(fg["lpc_a"])).max() < 1e-4
+        ref_e = np.real(fg["lpc_g"])
+        assert np.abs(e - ref_e).max() / ref_e[0] < 1e-5
+
+    def test_group_delay(self, fg):
+        from liquid_dsp_tpu.design.firdes import (fir_group_delay,
+                                                  firdes_kaiser)
+        from liquid_dsp_tpu.ops.iir import iir_group_delay
+        h = firdes_kaiser(21, 0.2, 60.0)
+        assert abs(fir_group_delay(h, 0.1) -
+                   np.real(fg["gdelay_fir"])[0]) < 1e-3
+        assert abs(iir_group_delay([0.2, 0.4, 0.2], [1.0, -0.3, 0.1], 0.1)
+                   - np.real(fg["gdelay_iir"])[0]) < 1e-3

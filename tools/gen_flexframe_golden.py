@@ -495,6 +495,32 @@ int main() {
         liquid_firdes_prototype(LIQUID_FIRFILT_hM3, 2, 7, 0.3f, 0.0f, h);
         printf("proto_hm3_h :"); for (unsigned i=0;i<29;i++) printf(" %.9e 0", h[i]); printf("\n");
     }
+    // lpc + group delay
+    {
+        unsigned T = 128, P = 6;
+        float xx[T];
+        unsigned s = 199;
+        float prev1 = 0, prev2 = 0;
+        for (unsigned i=0;i<T;i++) {
+            s = s*1103515245u + 12345u;
+            float w = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+            float v = w + 1.2f*prev1 - 0.5f*prev2;
+            xx[i] = v; prev2 = prev1; prev1 = v;
+        }
+        float ac[P+1], lc[P+1], rc[P+1];
+        liquid_lpc(xx, T, P, lc, rc);
+        (void)ac;
+        printf("lpc_x :"); for (unsigned i=0;i<T;i++) printf(" %.9e 0", xx[i]); printf("\n");
+        printf("lpc_a :"); for (unsigned i=0;i<=P;i++) printf(" %.9e 0", lc[i]); printf("\n");
+        printf("lpc_g :"); for (unsigned i=0;i<=P;i++) printf(" %.9e 0", rc[i]); printf("\n");
+        float h[21];
+        liquid_firdes_kaiser(21, 0.2f, 60.0f, 0.0f, h);
+        float gd = fir_group_delay(h, 21, 0.1f);
+        printf("gdelay_fir : %.9e 0\n", gd);
+        float b3[3] = {0.2f, 0.4f, 0.2f}, a3[3] = {1.0f, -0.3f, 0.1f};
+        float gdi = iir_group_delay(b3, 3, a3, 3, 0.1f);
+        printf("gdelay_iir : %.9e 0\n", gdi);
+    }
     ofdm_raw_case(64, 16, 123);
     offg_case("offg_a", 64, 16, 64, LIQUID_CRC_32, LIQUID_FEC_NONE,
               LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 101);

@@ -57,9 +57,16 @@ def _tpu_healthy(timeout_s: float = 240.0) -> bool:
 def _probe() -> int:
     import jax
     import jax.numpy as jnp
+    # small transfer + readback
     x = jnp.asarray(np.arange(16, dtype=np.float32))
     v = np.asarray(jax.jit(lambda a: a * 2.0)(x))
     assert float(v[3]) == 6.0
+    # bench-sized transfer + computed readback: the tunnel sometimes
+    # accepts tiny transfers while large ones fail UNIMPLEMENTED, so the
+    # probe must move the same amount of data the benchmark will
+    big = jnp.asarray(np.ones((16, 1 << 17), np.float32))
+    s = float(np.asarray(jax.jit(lambda a: jnp.sum(a[:, :8]))(big)))
+    assert s == 128.0
     print("probe-ok")
     return 0
 

@@ -59,13 +59,33 @@ def halfband_taps(m: int, f0: float = 0.0, as_db: float = 60.0) -> np.ndarray:
 
 def resamp2_decim(m: int = 7, f0: float = 0.0, as_db: float = 60.0,
                   name: str = "resamp2_decim") -> Proc:
-    """Halfband 2:1 decimator (reference resamp2_crcf_decim, resamp2.c:320).
+    """Halfband 2:1 decimator, sample-exact vs the reference
+    (resamp2_crcf_decim_execute): y[i] = x_odd[i-m] + (h_odd * x_even)[i]
+    — the odd input phase is delayed m (half-rate) samples, the even
+    phase runs through the 2m odd-position taps of the halfband
+    prototype.  DC gain 2, matching the reference (the analyzer form
+    halves each branch; the decimator does not)."""
+    full = halfband_taps(m, f0, as_db)
+    h1 = np.ascontiguousarray(full[1::2])       # [2m] odd-position taps
+    h1j = _as_jnp_taps(h1)
+    L = 2 * m
 
-    Implemented as a strided convolution with the full 4m+1 halfband
-    prototype (gain 1/2 per output branch in the reference's
-    0.5*(delay + filter) form, resamp2.c:262-265).
-    """
-    return firdecim(2, 0.5 * halfband_taps(m, f0, as_db), name=name)
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return {"we": jnp.zeros(batch_shape + (L - 1,), dtype),
+                "wo": jnp.zeros(batch_shape + (m,), dtype)}
+
+    def apply(params, carry, x):
+        (h1_,) = params
+        xe = x[..., 0::2]
+        xo = x[..., 1::2]
+        y1, we = fir_apply(h1_, carry["we"].astype(x.dtype), xe)
+        xop = jnp.concatenate([carry["wo"].astype(x.dtype), xo], axis=-1)
+        y0 = xop[..., : xo.shape[-1]]
+        new_carry = {"we": we, "wo": xop[..., xo.shape[-1]:]}
+        return y0 + y1, new_carry
+
+    return Proc(params=(h1j,), init=init, apply=apply, rate=(1, 2),
+                name=name)
 
 
 def resamp2_interp(m: int = 7, f0: float = 0.0, as_db: float = 60.0,
@@ -172,6 +192,18 @@ def msresamp2(direction: str, num_stages: int, fc: float = 0.4,
             raise ValueError(f"unknown direction {direction!r}")
     if direction == "interp":
         stages = stages[::-1]
+    if direction == "decim":
+        # each halfband decim stage has DC gain 2 (reference decimator
+        # form); msresamp2 compensates with zeta = 2^-num_stages
+        # (reference msresamp2.c:125,352)
+        zeta = np.float32(0.5 ** num_stages)
+
+        def gain_init(batch_shape=(), dtype=jnp.complex64):
+            return ()
+
+        stages.append(Proc(params=(), init=gain_init,
+                           apply=lambda p, c, x: (zeta * x, c),
+                           rate=(1, 1), name=f"{name}_zeta"))
     return chain(*stages, name=name)
 
 

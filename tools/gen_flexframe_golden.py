@@ -521,6 +521,29 @@ int main() {
         float gdi = iir_group_delay(b3, 3, a3, 3, 0.1f);
         printf("gdelay_iir : %.9e 0\n", gdi);
     }
+    // resamp2 halfband decim/interp
+    {
+        unsigned m = 7, T = 256;
+        resamp2_crcf rd = resamp2_crcf_create(m, 0.0f, 60.0f);
+        resamp2_crcf ri = resamp2_crcf_create(m, 0.0f, 60.0f);
+        float complex x[T], yd[T/2], yi[2*T];
+        unsigned s = 211;
+        for (unsigned i=0;i<T;i++) {
+            s = s*1103515245u + 12345u;
+            float re = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+            s = s*1103515245u + 12345u;
+            float im = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+            x[i] = re + _Complex_I*im;
+        }
+        for (unsigned i=0;i<T/2;i++)
+            resamp2_crcf_decim_execute(rd, &x[2*i], &yd[i]);
+        for (unsigned i=0;i<T;i++)
+            resamp2_crcf_interp_execute(ri, x[i], &yi[2*i]);
+        dumpc("r2_x", x, T);
+        dumpc("r2_decim", yd, T/2);
+        dumpc("r2_interp", yi, 2*T);
+        resamp2_crcf_destroy(rd); resamp2_crcf_destroy(ri);
+    }
     ofdm_raw_case(64, 16, 123);
     offg_case("offg_a", 64, 16, 64, LIQUID_CRC_32, LIQUID_FEC_NONE,
               LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 101);

@@ -243,3 +243,29 @@ class TestResamp2Golden:
         pi = resamp2_interp(7, 0.0, 60.0)
         yi, _ = pi(jnp.asarray(fg["r2_x"]), batch_shape=())
         assert np.abs(np.asarray(yi) - fg["r2_interp"]).max() < 1e-5
+
+
+class TestQMFGolden:
+    """resamp2 QMF analyzer/synthesizer sample-exact vs the compiled
+    reference (qmf cases in tools/gen_flexframe_golden.py)."""
+
+    @pytest.fixture(scope="class")
+    def fg(self):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/flexframe_golden.npz"
+        if not path.exists():
+            pytest.skip("flexframe_golden.npz not generated")
+        return dict(np.load(path))
+
+    def test_analyzer(self, fg):
+        qa = resamp2_analyzer(5, 60.0)
+        Y, _ = qa(jnp.asarray(fg["qmf_x"]), batch_shape=())
+        Y = np.asarray(Y)
+        assert np.abs(Y[0] - fg["qmf_lo"]).max() < 1e-5
+        assert np.abs(Y[1] - fg["qmf_hi"]).max() < 1e-5
+
+    def test_synthesizer(self, fg):
+        qs = resamp2_synthesizer(5, 60.0)
+        Z, _ = qs(jnp.asarray(np.stack([fg["qmf_lo"], fg["qmf_hi"]])),
+                  batch_shape=())
+        assert np.abs(np.asarray(Z) - fg["qmf_z"]).max() < 1e-5

@@ -544,6 +544,35 @@ int main() {
         dumpc("r2_interp", yi, 2*T);
         resamp2_crcf_destroy(rd); resamp2_crcf_destroy(ri);
     }
+    // resamp2 QMF analyzer/synthesizer
+    {
+        unsigned m = 5, T = 256;
+        resamp2_crcf qa = resamp2_crcf_create(m, 0.0f, 60.0f);
+        resamp2_crcf qs = resamp2_crcf_create(m, 0.0f, 60.0f);
+        float complex x[T], ylo[T/2], yhi[T/2], z[T];
+        unsigned s = 223;
+        for (unsigned i=0;i<T;i++) {
+            s = s*1103515245u + 12345u;
+            float re = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+            s = s*1103515245u + 12345u;
+            float im = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+            x[i] = re + _Complex_I*im;
+        }
+        for (unsigned i=0;i<T/2;i++) {
+            float complex pair[2];
+            resamp2_crcf_analyzer_execute(qa, &x[2*i], pair);
+            ylo[i] = pair[0]; yhi[i] = pair[1];
+        }
+        for (unsigned i=0;i<T/2;i++) {
+            float complex pair[2] = {ylo[i], yhi[i]};
+            resamp2_crcf_synthesizer_execute(qs, pair, &z[2*i]);
+        }
+        dumpc("qmf_x", x, T);
+        dumpc("qmf_lo", ylo, T/2);
+        dumpc("qmf_hi", yhi, T/2);
+        dumpc("qmf_z", z, T);
+        resamp2_crcf_destroy(qa); resamp2_crcf_destroy(qs);
+    }
     ofdm_raw_case(64, 16, 123);
     offg_case("offg_a", 64, 16, 64, LIQUID_CRC_32, LIQUID_FEC_NONE,
               LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 101);

@@ -70,9 +70,20 @@ def firfarrow(h_len: int = 19, mu: float = 0.0, fc: float = 0.45,
     return firfilt(firfarrow_taps(h_len, mu, fc, as_db), name=name)
 
 
-def iirdecim(m: int, b, a, name: str = "iirdecim") -> Proc:
-    """IIR anti-alias filter then M:1 downsample (reference iirdecim.c)."""
-    f = iirfilt(b, a)
+def iirdecim(m: int, b=None, a=None, order: int = 4,
+             name: str = "iirdecim") -> Proc:
+    """IIR anti-alias filter then M:1 downsample (reference iirdecim.c).
+
+    With b/a omitted, designs the reference default prototype: SOS
+    butterworth lowpass of the given order at fc = 0.5/m
+    (iirdecim.c create_default)."""
+    if b is None:
+        from ..design.iirdes import iirdes_sos
+        from .iir import iirfilt_sos
+        B, A = iirdes_sos("butter", order, 0.5 / m, ap_db=0.1, as_db=60.0)
+        f = iirfilt_sos(B, A)
+    else:
+        f = iirfilt(b, a)
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return f.init(batch_shape=batch_shape, dtype=dtype)
@@ -89,10 +100,18 @@ def iirdecim(m: int, b, a, name: str = "iirdecim") -> Proc:
                 name=name)
 
 
-def iirinterp(m: int, b, a, name: str = "iirinterp") -> Proc:
+def iirinterp(m: int, b=None, a=None, order: int = 4,
+              name: str = "iirinterp") -> Proc:
     """1:M upsample then IIR image-reject filter (reference iirinterp.c,
-    output scaled by M)."""
-    f = iirfilt(b, a)
+    reference applies no gain compensation).  With b/a omitted, designs
+    the reference default SOS butterworth prototype at fc = 0.5/m."""
+    if b is None:
+        from ..design.iirdes import iirdes_sos
+        from .iir import iirfilt_sos
+        B, A = iirdes_sos("butter", order, 0.5 / m, ap_db=0.1, as_db=60.0)
+        f = iirfilt_sos(B, A)
+    else:
+        f = iirfilt(b, a)
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return f.init(batch_shape=batch_shape, dtype=dtype)
@@ -101,8 +120,10 @@ def iirinterp(m: int, b, a, name: str = "iirinterp") -> Proc:
         T = x.shape[-1]
         up = jnp.zeros(x.shape[:-1] + (T * m,), x.dtype)
         up = up.at[..., ::m].set(x)
+        # no gain compensation: the reference zero-stuffs and filters
+        # without scaling (iirinterp.c execute)
         y, c = f.apply(params, carry, up)
-        return m * y, c
+        return y, c
 
     return Proc(params=f.params, init=init, apply=apply, rate=(m, 1),
                 name=name)

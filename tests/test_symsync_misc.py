@@ -264,3 +264,29 @@ class TestLpcGroupDelayGolden:
                    np.real(fg["gdelay_fir"])[0]) < 1e-3
         assert abs(iir_group_delay([0.2, 0.4, 0.2], [1.0, -0.3, 0.1], 0.1)
                    - np.real(fg["gdelay_iir"])[0]) < 1e-3
+
+
+class TestIirResampGolden:
+    """iirdecim/iirinterp default butterworth prototypes sample-exact vs
+    the compiled reference (iird/iiri cases in tools/
+    gen_flexframe_golden.py)."""
+
+    @pytest.fixture(scope="class")
+    def fg(self):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/flexframe_golden.npz"
+        if not path.exists():
+            pytest.skip("flexframe_golden.npz not generated")
+        return dict(np.load(path))
+
+    def test_iirdecim(self, fg):
+        from liquid_dsp_tpu.ops.misc_filters import iirdecim
+        qd = iirdecim(2)
+        yd, _ = qd(jnp.asarray(fg["iird_x"]), batch_shape=())
+        assert np.abs(np.asarray(yd) - fg["iird_y"]).max() < 1e-5
+
+    def test_iirinterp(self, fg):
+        from liquid_dsp_tpu.ops.misc_filters import iirinterp
+        qi = iirinterp(2)
+        yi, _ = qi(jnp.asarray(fg["iird_x"]), batch_shape=())
+        assert np.abs(np.asarray(yi) - fg["iiri_y"]).max() < 1e-5

@@ -573,6 +573,27 @@ int main() {
         dumpc("qmf_z", z, T);
         resamp2_crcf_destroy(qa); resamp2_crcf_destroy(qs);
     }
+    // iirdecim / iirinterp default butter prototypes
+    {
+        unsigned M = 2, T = 200;
+        iirdecim_crcf qd = iirdecim_crcf_create_default(M, 4);
+        iirinterp_crcf qi = iirinterp_crcf_create_default(M, 4);
+        float complex x[T], yd[T/2], yi[2*T];
+        unsigned s = 229;
+        for (unsigned i=0;i<T;i++) {
+            s = s*1103515245u + 12345u;
+            float re = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+            s = s*1103515245u + 12345u;
+            float im = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+            x[i] = re + _Complex_I*im;
+        }
+        iirdecim_crcf_execute_block(qd, x, T/M, yd);
+        iirinterp_crcf_execute_block(qi, x, T, yi);
+        dumpc("iird_x", x, T);
+        dumpc("iird_y", yd, T/2);
+        dumpc("iiri_y", yi, 2*T);
+        iirdecim_crcf_destroy(qd); iirinterp_crcf_destroy(qi);
+    }
     ofdm_raw_case(64, 16, 123);
     offg_case("offg_a", 64, 16, 64, LIQUID_CRC_32, LIQUID_FEC_NONE,
               LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 101);

@@ -144,14 +144,20 @@ def main(cpu_fallback: bool = False, planes_only: bool = False):
     from liquid_dsp_tpu.ops.fftfilt import fftfilt
     from liquid_dsp_tpu.ops.nco import nco
 
-    # headline chain: mix -> 64-tap Kaiser FIR -> 57-tap overlap-save fftfilt
-    # (resampler stage added as the resamp module lands).  The banded-tap
-    # matmul FIR backend maps to the MXU and measures ~2x the conv
-    # formulation on TPU (PERF.md); XLA's conv is faster on CPU.
-    fir_backend = "xla" if jax.default_backend() == "cpu" else "matmul"
+    # headline chain: mix -> 64-tap Kaiser FIR -> 57-tap filter ->
+    # resampler.  Backend choice per platform (PERF.md): the banded-tap
+    # matmul FIR maps to the MXU and beats both the conv formulation
+    # (~2x) and the FFT overlap-save (1338 vs 385 Msps at 57 taps) on
+    # TPU; on CPU, XLA's conv and the segmented fftfilt win.  The
+    # reference itself asserts fftfilt/firfilt equivalence
+    # (examples/fftfilt_crcf_example.c), so the 57-tap stage is free to
+    # pick the fastest exact implementation.
+    on_cpu = jax.default_backend() == "cpu"
     stages = [nco(dphi=0.125, direction="down"),
-              firfilt(firdes_kaiser(64, 0.2, 60.0), backend=fir_backend),
-              fftfilt(firdes_kaiser(57, 0.3, 60.0))]
+              firfilt(firdes_kaiser(64, 0.2, 60.0),
+                      backend="xla" if on_cpu else "matmul"),
+              fftfilt(firdes_kaiser(57, 0.3, 60.0)) if on_cpu else
+              firfilt(firdes_kaiser(57, 0.3, 60.0), backend="matmul")]
     try:
         from liquid_dsp_tpu.ops.resample import msresamp
         stages.append(msresamp(0.5, 60.0))

@@ -176,12 +176,17 @@ def msresamp2(direction: str, num_stages: int, fc: float = 0.4,
 
         return Proc(params=(), init=init,
                     apply=lambda p, c, x: (x, c), rate=(1, 1), name=name)
-    # semi-length per stage grows toward the final (lowest-rate) stage;
-    # reference msresamp2 sizes each stage's filter for its transition band.
+    # reference stage design (msresamp2.c create): fc halves per stage,
+    # each stage's semi-length from the transition band ft = (0.5-fc)/2
+    # via the Kaiser length estimate, m = ceil((h_len-1)/4)
+    from ..design.firdes import estimate_req_filter_len
     stages = []
+    fc_i = fc
     for s in range(num_stages):
-        # stage s operates at rate 2^-(s) of the full rate for decim
-        m_stage = max(3, int(np.ceil(2.0 + 4.0 * s)))
+        fc_i = 0.5 * fc_i
+        ft = (0.5 - fc_i) / 2.0
+        h_len = estimate_req_filter_len(ft, as_db)
+        m_stage = max(2, int(np.ceil((h_len - 1) / 4.0)))
         if direction == "decim":
             stages.append(resamp2_decim(m_stage, f0, as_db,
                                         name=f"{name}_hb{s}"))

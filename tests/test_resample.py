@@ -269,3 +269,30 @@ class TestQMFGolden:
         Z, _ = qs(jnp.asarray(np.stack([fg["qmf_lo"], fg["qmf_hi"]])),
                   batch_shape=())
         assert np.abs(np.asarray(Z) - fg["qmf_z"]).max() < 1e-5
+
+
+class TestMsresamp2Golden:
+    """msresamp2 2-stage cascades sample-exact vs the compiled reference
+    (ms2 cases in tools/gen_flexframe_golden.py): reference per-stage
+    filter design (fc halves per stage, Kaiser length estimate) and
+    zeta gain compensation."""
+
+    @pytest.fixture(scope="class")
+    def fg(self):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/flexframe_golden.npz"
+        if not path.exists():
+            pytest.skip("flexframe_golden.npz not generated")
+        return dict(np.load(path))
+
+    def test_decim_cascade(self, fg):
+        from liquid_dsp_tpu.ops.resample import msresamp2
+        qd = msresamp2("decim", 2, 0.4, 0.0, 60.0)
+        yd, _ = qd(jnp.asarray(fg["ms2_x"]), batch_shape=())
+        assert np.abs(np.asarray(yd) - fg["ms2_d"]).max() < 1e-5
+
+    def test_interp_cascade(self, fg):
+        from liquid_dsp_tpu.ops.resample import msresamp2
+        qi = msresamp2("interp", 2, 0.4, 0.0, 60.0)
+        yi, _ = qi(jnp.asarray(fg["ms2_x"]), batch_shape=())
+        assert np.abs(np.asarray(yi) - fg["ms2_i"]).max() < 1e-5

@@ -594,6 +594,31 @@ int main() {
         dumpc("iiri_y", yi, 2*T);
         iirdecim_crcf_destroy(qd); iirinterp_crcf_destroy(qi);
     }
+    // msresamp2 2-stage cascade
+    {
+        unsigned T = 256, NS = 2;
+        msresamp2_crcf qd = msresamp2_crcf_create(LIQUID_RESAMP_DECIM,
+                                                  NS, 0.4f, 0.0f, 60.0f);
+        msresamp2_crcf qi = msresamp2_crcf_create(LIQUID_RESAMP_INTERP,
+                                                  NS, 0.4f, 0.0f, 60.0f);
+        float complex x[T], yd[T/4], yi[4*T];
+        unsigned s = 233;
+        for (unsigned i=0;i<T;i++) {
+            s = s*1103515245u + 12345u;
+            float re = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+            s = s*1103515245u + 12345u;
+            float im = ((float)((s>>16)&0xff))/127.5f - 1.0f;
+            x[i] = re + _Complex_I*im;
+        }
+        for (unsigned i=0;i<T/4;i++)
+            msresamp2_crcf_execute(qd, &x[4*i], &yd[i]);
+        for (unsigned i=0;i<T;i++)
+            msresamp2_crcf_execute(qi, &x[i], &yi[4*i]);
+        dumpc("ms2_x", x, T);
+        dumpc("ms2_d", yd, T/4);
+        dumpc("ms2_i", yi, 4*T);
+        msresamp2_crcf_destroy(qd); msresamp2_crcf_destroy(qi);
+    }
     ofdm_raw_case(64, 16, 123);
     offg_case("offg_a", 64, 16, 64, LIQUID_CRC_32, LIQUID_FEC_NONE,
               LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 101);

@@ -12,7 +12,7 @@ Reference analogs (studied, not copied):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
-from jax import lax
 
 from ..core import Proc
 from ..design.firdes import firdes_kaiser

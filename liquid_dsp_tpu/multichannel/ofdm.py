@@ -24,7 +24,6 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..utils.sequence import MSequence
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..core import Proc, chain
+from ..core import Proc
 from ..design.windows import kaiser, kaiser_beta_as
 from .iir import iirfilt
 from .fir import firfilt

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..core import Proc, chain
 from ..design.windows import kaiser, kaiser_beta_as
-from .fir import firdecim, firinterp, fir_apply, _as_jnp_taps
+from .fir import firinterp, fir_apply, _as_jnp_taps
 
 __all__ = [
     "halfband_taps", "resamp2_decim", "resamp2_interp",

@@ -14,8 +14,6 @@ sharding, and checkpoint/restore of the stream state.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ exactly; phase accumulators within float32 wrap rounding).
 """
 from __future__ import annotations
 
-import pathlib
 
 import numpy as np
 import jax

@@ -233,3 +233,28 @@ class TestQPacketSoft:
         dec, ok = qpacketmodem_decode_soft(sym, 33, "crc16", "v27",
                                            "none", "qam16")
         assert ok and np.array_equal(dec, payload)
+
+
+class TestDetectionRate:
+    """Statistical detection-rate test in the reference framing-autotest
+    style: N noisy trials at moderate SNR, require a high success rate
+    (reference src/framing/tests/ detection-rate pattern)."""
+
+    def test_frame64_detection_rate(self):
+        from liquid_dsp_tpu.framing import framegen64, framesync64
+        rng = np.random.default_rng(9)
+        n_trials, ok = 20, 0
+        for t in range(n_trials):
+            hdr = rng.integers(0, 256, 8).astype(np.uint8)
+            pay = rng.integers(0, 256, 64).astype(np.uint8)
+            y = framegen64(hdr, pay)
+            x = np.concatenate([np.zeros(100, np.complex64), 0.5 * y,
+                                np.zeros(100, np.complex64)])
+            # ~17 dB SNR with random phase
+            x = x * np.exp(1j * rng.uniform(0, 2 * np.pi))
+            x += 0.07 * (rng.standard_normal(len(x)) +
+                         1j * rng.standard_normal(len(x)))
+            r = framesync64(x)
+            if r.detected and r.crc_ok and np.array_equal(r.payload, pay):
+                ok += 1
+        assert ok >= 18, f"detection rate {ok}/{n_trials}"

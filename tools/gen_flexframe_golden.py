@@ -619,6 +619,26 @@ int main() {
         dumpc("ms2_i", yi, 4*T);
         msresamp2_crcf_destroy(qd); msresamp2_crcf_destroy(qi);
     }
+    // byte utilities
+    {
+        unsigned char in[6] = {0x12, 0x34, 0x56, 0x78, 0x9A, 0xBC};
+        unsigned char out[20];
+        unsigned int nw;
+        liquid_repack_bytes(in, 8, 6, out, 3, 16, &nw);
+        printf("repack_8to3 :"); for (unsigned i=0;i<nw;i++) printf(" %u 0", out[i]); printf("\n");
+        liquid_repack_bytes(in, 8, 6, out, 5, 10, &nw);
+        printf("repack_8to5 :"); for (unsigned i=0;i<nw;i++) printf(" %u 0", out[i]); printf("\n");
+        unsigned char arr[4] = {0, 0, 0, 0};
+        liquid_pack_array(arr, 4, 3, 5, 0x15);
+        liquid_pack_array(arr, 4, 13, 7, 0x5A);
+        printf("packarr :"); for (unsigned i=0;i<4;i++) printf(" %u 0", arr[i]); printf("\n");
+        unsigned char shf[4] = {0x81, 0xC3, 0xE7, 0xFF};
+        unsigned char tmp[4];
+        memcpy(tmp, shf, 4); liquid_lbshift(tmp, 4, 5);
+        printf("lbshift :"); for (unsigned i=0;i<4;i++) printf(" %u 0", tmp[i]); printf("\n");
+        memcpy(tmp, shf, 4); liquid_rbcircshift(tmp, 4, 11);
+        printf("rbcirc :"); for (unsigned i=0;i<4;i++) printf(" %u 0", tmp[i]); printf("\n");
+    }
     ofdm_raw_case(64, 16, 123);
     offg_case("offg_a", 64, 16, 64, LIQUID_CRC_32, LIQUID_FEC_NONE,
               LIQUID_FEC_GOLAY2412, LIQUID_MODEM_QPSK, 101);

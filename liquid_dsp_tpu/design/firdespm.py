@@ -43,7 +43,18 @@ def _remez_exchange(n_coef: int, grid: np.ndarray, des: np.ndarray,
             b[k] = 1.0 / np.prod(np.where(np.abs(diff) < 1e-30,
                                           1e-30, diff))
         sgn = (-1.0) ** np.arange(r + 1)
-        delta = np.dot(b, de) / np.dot(b, sgn / we)
+        den = np.dot(b, sgn / we)
+        if not np.isfinite(den) or abs(den) < 1e-300 or \
+                not np.isfinite(np.dot(b, de)):
+            # degenerate extremal set (coincident points from degenerate
+            # band specs): rotate the set by one grid point and retry
+            # instead of dividing by ~0 and propagating inf/NaN
+            ext = np.unique((ext + 1) % ngrid)
+            while len(ext) < r + 1:
+                ext = np.unique(np.append(ext, (ext[-1] + 1) % ngrid))
+            ext = np.sort(ext[: r + 1])
+            continue
+        delta = np.dot(b, de) / den
         # polynomial values at extremal points (desired -+ delta/w)
         ye = de - sgn * delta / we
         # evaluate on the whole grid via barycentric interpolation over
@@ -66,8 +77,10 @@ def _remez_exchange(n_coef: int, grid: np.ndarray, des: np.ndarray,
                 den = np.sum(c)
                 H[i] = np.dot(c, yk) / den if abs(den) > 1e-300 else \
                     yk[hit]
-        # error and new extrema
+        # error and new extrema (NaNs — e.g. from a barycentric node
+        # collision — must not poison the sign comparisons below)
         err = wt * (des - H)
+        err = np.where(np.isfinite(err), err, 0.0)
         # find local extrema of |err|
         cand = [0]
         for i in range(1, ngrid - 1):

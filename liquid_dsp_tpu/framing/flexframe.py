@@ -177,9 +177,12 @@ def flexframesync(x, threshold: float = 0.5) -> FlexFrameResult:
         crc = crc_from_wire((int(hdr[FLEXFRAME_H_USER + 4]) >> 5) & 0x07)
         fec0 = fec_from_wire(int(hdr[FLEXFRAME_H_USER + 4]) & 0x1F)
         fec1 = fec_from_wire(int(hdr[FLEXFRAME_H_USER + 5]) & 0x1F)
-    except ValueError:
+        # frame-length computation raises for wire-valid but unimplemented
+        # schemes (e.g. user-defined 'arb' constellations) — report a
+        # failed header instead of crashing the receiver
+        p_sym_len = qpacketmodem_frame_len(n_payload, crc, fec0, fec1, ms)
+    except (ValueError, KeyError):
         return FlexFrameResult(True, False, False, None, None, "", 0, 0.0)
-    p_sym_len = qpacketmodem_frame_len(n_payload, crc, fec0, fec1, ms)
     n_total = n_first + p_sym_len
     sym = _mf_symbols(x, det, n_total)
     # residual carrier from header pilots extends over payload

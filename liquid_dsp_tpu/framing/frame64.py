@@ -177,7 +177,9 @@ def framesync64(x, threshold: float = 0.5) -> Frame64Result:
     evm = np.sqrt(np.mean(np.abs(payload_sym - ref) ** 2))
     evm_db = float(20 * np.log10(evm + 1e-12))
     rssi_db = float(20 * np.log10(max(det.gamma_hat, 1e-12)))
+    # cfo is radians/SAMPLE: dphi_hat already is; qpilotsync's dphi2 is
+    # radians per payload symbol at k=2 samples/symbol, so rescale
     return Frame64Result(True, bool(ok),
                          payload_bytes[:8].copy(), payload_bytes[8:].copy(),
-                         evm_db, rssi_db, float(det.dphi_hat + dphi2),
+                         evm_db, rssi_db, float(det.dphi_hat + dphi2 / _K),
                          n0)

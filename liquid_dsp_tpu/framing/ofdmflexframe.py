@@ -150,10 +150,13 @@ def ofdmflexframesync(x, M: int = 64, cp_len: int = 16,
         crc = crc_from_wire((int(hdr[k + 4]) >> 5) & 0x07)
         fec0 = fec_from_wire(int(hdr[k + 4]) & 0x1F)
         fec1 = fec_from_wire(int(hdr[k + 5]) & 0x1F)
-    except ValueError:
+        # geometry computation raises for wire-valid but unimplemented
+        # schemes (e.g. user-defined 'arb' constellations) — treat those
+        # as a failed header rather than crashing the receiver
+        h_syms, p_syms, nh, npd = _frame_geometry(params, n_payload, crc,
+                                                  fec0, fec1, ms)
+    except (ValueError, KeyError):
         return OFDMFlexResult(True, False, False, None, None, "", 0)
-    h_syms, p_syms, nh, npd = _frame_geometry(params, n_payload, crc, fec0,
-                                              fec1, ms)
     r2 = ofdm_frame_sync(params, x, nh + npd, threshold=threshold)
     if not r2.detected or r2.data_syms is None:
         return OFDMFlexResult(True, True, False, hdr[:k], None, ms,

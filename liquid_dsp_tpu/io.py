@@ -46,17 +46,28 @@ def _np_to_planes(raw: np.ndarray, fmt: str):
     return i, q
 
 
+def _round_half_up(x):
+    # matches iokit.c's unsigned path: (uint8)(x + 0.5f)
+    return np.floor(np.asarray(x, np.float32) + np.float32(0.5))
+
+
+def _round_half_away(x):
+    # matches iokit.c's signed paths: trunc(x + (x>=0 ? 0.5 : -0.5))
+    x = np.asarray(x, np.float32)
+    return np.trunc(x + np.where(x >= 0, np.float32(0.5), np.float32(-0.5)))
+
+
 def _np_from_planes(re: np.ndarray, im: np.ndarray, fmt: str):
     out = np.empty(2 * len(re), _DTYPES[fmt])
     if fmt == "cu8":
-        out[0::2] = np.clip(np.round(re * 127.5 + 127.5), 0, 255)
-        out[1::2] = np.clip(np.round(im * 127.5 + 127.5), 0, 255)
+        out[0::2] = _round_half_up(np.clip(re * 127.5 + 127.5, 0, 255))
+        out[1::2] = _round_half_up(np.clip(im * 127.5 + 127.5, 0, 255))
     elif fmt == "cs8":
-        out[0::2] = np.clip(np.round(re * 127.0), -127, 127)
-        out[1::2] = np.clip(np.round(im * 127.0), -127, 127)
+        out[0::2] = _round_half_away(np.clip(re * 127.0, -127, 127))
+        out[1::2] = _round_half_away(np.clip(im * 127.0, -127, 127))
     elif fmt == "cs16":
-        out[0::2] = np.clip(np.round(re * 32767.0), -32767, 32767)
-        out[1::2] = np.clip(np.round(im * 32767.0), -32767, 32767)
+        out[0::2] = _round_half_away(np.clip(re * 32767.0, -32767, 32767))
+        out[1::2] = _round_half_away(np.clip(im * 32767.0, -32767, 32767))
     else:
         out[0::2] = re
         out[1::2] = im

@@ -17,16 +17,12 @@
 /* unsigned 8-bit offset-binary IQ (RTL-SDR): x = (b - 127.5)/127.5 */
 void iok_cu8_to_planes(const uint8_t *in, float *re, float *im, size_t n)
 {
-    static float lut[256];
-    static int lut_init = 0;
-    if (!lut_init) {
-        for (int i = 0; i < 256; i++)
-            lut[i] = ((float)i - 127.5f) / 127.5f;
-        lut_init = 1;
-    }
+    /* one FMA per sample; no shared mutable state (ctypes releases the
+     * GIL, so this must be safe to call from concurrent threads) */
+    const float s = 1.0f / 127.5f;
     for (size_t i = 0; i < n; i++) {
-        re[i] = lut[in[2 * i]];
-        im[i] = lut[in[2 * i + 1]];
+        re[i] = ((float)in[2 * i] - 127.5f) * s;
+        im[i] = ((float)in[2 * i + 1] - 127.5f) * s;
     }
 }
 

@@ -1,15 +1,22 @@
-"""Convolutional codes: K=7 and K=9 rate-1/2 encoders with Viterbi
-decoding, plus the punctured rate variants.
+"""Convolutional codes: v27/v29/v39/v615 encoders with Viterbi decoding,
+plus the punctured rate-1/2 variants.
 
 Reference analog (studied, not copied): reference src/fec/src/fec_conv.c
-(encode shift-register loop :98-115; decode delegates to external libfec
-Viterbi), puncture matrices fec_conv_pmatrix.c:26-98.  The reference
-cannot run these without libfec; we implement them natively.
+(encode shift-register loop :76-118 — K-1 flush bits; decode delegates
+to external libfec Viterbi), puncture matrices fec_conv_pmatrix.c:26-98,
+byte lengths fec.c:225-241 (unpunctured: r*n + ceil((K-1)*r/8) bytes;
+punctured: nn + ceil(nn/p) bits, nn = 8n+K-1).  The reference cannot run
+these without libfec; we implement them natively.
 
-Polynomials are the standard NASA/CCSDS generators used by libfec:
-K=7: (0x6d, 0x4f); K=9: (0x1af, 0x11d).  Encoder convention matches the
-reference: sr = (sr << 1) | bit; output bit r = parity(sr & poly[r]),
-MSB-first packing, rate-1/2 base.
+Polynomials are the generators libfec uses, in the left-shift register
+convention (sr = (sr << 1) | bit; output = parity(sr & poly)) — the
+bit-reversals of the classic right-shift octal sets:
+  v27  K=7  r=1/2: 0x6D, 0x4F            (reversed octal 133, 171)
+  v29  K=9  r=1/2: 0x1AF, 0x11D          (reversed octal 753, 561)
+  v39  K=9  r=1/3: 0x1ED, 0x19B, 0x127   (octal 755, 633, 447)
+  v615 K=15 r=1/6: octal 42631, 47245, 56507, 73363, 77267, 64537
+                                          (the Cassini/Pathfinder code)
+MSB-first packing throughout.
 
 TPU design: Viterbi is a lax.scan over time of a vectorized
 add-compare-select across all 2^(K-1) states (SURVEY.md §7 hard part #3)
@@ -33,7 +40,10 @@ __all__ = ["CONV_SCHEMES", "conv_get_enc_msg_length", "conv_encode",
 _POLYS = {
     "v27": (7, (0x6D, 0x4F)),
     "v29": (9, (0x1AF, 0x11D)),
+    "v39": (9, (0x1ED, 0x19B, 0x127)),
+    "v615": (15, (0o42631, 0o47245, 0o56507, 0o73363, 0o77267, 0o64537)),
 }
+_PUNCTURABLE = ("v27", "v29")  # reference punctures only the r=1/2 codes
 
 # puncture matrices (reference fec_conv_pmatrix.c:26-98), row-major
 # [rate_num rows of output streams x period columns]
@@ -56,20 +66,21 @@ _P29 = {  # K=9 variants differ (fec_conv_pmatrix.c:63-98)
 
 CONV_SCHEMES = tuple(
     [b for b in _POLYS] +
-    [f"{b}{p}" for b in _POLYS for p in PUNCTURE_MATRICES])
+    [f"{b}{p}" for b in _PUNCTURABLE for p in PUNCTURE_MATRICES])
 
 
 def _parse(scheme: str):
     scheme = scheme.lower()
-    base = scheme[:3]
-    if base not in _POLYS:
+    base = next((b for b in ("v615", "v39", "v29", "v27")
+                 if scheme.startswith(b)), None)
+    if base is None:
         raise ValueError(f"unknown convolutional scheme {scheme!r}")
     K, polys = _POLYS[base]
     pmat = None
-    if len(scheme) > 3:
-        tag = scheme[3:]
+    if len(scheme) > len(base):
+        tag = scheme[len(base):]
         table = _P29 if base == "v29" else PUNCTURE_MATRICES
-        if tag not in table:
+        if base not in _PUNCTURABLE or tag not in table:
             raise ValueError(f"unknown puncturing {tag!r}")
         pmat = np.asarray(table[tag], np.uint8)
     return K, polys, pmat
@@ -87,31 +98,28 @@ def _parity_bits(v: np.ndarray) -> np.ndarray:
 
 
 def conv_get_enc_msg_length(scheme: str, dec_len: int) -> int:
-    """Encoded bytes (reference fec.c: rate-1/2 with K-1 flush bits;
-    punctured variants scale by the puncture rate)."""
-    K, _, pmat = _parse(scheme)
-    nbits_in = 8 * dec_len + K  # payload + flush (reference uses +K)
-    nbits_out = 2 * nbits_in
-    if pmat is not None:
-        period = pmat.shape[1]
-        kept = int(pmat.sum())
-        nsym = -(-nbits_out // (2 * period))
-        # exact: count kept bits over the punctured stream
-        total = 0
-        full = nbits_in // period
-        total = full * kept
-        rem = nbits_in % period
-        if rem:
-            total += int(pmat[:, :rem].sum())
-        nbits_out = total
+    """Encoded bytes, matching the reference formulas exactly:
+    unpunctured ceil(r*(8n+K-1)/8) (reference fec.c:225-228, e.g.
+    v27 -> 2n+2, v615 -> 6n+11); punctured nn + ceil(nn/p) bits with
+    nn = 8n+K-1 (reference fec_conv_get_enc_msg_len, fec.c:324-331 —
+    exact, because every puncture pattern keeps p+1 of 2p bits)."""
+    K, polys, pmat = _parse(scheme)
+    nn = 8 * dec_len + K - 1
+    if pmat is None:
+        nbits_out = len(polys) * nn
+    else:
+        p = pmat.shape[1]
+        nbits_out = nn + -(-nn // p)
     return -(-nbits_out // 8)
 
 
 def conv_encode(scheme: str, msg) -> np.ndarray:
     """Encode a byte array; returns encoded bytes (MSB-first packing)."""
     K, polys, pmat = _parse(scheme)
+    r = len(polys)
     bits = unpack_bits(np.asarray(msg, np.uint8))
-    bits = np.concatenate([bits, np.zeros(K, np.uint8)])  # flush
+    # K-1 flush bits, like the reference (fec_conv.c tail loop :107-118)
+    bits = np.concatenate([bits, np.zeros(K - 1, np.uint8)])
     n = len(bits)
     # shift register history via sliding window of the last K bits
     padded = np.concatenate([np.zeros(K - 1, np.uint8), bits])
@@ -119,12 +127,12 @@ def conv_encode(scheme: str, msg) -> np.ndarray:
     weights = 1 << np.arange(K - 1, -1, -1)
     sr = (win * weights).sum(axis=1).astype(np.uint32)          # [n]
     outs = [ _parity_bits(sr & p) for p in polys ]              # r x [n]
-    enc = np.stack(outs, axis=1)                                # [n, 2]
+    enc = np.stack(outs, axis=1)                                # [n, r]
     if pmat is not None:
         period = pmat.shape[1]
-        keep = pmat.T  # [period, 2] column-major in time
-        mask = np.resize(keep, (n, 2) if n % period == 0 else
-                         ((-(-n // period)) * period, 2))[:n]
+        keep = pmat.T  # [period, r] column-major in time
+        mask = np.resize(keep, (n, r) if n % period == 0 else
+                         ((-(-n // period)) * period, r))[:n]
         enc = enc.reshape(-1)[mask.reshape(-1).astype(bool)]
     else:
         enc = enc.reshape(-1)
@@ -155,7 +163,7 @@ def conv_decode(scheme: str, enc, dec_len: int, soft=None) -> np.ndarray:
     """
     K, polys, pmat = _parse(scheme)
     r = len(polys)
-    nbits_in = 8 * dec_len + K
+    nbits_in = 8 * dec_len + K - 1  # payload + flush (matches encode)
     if soft is None:
         ebits = unpack_bits(np.asarray(enc, np.uint8))
         metrics = 2.0 * ebits.astype(np.float32) - 1.0  # ±1, + = bit 1

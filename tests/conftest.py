@@ -33,6 +33,27 @@ import pytest  # noqa: E402
 
 GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
 
+
+def pytest_addoption(parser):
+    parser.addoption("--slow", action="store_true", default=False,
+                     help="also run the long loopback/interop sweeps")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long sweep kept out of the default green signal "
+        "(reference autotest analog: every property still has at least one "
+        "fast representative); run with --slow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    skip = pytest.mark.skip(reason="slow sweep; run with --slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 # Reference autotest tolerance: tol = 0.001 absolute per sample
 # (reference src/filter/tests/firfilt_runtest.c:40).
 TOL = 1e-3

@@ -29,10 +29,11 @@ def _impair(f, pad=120, gain=0.6, cfo=0.003, phase=0.9, snr_db=None,
 class TestFlexFrame:
     @pytest.mark.parametrize("n,ms,fec1", [
         (40, "qpsk", "golay2412"),
-        (100, "qam16", "hamming128"),
-        (250, "psk8", "none"),
-        (17, "qam64", "rep3"),
+        pytest.param(100, "qam16", "hamming128", marks=pytest.mark.slow),
+        pytest.param(250, "psk8", "none", marks=pytest.mark.slow),
+        pytest.param(17, "qam64", "rep3", marks=pytest.mark.slow),
         (1, "bpsk", "none"),
+        (60, "qpsk", "v39"),
     ])
     def test_loopback(self, n, ms, fec1):
         rng = np.random.default_rng(n)
@@ -86,8 +87,10 @@ class TestOFDMFlexFrame:
 
 
 class TestGMSKFrame:
-    @pytest.mark.parametrize("n,fec1", [(40, "none"), (100, "golay2412"),
-                                        (25, "hamming74")])
+    @pytest.mark.parametrize("n,fec1", [
+        pytest.param(40, "none", marks=pytest.mark.slow),
+        pytest.param(100, "golay2412", marks=pytest.mark.slow),
+        (25, "hamming74")])
     def test_loopback(self, n, fec1):
         rng = np.random.default_rng(n)
         hdr = rng.integers(0, 256, GMSKFRAME_H_USER).astype(np.uint8)
@@ -98,6 +101,7 @@ class TestGMSKFrame:
         np.testing.assert_array_equal(r.header, hdr)
         np.testing.assert_array_equal(r.payload, pl)
 
+    @pytest.mark.slow
     def test_noisy(self):
         rng = np.random.default_rng(13)
         hdr = rng.integers(0, 256, GMSKFRAME_H_USER).astype(np.uint8)
@@ -340,6 +344,7 @@ class TestBidirectionalInterop:
     by THIS framework (tools/verify_interop_rx.py compiles reference-C
     receivers and feeds them our TX samples)."""
 
+    @pytest.mark.slow
     def test_reference_rx_decodes_our_tx(self):
         import pathlib
         import subprocess

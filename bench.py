@@ -71,6 +71,81 @@ def _probe() -> int:
     return 0
 
 
+def build_chain():
+    """The headline chain (BASELINE.json): mix -> 64-tap Kaiser FIR ->
+    57-tap filter -> halfband resampler.  Backend choice per platform
+    (PERF.md): the banded-tap matmul FIR maps to the MXU and beats both
+    the conv formulation (~2x) and the FFT overlap-save (1338 vs 385
+    Msps at 57 taps) on TPU; on CPU, XLA's conv and the segmented
+    fftfilt win.  The reference itself asserts fftfilt/firfilt
+    equivalence (reference examples/fftfilt_crcf_example.c), so the
+    57-tap stage is free to pick the fastest exact implementation."""
+    import jax
+
+    from liquid_dsp_tpu import chain
+    from liquid_dsp_tpu.design.firdes import firdes_kaiser
+    from liquid_dsp_tpu.ops.fir import firfilt
+    from liquid_dsp_tpu.ops.fftfilt import fftfilt
+    from liquid_dsp_tpu.ops.nco import nco
+
+    on_cpu = jax.default_backend() == "cpu"
+    stages = [nco(dphi=0.125, direction="down"),
+              firfilt(firdes_kaiser(64, 0.2, 60.0),
+                      backend="xla" if on_cpu else "matmul"),
+              fftfilt(firdes_kaiser(57, 0.3, 60.0)) if on_cpu else
+              firfilt(firdes_kaiser(57, 0.3, 60.0), backend="matmul")]
+    try:
+        from liquid_dsp_tpu.ops.resample import msresamp
+        stages.append(msresamp(0.5, 60.0))
+    except Exception:
+        pass
+    return chain(*stages)
+
+
+def planar_main(batch, T):
+    """Run the REAL complex64 chain on the accelerator with planar host
+    I/O.  The axon tunnel cannot device_put complex arrays
+    (UNIMPLEMENTED — PERF.md backend caveats) but on-device complex
+    compute is fully supported, so transfer real/imag float32 planes and
+    ``lax.complex`` them inside jit.  This measures the actual
+    public-API chain in complex64 end-to-end; only the host boundary is
+    planar.  The initial carry is built on-device by a jitted init (no
+    complex host->device transfer), and the carry stays device-resident
+    across trials."""
+    import jax
+    import jax.numpy as jnp
+
+    proc = build_chain()
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.standard_normal((batch, T)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((batch, T)).astype(np.float32))
+    carry0 = jax.jit(lambda: proc.init(batch_shape=(batch,)))()
+
+    @jax.jit
+    def step(params, c, r, i):
+        x = jax.lax.complex(r, i)
+        y, c2 = proc.apply(params, c, x)
+        # checksum must touch EVERY output nonlinearly: y is not a jit
+        # output here, and a partial or linear reduction lets XLA
+        # dead-code-eliminate / algebraically bypass the actual filtering
+        chk = jnp.sum(jnp.real(y) ** 2 + jnp.imag(y) ** 2)
+        return c2, chk
+
+    params = proc.params
+    c, chk = step(params, carry0, xr, xi)
+    float(np.asarray(chk))  # value readback (warmup/compile)
+
+    def run_trials(n):
+        t0 = time.perf_counter()
+        c, chk = carry0, None
+        for _ in range(n):
+            c, chk = step(params, c, xr, xi)
+        float(np.asarray(chk))  # value readback: proves completion
+        return time.perf_counter() - t0
+
+    return timed_throughput(run_trials, batch * T) / 1e6
+
+
 def planes_fallback(batch, T):
     """Float-plane variant of the headline chain for backends whose
     complex support is unavailable (the axon tunnel intermittently lacks
@@ -134,41 +209,17 @@ def planes_fallback(batch, T):
     return timed_throughput(run_trials, batch * T) / 1e6
 
 
-def main(cpu_fallback: bool = False, planes_only: bool = False):
+def main(cpu_fallback: bool = False, planes_only: bool = False,
+         planar_only: bool = False):
     import jax
     import jax.numpy as jnp
 
-    from liquid_dsp_tpu import chain
-    from liquid_dsp_tpu.design.firdes import firdes_kaiser
-    from liquid_dsp_tpu.ops.fir import firfilt
-    from liquid_dsp_tpu.ops.fftfilt import fftfilt
-    from liquid_dsp_tpu.ops.nco import nco
-
-    # headline chain: mix -> 64-tap Kaiser FIR -> 57-tap filter ->
-    # resampler.  Backend choice per platform (PERF.md): the banded-tap
-    # matmul FIR maps to the MXU and beats both the conv formulation
-    # (~2x) and the FFT overlap-save (1338 vs 385 Msps at 57 taps) on
-    # TPU; on CPU, XLA's conv and the segmented fftfilt win.  The
-    # reference itself asserts fftfilt/firfilt equivalence
-    # (examples/fftfilt_crcf_example.c), so the 57-tap stage is free to
-    # pick the fastest exact implementation.
-    on_cpu = jax.default_backend() == "cpu"
-    stages = [nco(dphi=0.125, direction="down"),
-              firfilt(firdes_kaiser(64, 0.2, 60.0),
-                      backend="xla" if on_cpu else "matmul"),
-              fftfilt(firdes_kaiser(57, 0.3, 60.0)) if on_cpu else
-              firfilt(firdes_kaiser(57, 0.3, 60.0), backend="matmul")]
-    try:
-        from liquid_dsp_tpu.ops.resample import msresamp
-        stages.append(msresamp(0.5, 60.0))
-    except Exception:
-        pass
-    proc = chain(*stages)
+    proc = build_chain()
 
     batch, T = 16, 1 << 17  # 2M complex samples per step
     rng = np.random.default_rng(0)
-    fallback = planes_only
-    if not fallback:
+    mode = "planes" if planes_only else "planar" if planar_only else "complex"
+    if mode == "complex":
         try:
             x = jnp.asarray((rng.standard_normal((batch, T)) +
                              1j * rng.standard_normal((batch, T))
@@ -191,21 +242,34 @@ def main(cpu_fallback: bool = False, planes_only: bool = False):
             float(np.asarray(chk))  # value readback: proves completion
         except Exception:
             # a failed eager op can poison every later transfer in this
-            # process (PERF.md backend caveats): run the float-plane
-            # fallback in a FRESH process instead of continuing here
+            # process (PERF.md backend caveats): run the next mode in a
+            # FRESH process instead of continuing here.  Next mode: the
+            # real complex chain with planar host I/O (the tunnel lacks
+            # complex device_put but supports on-device complex compute).
+            if not os.environ.get("LIQUID_BENCH_NO_REEXEC"):
+                sys.stdout.flush()
+                os.execv(sys.executable,
+                         [sys.executable, __file__, "--planar"] +
+                         (["--cpu"] if cpu_fallback else []))
+            mode = "planar"
+
+    metric_note = " [cpu fallback: tpu backend unhealthy]" if cpu_fallback \
+        else ""
+    if mode == "planar":
+        try:
+            msps = planar_main(batch, T)
+            metric_note += " [planar host I/O]"
+        except Exception:
             if not os.environ.get("LIQUID_BENCH_NO_REEXEC"):
                 sys.stdout.flush()
                 os.execv(sys.executable,
                          [sys.executable, __file__, "--planes"] +
                          (["--cpu"] if cpu_fallback else []))
-            fallback = True
-
-    metric_note = " [cpu fallback: tpu backend unhealthy]" if cpu_fallback \
-        else ""
-    if fallback:
+            mode = "planes"
+    if mode == "planes":
         msps = planes_fallback(batch, T)
         metric_note += " [float-plane fallback]"
-    else:
+    elif mode == "complex":
         def run_trials(n):
             t0 = time.perf_counter()
             c2 = carry
@@ -240,9 +304,12 @@ if __name__ == "__main__":
         # explicitly falling back to CPU
         import jax
         jax.config.update("jax_platforms", "cpu")
-        main(cpu_fallback=True, planes_only="--planes" in sys.argv)
+        main(cpu_fallback=True, planes_only="--planes" in sys.argv,
+             planar_only="--planar" in sys.argv)
     elif "--planes" in sys.argv:
         main(planes_only=True)
+    elif "--planar" in sys.argv:
+        main(planar_only=True)
     elif os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         import jax
         jax.config.update("jax_platforms", "cpu")

@@ -105,31 +105,78 @@ def firfilt(h, scale: float | complex = 1.0, name: str = "firfilt",
                 halo=L - 1)
 
 
-def fir_apply_matmul(h, carry, x, tile: int = 128):
-    """FIR as a banded-tap matmul: frames [.., nt, tile+L-1] times band
-    [tile+L-1, tile], so each tile of outputs is one MXU-shaped matmul
-    (the [B,1,T] convolution has feature dimension 1 and cannot use the
-    systolic array).  Identical output to fir_apply."""
+def _banded_matmul(h, xp, T, tile):
+    """[.., Tp] -> [.., T] banded-tap matmul; xp already carries the
+    L-1 history prefix.
+
+    Gather-free formulation: the overlapping frames
+    ``frames[k] = xp[k*tile : k*tile + tile+L-1]`` are never
+    materialized.  Instead xp is reshaped into non-overlapping tiles and
+    the [tile+L-1, tile] band matrix is split into ceil((tile+L-1)/tile)
+    square [tile, tile] blocks, so
+    ``y[k] = sum_b xpt[k+b] @ band_block[b]`` — pure reshapes + square
+    MXU matmuls.  The im2col gather this replaces measured 5-10x slower
+    on the TPU (PERF.md)."""
     L = int(h.shape[-1])
-    T = int(x.shape[-1])
     nt = -(-T // tile)
-    xp = jnp.concatenate([carry.astype(x.dtype), x], axis=-1)
-    new_carry = xp[..., xp.shape[-1] - (L - 1):] if L > 1 else carry
-    pad_r = nt * tile - T
-    if pad_r:
+    rows = tile + L - 1
+    nb = -(-rows // tile)                       # square blocks per frame
+    tot = (nt + nb - 1) * tile
+    pad_r = tot - xp.shape[-1]
+    if pad_r > 0:
         xp = jnp.pad(xp, [(0, 0)] * (xp.ndim - 1) + [(0, pad_r)])
+    elif pad_r < 0:
+        xp = xp[..., :tot]
     # banded tap matrix: band[f, j] = h[L-1-(f-j)] for 0 <= f-j < L
-    d = np.arange(tile + L - 1)[:, None] - np.arange(tile)[None, :]
+    d = np.arange(rows)[:, None] - np.arange(tile)[None, :]
     mask = jnp.asarray((d >= 0) & (d < L))
     hr = h[::-1]
     band = jnp.where(mask, hr[jnp.asarray(np.clip(d, 0, L - 1))],
                      jnp.zeros((), h.dtype))
-    idx = jnp.asarray(np.arange(nt)[:, None] * tile +
-                      np.arange(tile + L - 1)[None, :], jnp.int32)
-    frames = xp[..., idx]                       # [.., nt, tile+L-1]
-    y = frames @ band.astype(frames.dtype)      # [.., nt, tile]
-    y = y.reshape(y.shape[:-2] + (nt * tile,))[..., :T]
-    return y, new_carry
+    xpt = xp.reshape(xp.shape[:-1] + (nt + nb - 1, tile))
+    y = None
+    for b in range(nb):
+        blk = band[b * tile:(b + 1) * tile]
+        if blk.shape[0] < tile:
+            blk = jnp.pad(blk, [(0, tile - blk.shape[0]), (0, 0)])
+        seg = lax.slice_in_dim(xpt, b, b + nt, axis=-2)
+        contrib = seg @ blk.astype(seg.dtype)
+        y = contrib if y is None else y + contrib
+    return y.reshape(y.shape[:-2] + (nt * tile,))[..., :T]
+
+
+def fir_apply_matmul(h, carry, x, tile: int = 256):
+    """FIR as a banded-tap matmul: frames [.., nt, tile+L-1] times band
+    [tile+L-1, tile], so each tile of outputs is one MXU-shaped matmul
+    (the [B,1,T] convolution has feature dimension 1 and cannot use the
+    systolic array).  Identical output to fir_apply.
+
+    Real taps + complex signal take a planar fast path: the two planes
+    are stacked on a leading axis and filtered by ONE real matmul — a
+    complex-dtype matmul lowers to 3-4 real MXU passes, while filtering
+    the planes needs exactly 2 and rides the batch tiling instead."""
+    L = int(h.shape[-1])
+    T = int(x.shape[-1])
+    xp = jnp.concatenate([carry.astype(x.dtype), x], axis=-1)
+    new_carry = xp[..., xp.shape[-1] - (L - 1):] if L > 1 else carry
+    if jnp.iscomplexobj(h) and not jnp.iscomplexobj(xp):
+        xp = xp.astype(h.dtype)  # the band cast below must not drop imag
+    if jnp.iscomplexobj(xp) and not jnp.iscomplexobj(h):
+        planes = jnp.stack([jnp.real(xp), jnp.imag(xp)], axis=0)
+        y2 = _banded_matmul(h, planes, T, tile)
+        return lax.complex(y2[0], y2[1]), new_carry
+    return _banded_matmul(h, xp, T, tile), new_carry
+
+
+def fir_apply_auto(h, carry, x, stride: int = 1):
+    """fir_apply with a trace-time backend pick: the banded matmul on
+    accelerators (the feature-dim-1 conv cannot use the MXU and the
+    matmul form measures ~5x faster on the TPU tunnel — PERF.md), the
+    XLA conv on CPU where it wins."""
+    import jax as _jax
+    if stride == 1 and _jax.default_backend() != "cpu":
+        return fir_apply_matmul(h, carry, x)
+    return fir_apply(h, carry, x, stride)
 
 
 def _coerce(carry, dtype):

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..core import Proc, chain
 from ..design.windows import kaiser, kaiser_beta_as
-from .fir import firinterp, fir_apply, _as_jnp_taps
+from .fir import firinterp, fir_apply, fir_apply_auto, _as_jnp_taps
 
 __all__ = [
     "halfband_taps", "resamp2_decim", "resamp2_interp",
@@ -78,7 +78,7 @@ def resamp2_decim(m: int = 7, f0: float = 0.0, as_db: float = 60.0,
         (h1_,) = params
         xe = x[..., 0::2]
         xo = x[..., 1::2]
-        y1, we = fir_apply(h1_, carry["we"].astype(x.dtype), xe)
+        y1, we = fir_apply_auto(h1_, carry["we"].astype(x.dtype), xe)
         xop = jnp.concatenate([carry["wo"].astype(x.dtype), xo], axis=-1)
         y0 = xop[..., : xo.shape[-1]]
         new_carry = {"we": we, "wo": xop[..., xo.shape[-1]:]}
@@ -126,7 +126,7 @@ def resamp2_analyzer(m: int = 7, as_db: float = 60.0,
         x0 = x[..., 1::2]
         xp0 = jnp.concatenate([carry["w0"].astype(x.dtype), x0], axis=-1)
         yd = xp0[..., : x0.shape[-1]]
-        y1f, w1 = fir_apply(h1_, carry["w1"].astype(x.dtype), x1)
+        y1f, w1 = fir_apply_auto(h1_, carry["w1"].astype(x.dtype), x1)
         new_carry = {"w0": xp0[..., x0.shape[-1]:], "w1": w1}
         lo = y1f + yd
         hi = y1f - yd
@@ -154,7 +154,7 @@ def resamp2_synthesizer(m: int = 7, as_db: float = 60.0,
         d = lo - hi            # feeds filter branch (resamp2.c:303)
         xps = jnp.concatenate([carry["w0"].astype(s.dtype), s], axis=-1)
         yd = xps[..., : s.shape[-1]]
-        yf, w1 = fir_apply(h1_, carry["w1"].astype(d.dtype), d)
+        yf, w1 = fir_apply_auto(h1_, carry["w1"].astype(d.dtype), d)
         new_carry = {"w0": xps[..., s.shape[-1]:], "w1": w1}
         # interleave: even samples from delay branch, odd from filter
         y = jnp.stack([yd, yf], axis=-1).reshape(*yf.shape[:-1],

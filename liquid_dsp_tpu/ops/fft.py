@@ -232,17 +232,29 @@ def spgram(nfft: int, window: str = "hamming", window_len: int | None = None,
         total = buf.shape[-1]
         n_xf = max((total - window_len) // delay + 1, 0)
         psd, count = carry["psd"], carry["count"]
-        for i in range(n_xf):  # static unroll: n_xf is static given T
-            seg = lax.dynamic_slice_in_dim(buf, i * delay, window_len, axis=-1)
-            X = fft(seg * wj, nfft)
-            p = (X.real * X.real + X.imag * X.imag)
+        if n_xf > 0:
+            # all windows at once: strided gather [.., n_xf, wlen], one
+            # batched FFT, then a closed-form fold of the running average
+            # (bit-equivalent recurrences; no Python-unrolled slices)
+            idx = jnp.asarray(np.arange(n_xf)[:, None] * delay +
+                              np.arange(window_len)[None, :], jnp.int32)
+            frames = buf[..., idx]                      # [.., n_xf, wlen]
+            X = fft(frames * wj, nfft)
+            p = X.real * X.real + X.imag * X.imag       # [.., n_xf, nfft]
             if alpha < 0:
+                # uniform mean is associative: fold all n_xf at once
                 cf = count.astype(jnp.float32)[..., None]
-                psd = (psd * cf + p) / (cf + 1.0)
+                psd = (psd * cf + jnp.sum(p, axis=-2)) / (cf + n_xf)
             else:
-                psd = jnp.where((count == 0)[..., None], p,
-                                (1 - alpha) * psd + alpha * p)
-            count = count + 1
+                # EWMA psd' = (1-a)psd + a*p unrolled n_xf steps:
+                # psd_n = (1-a)^n * psd_or_p0 + sum_i a(1-a)^(n-1-i) p_i,
+                # where a fresh accumulator (count==0) seeds from p_0
+                wts = (alpha * (1 - alpha)
+                       ** np.arange(n_xf - 1, -1, -1)).astype(np.float32)
+                base = jnp.einsum("...kf,k->...f", p, jnp.asarray(wts))
+                seed = jnp.where((count == 0)[..., None], p[..., 0, :], psd)
+                psd = (1 - alpha) ** n_xf * seed + base
+            count = count + n_xf
         consumed = n_xf * delay
         new_buf = buf[..., consumed:][..., -window_len:]
         if new_buf.shape[-1] < window_len:

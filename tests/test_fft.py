@@ -81,6 +81,64 @@ class TestSpgram:
         line = asgram_render(np.linspace(-80, 0, 64))
         assert isinstance(line, str) and len(line) == 64
 
+    def test_ewma_matches_sequential(self):
+        # the batched closed-form EWMA fold must equal the reference's
+        # per-transform recurrence psd' = (1-a)psd + a|X|^2 (spgram.c
+        # accumulate path), including the count==0 seed-from-first case
+        from liquid_dsp_tpu.ops.fft import spgram
+        from liquid_dsp_tpu.design.windows import window as make_window
+        import jax.numpy as jnp
+        nfft, wlen, delay, alpha = 64, 32, 16, 0.1
+        q = spgram(nfft=nfft, window_len=wlen, delay=delay, alpha=alpha)
+        rng = np.random.default_rng(7)
+        w = np.asarray(make_window("hamming", wlen))
+        w = w / np.sqrt(np.sum(w * w))
+        c = q.init(batch_shape=())
+        buf = np.zeros(wlen, np.complex64)
+        psd_ref, count = np.zeros(nfft), 0
+        for _ in range(2):  # streaming across blocks too
+            x = (rng.standard_normal(256) + 1j * rng.standard_normal(256)
+                 ).astype(np.complex64)
+            psd, c = q.apply(q.params, c, jnp.asarray(x))
+            buf = np.concatenate([buf, x])
+            n_xf = (len(buf) - wlen) // delay + 1
+            for i in range(n_xf):
+                X = np.fft.fft(buf[i * delay:i * delay + wlen] * w, nfft)
+                p = np.abs(X) ** 2
+                psd_ref = p if count == 0 else (1 - alpha) * psd_ref + alpha * p
+                count += 1
+            buf = buf[n_xf * delay:][-wlen:]
+            if len(buf) < wlen:  # carry keeps a full left-zero-padded window
+                buf = np.concatenate([np.zeros(wlen - len(buf),
+                                               np.complex64), buf])
+        assert int(np.asarray(c["count"])) == count
+        np.testing.assert_allclose(np.asarray(psd), psd_ref, rtol=2e-3,
+                                   atol=1e-4)
+
+    def test_large_block_single_fft_batch(self):
+        # T=256k in one block: must trace as ONE gather + ONE batched FFT
+        # (the old impl statically unrolled ~thousands of FFT slices)
+        from liquid_dsp_tpu.ops.fft import spgram
+        import jax
+        import jax.numpy as jnp
+        q = spgram(nfft=256, window_len=128, delay=64)
+        x = jnp.zeros(1 << 18, jnp.complex64)
+        jaxpr = jax.make_jaxpr(
+            lambda c, xx: q.apply(q.params, c, xx))(q.init(), x)
+
+        def count_ffts(jx):
+            n = 0
+            for e in jx.eqns:
+                if e.primitive.name == "fft":
+                    n += 1
+                for v in e.params.values():  # recurse into pjit bodies
+                    if hasattr(v, "jaxpr"):
+                        n += count_ffts(v.jaxpr)
+            return n
+
+        n_ffts = count_ffts(jaxpr.jaxpr)
+        assert n_ffts == 1, n_ffts
+
 
 class TestSpgramGolden:
     """spgram one-shot PSD vs the compiled reference (spgram case in

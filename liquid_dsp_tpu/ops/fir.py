@@ -26,6 +26,7 @@ from ..core import Proc
 from .dotprod import conv1d
 
 __all__ = ["firfilt", "firdecim", "firinterp", "firpfb_execute", "firhilb",
+           "firhilb_interp", "firhilb_r2c", "firhilb_c2r",
            "autocorr", "fir_freqresponse", "fir_apply"]
 
 
@@ -291,6 +292,83 @@ def firhilb(m: int = 5, as_db: float = 60.0, name: str = "firhilb"):
     r2c = Proc(params={"hq": heff_j}, init=init, apply=apply_r2c,
                rate=(1, 2), name=name + "_r2c")
     return r2c
+
+
+def _hilbert_branches(m: int, as_db: float):
+    """(him, heff): full 4m+1-tap imaginary branch of the Hilbert
+    prototype and its 2m odd-sample taps (reference firhilb.c:90-101)."""
+    from ..design.firdes import firdes_kaiser
+    h_len = 4 * m + 1
+    h = firdes_kaiser(h_len, 0.25, as_db, 0.0)
+    t = np.arange(h_len, dtype=np.float64) - (h_len - 1) / 2.0
+    him = np.imag(h * np.exp(1j * 0.5 * np.pi * t))
+    return him.astype(np.float32), him[1::2].astype(np.float32)
+
+
+def firhilb_interp(m: int = 5, as_db: float = 60.0,
+                   name: str = "firhilb_interp") -> Proc:
+    """Hilbert 1:2 interpolator, complex [..., T] -> real [..., 2T]
+    (reference firhilb.c:269-284 interp_execute): even outputs are the
+    imaginary part delayed m input samples, odd outputs are the real
+    part through the 2m-tap quadrature branch.  Sample-exact vs the
+    reference window/dotprod loop."""
+    _, heff = _hilbert_branches(m, as_db)
+    heff_j = jnp.asarray(heff)
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return {"x": jnp.zeros(batch_shape + (2 * m,), jnp.complex64)}
+
+    def apply(params, carry, x):
+        (hq,) = params
+        xp = jnp.concatenate([carry["x"].astype(x.dtype), x], axis=-1)
+        T = x.shape[-1]
+        y_even = jnp.imag(xp[..., m: m + T])        # w0 index m-1 = delay m
+        y_odd = conv1d(jnp.real(xp), hq)[..., 1: T + 1]
+        y = jnp.stack([y_even, y_odd], axis=-1)
+        y = y.reshape(y.shape[:-2] + (2 * T,))
+        return y, {"x": xp[..., xp.shape[-1] - 2 * m:]}
+
+    return Proc(params=(heff_j,), init=init, apply=apply, rate=(2, 1),
+                name=name)
+
+
+def firhilb_r2c(m: int = 5, as_db: float = 60.0,
+                name: str = "firhilb_r2c") -> Proc:
+    """Single-rate Hilbert transform, real [..., T] -> analytic complex
+    [..., T] (reference firhilb.c:172-210 r2c_execute): the toggled
+    two-window polyphase is algebraically the full 4m+1-tap filter —
+    in-phase = x delayed 2m samples (center tap), quadrature = conv
+    with the odd-tap imaginary branch.  Sample-exact vs the reference
+    toggle loop."""
+    him, _ = _hilbert_branches(m, as_db)
+    him_j = jnp.asarray(him)
+    hist = 4 * m
+
+    def init(batch_shape=(), dtype=jnp.float32):
+        return {"x": jnp.zeros(batch_shape + (hist,), jnp.float32)}
+
+    def apply(params, carry, x):
+        (h,) = params
+        xp = jnp.concatenate([carry["x"].astype(x.dtype), x], axis=-1)
+        T = x.shape[-1]
+        yi = xp[..., 2 * m: 2 * m + T]
+        yq = conv1d(xp, h)[..., :T]
+        return lax.complex(yi, yq), {"x": xp[..., xp.shape[-1] - hist:]}
+
+    return Proc(params=(him_j,), init=init, apply=apply, rate=(1, 1),
+                name=name)
+
+
+def firhilb_c2r(name: str = "firhilb_c2r") -> Proc:
+    """Single-rate complex -> real: the real part (reference
+    firhilb.c:217-222 c2r_execute is exactly crealf)."""
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return ()
+
+    def apply(params, carry, x):
+        return jnp.real(x), carry
+
+    return Proc(params=(), init=init, apply=apply, rate=(1, 1), name=name)
 
 
 def autocorr(window_size: int, delay: int, name: str = "autocorr") -> Proc:

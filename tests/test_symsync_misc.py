@@ -235,6 +235,101 @@ class TestMiscGolden:
         assert np.abs(np.asarray(y) - fg["firhilb_y"]).max() < 1e-5
 
 
+def _hilb_ref_windows(m, as_db):
+    """hq exactly as reference firhilb.c:90-101 builds it (reversed
+    odd-sample imaginary branch) plus a window helper."""
+    from liquid_dsp_tpu.ops.fir import _hilbert_branches
+    him, _ = _hilbert_branches(m, as_db)
+    h_len = 4 * m + 1
+    hq = np.array([him[h_len - 1 - i] for i in range(1, h_len, 2)])
+    return him, hq
+
+
+class TestFirhilbForms:
+    """interp (c2r 1:2) and single-rate r2c vs a literal numpy replica
+    of the reference window/dotprod loops (firhilb.c:172-300)."""
+
+    def test_interp_sample_exact_vs_reference_loop(self):
+        from liquid_dsp_tpu.ops.fir import firhilb_interp
+        m, as_db, n = 5, 60.0, 200
+        _, hq = _hilb_ref_windows(m, as_db)
+        rng = np.random.default_rng(11)
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64)
+        # reference loop: w0/w1 are 2m windows, oldest first
+        w0 = np.zeros(2 * m)
+        w1 = np.zeros(2 * m)
+        ref = np.zeros(2 * n, np.float32)
+        for i in range(n):
+            w0 = np.append(w0[1:], x[i].imag)
+            ref[2 * i] = w0[m - 1]
+            w1 = np.append(w1[1:], x[i].real)
+            ref[2 * i + 1] = np.dot(hq, w1)
+        q = firhilb_interp(m, as_db)
+        y, _ = q(jnp.asarray(x), batch_shape=())
+        assert np.abs(np.asarray(y) - ref).max() < 1e-5
+
+    def test_r2c_sample_exact_vs_reference_loop(self):
+        from liquid_dsp_tpu.ops.fir import firhilb_r2c
+        m, as_db, n = 4, 60.0, 200
+        _, hq = _hilb_ref_windows(m, as_db)
+        rng = np.random.default_rng(12)
+        x = rng.standard_normal(n).astype(np.float32)
+        # reference toggle loop (firhilb.c:172-210)
+        w0 = np.zeros(2 * m)
+        w1 = np.zeros(2 * m)
+        toggle = 0
+        ref = np.zeros(n, np.complex64)
+        for i in range(n):
+            if toggle == 0:
+                w0 = np.append(w0[1:], x[i])
+                yi = w0[m - 1]
+                yq = np.dot(hq, w1)
+            else:
+                w1 = np.append(w1[1:], x[i])
+                yi = w1[m - 1]
+                yq = np.dot(hq, w0)
+            toggle = 1 - toggle
+            ref[i] = yi + 1j * yq
+        q = firhilb_r2c(m, as_db)
+        y, _ = q(jnp.asarray(x), batch_shape=())
+        assert np.abs(np.asarray(y) - ref).max() < 1e-5
+
+    def test_r2c_analytic_suppresses_negative_freq(self):
+        from liquid_dsp_tpu.ops.fir import firhilb_r2c
+        m, n, f0 = 7, 4096, 0.17
+        x = np.cos(2 * np.pi * f0 * np.arange(n)).astype(np.float32)
+        q = firhilb_r2c(m, 60.0)
+        y, _ = q(jnp.asarray(x), batch_shape=())
+        Y = np.abs(np.fft.fft(np.asarray(y)[200:]))
+        pos = Y[int(f0 * (n - 200)) - 5:int(f0 * (n - 200)) + 5].max()
+        neg = Y[-int(f0 * (n - 200)) - 5:-int(f0 * (n - 200)) + 5].max()
+        assert 20 * np.log10(pos / neg) > 50
+
+    def test_interp_then_r2c_streaming_consistency(self):
+        # streaming across 4 blocks must equal one-shot
+        from liquid_dsp_tpu.ops.fir import firhilb_interp
+        m = 5
+        rng = np.random.default_rng(13)
+        x = (rng.standard_normal(256) + 1j * rng.standard_normal(256)
+             ).astype(np.complex64)
+        q = firhilb_interp(m)
+        y1, _ = q(jnp.asarray(x), batch_shape=())
+        c = q.init(batch_shape=())
+        parts = []
+        for b in range(4):
+            yb, c = q.apply(q.params, c, jnp.asarray(x[b * 64:(b + 1) * 64]))
+            parts.append(np.asarray(yb))
+        assert np.abs(np.concatenate(parts) - np.asarray(y1)).max() < 1e-6
+
+    def test_c2r_roundtrip(self):
+        from liquid_dsp_tpu.ops.fir import firhilb_c2r
+        x = (np.arange(8) + 1j * np.ones(8)).astype(np.complex64)
+        q = firhilb_c2r()
+        y, _ = q(jnp.asarray(x), batch_shape=())
+        assert np.abs(np.asarray(y) - np.arange(8)).max() == 0
+
+
 class TestLpcGroupDelayGolden:
     """lpc and group delay vs the compiled reference (cases in tools/
     gen_flexframe_golden.py)."""

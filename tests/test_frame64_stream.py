@@ -1,0 +1,171 @@
+"""Streaming multi-frame framesync64: every frame in an unbounded
+stream decodes exactly once, across block boundaries, under channel
+impairments, batched over channels — the reference's callback-per-frame
+re-arm semantics (reference src/framing/src/framesync64.c:241-269)
+realized as a jittable detect-everywhere block Proc."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from liquid_dsp_tpu.framing.frame64 import (
+    FRAME64_LEN, framegen64, framesync64_stream, Framesync64)
+
+
+def _mkframe(rng):
+    h = rng.integers(0, 256, 8).astype(np.uint8)
+    p = rng.integers(0, 256, 64).astype(np.uint8)
+    return h, p, framegen64(h, p)
+
+
+def _stream(rng, frames, gaps, tail=2000, noise=0.005):
+    parts = []
+    starts = []
+    pos = 0
+    for (h, p, f), gap in zip(frames, gaps):
+        parts.append(np.zeros(gap, np.complex64))
+        pos += gap
+        starts.append(pos)
+        parts.append(f)
+        pos += FRAME64_LEN
+    parts.append(np.zeros(tail, np.complex64))
+    x = np.concatenate(parts)
+    x = x + noise * (rng.standard_normal(len(x)) +
+                     1j * rng.standard_normal(len(x))).astype(np.complex64)
+    return x.astype(np.complex64), starts
+
+
+def _run(x, block_len=4096, threshold=0.5):
+    fs = Framesync64(block_len=block_len, threshold=threshold)
+    got = fs.execute(x)
+    got += fs.flush()
+    return got
+
+
+class TestMultiFrame:
+    def test_k_frames_random_offsets_all_decode(self):
+        rng = np.random.default_rng(1)
+        frames = [_mkframe(rng) for _ in range(5)]
+        gaps = [int(rng.integers(200, 3000)) for _ in range(5)]
+        x, starts = _stream(rng, frames, gaps)
+        got = _run(x)
+        assert len(got) == 5
+        for (h, p, _), (gh, hok, gp, pok, st) in zip(frames, got):
+            assert hok and pok
+            np.testing.assert_array_equal(gh, h)
+            np.testing.assert_array_equal(gp, p)
+        # arrival order and sample indices within a couple of samples
+        idxs = [g[4]["sample_index"] for g in got]
+        assert idxs == sorted(idxs)
+        for i, s0 in enumerate(starts):
+            assert abs(idxs[i] - s0) <= 2, (i, idxs[i], s0)
+
+    def test_frame_straddles_every_block_phase(self):
+        # frame start swept across a block boundary: exactly-once
+        # emission regardless of where the frame lands relative to the
+        # block grid (the emit window must tile absolute time)
+        rng = np.random.default_rng(2)
+        h, p, f = _mkframe(rng)
+        B = 2048
+        for start in [B - 1441, B - 720, B - 1, B, B + 1, 2 * B - 300]:
+            x = np.zeros(start + FRAME64_LEN + 3000, np.complex64)
+            x[start:start + FRAME64_LEN] = f
+            got = _run(x, block_len=B)
+            assert len(got) == 1, (start, len(got))
+            gh, hok, gp, pok, st = got[0]
+            assert hok and np.array_equal(gp, p), start
+            assert abs(st["sample_index"] - start) <= 2
+
+    def test_channel_impairments(self):
+        # cfo + phase + gain + noise, mirroring the one-shot margins
+        rng = np.random.default_rng(3)
+        frames = [_mkframe(rng) for _ in range(3)]
+        gaps = [500, 1700, 900]
+        x, starts = _stream(rng, frames, gaps, noise=0.0)
+        t = np.arange(len(x))
+        x = (x * 0.2 * np.exp(1j * (0.008 * t + 1.0))).astype(np.complex64)
+        sigma = 0.2 * 10 ** (-15 / 20) / np.sqrt(2)
+        x = (x + sigma * (rng.standard_normal(len(x)) +
+                          1j * rng.standard_normal(len(x)))
+             ).astype(np.complex64)
+        got = _run(x)
+        assert len(got) == 3
+        for (h, p, _), g in zip(frames, got):
+            assert g[1] and np.array_equal(g[2], p)
+            assert abs(g[4]["cfo"] - 0.008) < 5e-4
+
+    def test_interop_reference_frame(self):
+        import pathlib
+        path = pathlib.Path(__file__).parent / "golden/frame64_golden.npz"
+        if not path.exists():
+            pytest.skip("frame64_golden.npz not generated")
+        fg = dict(np.load(path))
+        x = np.concatenate([np.zeros(777, np.complex64), fg["frame"],
+                            np.zeros(600, np.complex64)])
+        got = _run(x)
+        assert len(got) == 1
+        gh, hok, gp, pok, st = got[0]
+        assert hok
+        np.testing.assert_array_equal(gh, fg["header"])
+        np.testing.assert_array_equal(gp, fg["payload"])
+
+    def test_back_to_back_frames(self):
+        # frames with minimal gaps: all must decode (re-arm semantics)
+        rng = np.random.default_rng(4)
+        frames = [_mkframe(rng) for _ in range(4)]
+        gaps = [100, 60, 60, 60]
+        x, starts = _stream(rng, frames, gaps)
+        got = _run(x)
+        assert len(got) == 4
+        for (h, p, _), g in zip(frames, got):
+            assert g[1] and np.array_equal(g[2], p)
+
+    def test_no_false_frames_on_noise(self):
+        rng = np.random.default_rng(5)
+        x = (0.3 * (rng.standard_normal(20000) +
+                    1j * rng.standard_normal(20000))).astype(np.complex64)
+        got = _run(x)
+        assert len(got) == 0
+
+
+class TestBatchedChannels:
+    def test_vmap_two_channels(self):
+        rng = np.random.default_rng(6)
+        (h0, p0, f0), (h1, p1, f1) = _mkframe(rng), _mkframe(rng)
+        T = 4096
+        x = np.zeros((2, 2 * T), np.complex64)
+        x[0, 300:300 + FRAME64_LEN] = f0
+        x[1, 2500:2500 + FRAME64_LEN] = f1
+        proc = framesync64_stream(T)
+        carry = proc.init(batch_shape=(2,))
+        outs = []
+        for b in range(2):
+            out, carry = proc.apply((), carry, jnp.asarray(x[:, b * T:(b + 1) * T]))
+            outs.append(jax.tree_util.tree_map(np.asarray, out))
+        # drain: channel 0 frame at 300, channel 1 frame at 2500
+        hits = {}
+        for out in outs:
+            for ch in range(2):
+                for s in range(out.valid.shape[1]):
+                    if out.valid[ch, s]:
+                        hits.setdefault(ch, []).append(
+                            (int(out.sample_index[ch, s]),
+                             out.symbols[ch, s]))
+        assert len(hits[0]) == 1 and len(hits[1]) == 1
+        assert abs(hits[0][0][0] - 300) <= 2
+        assert abs(hits[1][0][0] - 2500) <= 2
+        from liquid_dsp_tpu.framing.qpacket import qpacketmodem_decode
+        for ch, (h, p) in [(0, (h0, p0)), (1, (h1, p1))]:
+            by, ok = qpacketmodem_decode(hits[ch][0][1], 72, "crc24",
+                                         "none", "golay2412", "qpsk")
+            assert ok
+            np.testing.assert_array_equal(by[:8], h)
+            np.testing.assert_array_equal(by[8:], p)
+
+    def test_jit_compiles_once_per_shape(self):
+        proc = framesync64_stream(2048)
+        f = jax.jit(proc.apply)
+        c = proc.init()
+        x = jnp.zeros(2048, jnp.complex64)
+        out, c = f((), c, x)
+        assert not bool(np.asarray(out.valid).any())

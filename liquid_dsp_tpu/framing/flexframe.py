@@ -25,12 +25,12 @@ from ..design.firdes import firdes_arkaiser
 from ..ops.fir import firinterp
 from .qpacket import (qpacketmodem_encode, qpacketmodem_decode,
                       qpacketmodem_frame_len, qpilotgen, qpilotsync,
-                      qpilot_frame_len)
+                      qpilot_frame_len, qpilot_pilots)
 from .frame64 import frame64_preamble
 from .detector import qdetector_detect
 
 __all__ = ["flexframegen", "flexframesync", "FlexFrameResult",
-           "FLEXFRAME_H_USER"]
+           "FLEXFRAME_H_USER", "flexframesync_stream", "FlexFrameSync"]
 
 _K = 2
 _M = 7
@@ -197,3 +197,274 @@ def flexframesync(x, threshold: float = 0.5) -> FlexFrameResult:
                                  + 1e-12))
     return FlexFrameResult(True, True, bool(ok), hdr[:FLEXFRAME_H_USER],
                            payload, ms, n_payload, evm_db)
+
+
+# ---------------------------------------------------------------------------
+# TPU-resident streaming multi-frame receiver
+# ---------------------------------------------------------------------------
+#
+# Same detect-everywhere streaming core as framesync64 (stream_rx.py),
+# but the payload length is only known after the header decodes
+# (reference src/framing/src/flexframesync.c: the rxheader state
+# computes payload geometry at runtime).  Two-stage TPU design:
+#
+#   stage 1 (device, one jit per block): detect + refine + matched-filter
+#     the FIXED-length header region, pilot-sync it, emit corrected
+#     header symbols + per-candidate channel estimates.
+#   stage 2 (host decodes the ~26 header bytes; device gathers the
+#     payload): payload symbol count is bucketed to the next power of
+#     two so each bucket compiles exactly once; the gather/mix/MF/
+#     carrier-correction runs as one batched jit over the raw-sample
+#     window the host wrapper retains.
+#
+# The host wrapper (FlexFrameSync) owns the callback contract and the
+# re-arm semantics over the VARIABLE frame span (device-side suppression
+# only covers the header span, which is the minimum preamble spacing).
+
+import jax
+from jax import lax
+from functools import partial
+
+from ..core import Proc
+from .stream_rx import (StreamRxConfig, StreamRxBlock, preamble_stream,
+                        mf_symbol_gather, STREAM_HIST)
+
+
+def _n_lead():
+    return 64 + 2 * _M
+
+
+def _pilot_nfft(npil: int) -> int:
+    """qpilotsync FFT sizing (reference qpilotsync.c:127)."""
+    return 1 << int(np.ceil(np.log2(npil + (npil >> 1))))
+
+
+def flexframesync_stream(block_len: int, threshold: float = 0.5,
+                         max_frames: int = 6,
+                         name: str = "flexframesync_stream") -> Proc:
+    """Streaming flexframe HEADER-stage receiver as a jittable block Proc.
+
+    apply(params, carry, x[..., block_len]) -> (StreamRxBlock, carry').
+    region_syms holds the pilot-corrected header region (pilots still
+    in place); feed the non-pilot symbols to qpacketmodem_decode to
+    recover the header, then gather the payload with
+    flexframe_payload_gather.  block_len must be a multiple of 256.
+    """
+    h_sym_len, h_mod_len = _header_syms_len()
+    pilots = np.asarray(qpilot_pilots(h_mod_len, 16))
+    cfg = StreamRxConfig(
+        template=_detector_template(),
+        bank=_mf_bank(),
+        region_start=_n_lead(),
+        region_len=h_sym_len,
+        pilots=pilots,
+        pilot_spacing=16,
+        pilot_nfft=_pilot_nfft(len(pilots)),
+        # minimum preamble spacing: preamble + header (payload >= 1 sym)
+        suppress_span=_K * (64 + h_sym_len) - 8,
+        k=_K)
+    return preamble_stream(int(block_len), cfg, threshold=threshold,
+                           max_frames=max_frames, name=name)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _payload_gather_jit(n_sym: int, start_sym: int, x_win, bank,
+                        n0, off_s, dphi, phi, gamma, b_idx,
+                        dphi2, phi2, g2, h_sym_len):
+    """Bucketed payload gather: mix/MF/sample `n_sym` symbols starting at
+    frame symbol `start_sym` from a raw-sample window, then extend the
+    header-pilot carrier correction across them (one-shot analog:
+    flexframesync lines 186-191 above)."""
+    sym = mf_symbol_gather(x_win[None, :][0], n0[None], off_s[None],
+                           dphi[None], phi[None], gamma[None], bank,
+                           b_idx[None], n_sym, start_sym=start_sym)[0]
+    i_all = jnp.arange(n_sym, dtype=jnp.float32) + h_sym_len
+    ph2 = dphi2 * i_all + phi2
+    corr = lax.complex(jnp.cos(ph2), -jnp.sin(ph2)) / jnp.maximum(g2, 1e-12)
+    return sym * corr
+
+
+class FlexFrameSync:
+    """Callback-contract wrapper over the streaming Proc: the analog of
+    the reference flexframesync object (create/execute/callback-per-
+    frame, reference flexframesync.c).  Feed arbitrary-length sample
+    arrays via execute(); the callback fires once per frame with
+    (header bytes, header_ok, payload bytes, payload_ok, stats dict).
+    Sample-domain work runs in two jits (header stage per block; payload
+    gather per power-of-two symbol bucket); byte-domain FEC runs here on
+    host."""
+
+    _PAD = 64   # raw-window margin around the MF gather (>= Lb)
+
+    def __init__(self, callback=None, block_len: int = 4096,
+                 threshold: float = 0.5, max_frames: int = 6):
+        self.callback = callback
+        self.block_len = int(block_len)
+        self._proc = flexframesync_stream(self.block_len, threshold,
+                                          max_frames)
+        self._carry = self._proc.init()
+        self._jit = jax.jit(self._proc.apply)
+        self._pending = np.zeros(0, np.complex64)
+        self._h_sym_len, self._h_mod_len = _header_syms_len()
+        self._n_first = _n_lead() + self._h_sym_len
+        self._bank = jnp.asarray(_mf_bank()[:, ::-1].astype(np.float32))
+        # raw-sample retention for stage 2: ring with absolute base index
+        self._ring = np.zeros(0, np.complex64)
+        self._ring_base = 0
+        self._abs_fed = 0
+        self._cands: list = []     # undecoded candidates (dict of meta)
+        self._armed_until = -(1 << 60)
+        self.frames: list = []
+        self.num_frames_detected = 0
+
+    def execute(self, x):
+        """Consume samples; fire the callback per decoded frame.  Any
+        remainder shorter than block_len is buffered for the next call."""
+        self._pending = np.concatenate(
+            [self._pending, np.asarray(x, np.complex64)])
+        results = []
+        while len(self._pending) >= self.block_len:
+            blk = self._pending[:self.block_len]
+            self._pending = self._pending[self.block_len:]
+            self._ring = np.concatenate([self._ring, blk])
+            self._abs_fed += self.block_len
+            out, self._carry = self._jit((), self._carry, jnp.asarray(blk))
+            self._collect(out)
+            results.extend(self._drain())
+            self._trim()
+        return results
+
+    def flush(self):
+        """Process buffered samples (zero-padded) plus enough zero blocks
+        to flush frames still inside the history window."""
+        tail = int(np.ceil((STREAM_HIST + self.block_len) / self.block_len))
+        pad = (-len(self._pending)) % self.block_len + tail * self.block_len
+        out = self.execute(np.zeros(pad, np.complex64))
+        # stream over: finish any pending candidate with zero-padding
+        out.extend(self._drain(final=True))
+        return out
+
+    # ---- internals ----
+
+    def _collect(self, out: StreamRxBlock):
+        o = jax.tree_util.tree_map(np.asarray, out)
+        for p in range(len(o.valid)):
+            if not o.valid[p]:
+                continue
+            self._cands.append({
+                "n0": int(o.sample_index[p]), "rxy": float(o.rxy[p]),
+                "gamma": float(o.gamma[p]), "dphi": float(o.dphi[p]),
+                "phi": float(o.phi[p]), "tau": float(o.tau[p]),
+                "b_idx": int(o.b_idx[p]), "off_s": int(o.off_s[p]),
+                "dphi2": float(o.dphi2[p]), "phi2": float(o.phi2[p]),
+                "g2": float(o.g2[p]), "region": o.region_syms[p],
+                "hdr": None})
+        self._cands.sort(key=lambda c: c["n0"])
+
+    def _header_decode(self, c):
+        region = c["region"]
+        mask = np.arange(self._h_sym_len) % 16 == 0
+        h_mod = region[~mask][: self._h_mod_len]
+        hdr, h_ok = qpacketmodem_decode(h_mod, FLEXFRAME_H_USER + 6,
+                                        _H_CRC, _H_FEC0, _H_FEC1, _H_MOD)
+        geom = None
+        if h_ok and hdr[FLEXFRAME_H_USER] == _PROTOCOL:
+            n_payload = (int(hdr[FLEXFRAME_H_USER + 1]) << 8) | \
+                int(hdr[FLEXFRAME_H_USER + 2])
+            try:
+                ms = modem_from_wire(int(hdr[FLEXFRAME_H_USER + 3]))
+                crc = crc_from_wire(
+                    (int(hdr[FLEXFRAME_H_USER + 4]) >> 5) & 0x07)
+                fec0 = fec_from_wire(int(hdr[FLEXFRAME_H_USER + 4]) & 0x1F)
+                fec1 = fec_from_wire(int(hdr[FLEXFRAME_H_USER + 5]) & 0x1F)
+                p_sym_len = qpacketmodem_frame_len(n_payload, crc, fec0,
+                                                   fec1, ms)
+                geom = (n_payload, ms, crc, fec0, fec1, p_sym_len)
+            except (ValueError, KeyError):
+                h_ok = False
+        else:
+            h_ok = False
+        c["hdr"] = (hdr if hdr is not None else None, h_ok, geom)
+
+    def _drain(self, final: bool = False):
+        res = []
+        while self._cands:
+            c = self._cands[0]
+            if c["n0"] < self._armed_until:       # inside a decoded frame
+                self._cands.pop(0)
+                continue
+            if c["hdr"] is None:
+                self._header_decode(c)
+            hdr, h_ok, geom = c["hdr"]
+            if not h_ok:
+                self._cands.pop(0)
+                self.num_frames_detected += 1
+                self._armed_until = c["n0"] + _K * (64 + self._h_sym_len)
+                frame = (None if hdr is None else hdr[:FLEXFRAME_H_USER],
+                         False, None, False, self._stats(c, 0, ""))
+                self._emit(frame)
+                res.append(frame)
+                continue
+            n_payload, ms, crc, fec0, fec1, p_sym_len = geom
+            end_abs = c["n0"] + _K * (self._n_first + p_sym_len) + self._PAD
+            if end_abs > self._abs_fed and not final:
+                break                              # wait for more samples
+            self._cands.pop(0)
+            self.num_frames_detected += 1
+            p_rx = self._gather_payload(c, p_sym_len, end_abs)
+            payload, ok = qpacketmodem_decode(p_rx, n_payload, crc, fec0,
+                                              fec1, ms)
+            self._armed_until = c["n0"] + _K * (self._n_first + p_sym_len) - 8
+            frame = (hdr[:FLEXFRAME_H_USER].copy(), True, payload, bool(ok),
+                     self._stats(c, n_payload, ms, p_rx))
+            self._emit(frame)
+            res.append(frame)
+        return res
+
+    def _gather_payload(self, c, p_sym_len, end_abs):
+        bucket = max(64, 1 << int(np.ceil(np.log2(p_sym_len))))
+        a0 = c["n0"] - self._PAD
+        a1 = c["n0"] + _K * (self._n_first + bucket) + self._PAD
+        i0, i1 = a0 - self._ring_base, a1 - self._ring_base
+        win = np.zeros(i1 - i0, np.complex64)
+        s0, s1 = max(i0, 0), min(i1, len(self._ring))
+        if s1 > s0:
+            win[s0 - i0: s1 - i0] = self._ring[s0:s1]
+        syms = _payload_gather_jit(
+            bucket, self._n_first, jnp.asarray(win), self._bank,
+            jnp.int32(c["n0"] - a0), jnp.int32(c["off_s"]),
+            jnp.float32(c["dphi"]), jnp.float32(c["phi"]),
+            jnp.float32(c["gamma"]), jnp.int32(c["b_idx"]),
+            jnp.float32(c["dphi2"]), jnp.float32(c["phi2"]),
+            jnp.float32(c["g2"]), jnp.float32(self._h_sym_len))
+        return np.asarray(syms)[:p_sym_len]
+
+    def _stats(self, c, n_payload, ms, p_rx=None):
+        st = {"rxy": c["rxy"],
+              "rssi_db": float(20 * np.log10(max(c["gamma"], 1e-12))),
+              "cfo": c["dphi"] + c["dphi2"] / _K,
+              "sample_index": c["n0"], "payload_len": n_payload, "ms": ms,
+              "evm_db": 0.0}
+        if p_rx is not None and len(p_rx) and ms:
+            from ..modem import constellation, demodulate, modulate
+            table = constellation(ms)
+            ref = np.asarray(modulate(table, demodulate(
+                table, jnp.asarray(p_rx))))
+            st["evm_db"] = float(20 * np.log10(
+                np.sqrt(np.mean(np.abs(p_rx - ref) ** 2)) + 1e-12))
+        return st
+
+    def _emit(self, frame):
+        self.frames.append(frame)
+        if self.callback is not None:
+            self.callback(*frame)
+
+    def _trim(self):
+        """Drop ring samples no candidate can still reference."""
+        keep_from = self._abs_fed - STREAM_HIST - self.block_len
+        if self._cands:
+            keep_from = min(keep_from, self._cands[0]["n0"] - self._PAD)
+        cut = keep_from - self._ring_base
+        if cut > 0:
+            self._ring = self._ring[cut:]
+            self._ring_base += cut

@@ -1,0 +1,323 @@
+"""Generic streaming preamble-synchronized receiver core.
+
+All of liquid's single-carrier framers share one receiver skeleton
+(reference src/framing/src/framesync64.c:241-269, flexframesync.c: the
+detect/rxpreamble/... state machines): find a known interpolated
+preamble in an unbounded stream, estimate timing/carrier/gain, matched-
+filter at 2 samples/symbol, pilot-sync a fixed region, hand symbols to
+byte-domain decoding.  The TPU re-design here keeps those semantics
+(every frame decodes exactly once, in order) with none of the per-sample
+state machine: each block is processed by a fully vectorized
+detect-everywhere pipeline and the only inter-block state is a fixed
+sample-history buffer plus a re-arm watermark.
+
+  * carry: the last `hist` samples + the absolute index of the buffer
+    head.  `hist` covers the longest look-back any stage needs, so a
+    frame is emitted in the (unique) block whose emit window contains
+    its start sample.
+  * detection: half-overlapped `nfft`-point FFT segments over the whole
+    buffer, cross-correlated against the frequency-domain template for
+    2*range_bins+1 carrier-bin hypotheses (identical math to
+    qdetector_cccf seek, reference qdetector_cccf.c:373-441).  Each
+    buffer position is owned by exactly ONE segment (lags restricted to
+    [0, hop)), and the segment grid advances by exactly the block
+    length per block, so detection is deterministic across block
+    boundaries and no cross-block dedup is needed.
+  * emission: candidates whose start position falls in the first T
+    buffer positions — a window that advances by T per block and
+    therefore tiles absolute time: each frame fires exactly once.
+  * decode: up to `max_frames` candidate slots are refined (quadratic
+    timing/carrier interpolation), mixed, matched-filtered at the
+    per-slot polyphase branch, and pilot-synced as one batched
+    computation with static shapes; invalid slots carry a validity
+    mask (the fixed max-frames-per-block design from SURVEY.md §7).
+
+Framers build on this: frame64 post-processes the synced region into
+payload symbols in the same jit; flexframe uses the region as its
+header and gathers the variable-length payload in a second bucketed
+stage (see flexframe.py).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import Proc
+
+__all__ = ["StreamRxBlock", "StreamRxConfig", "preamble_stream",
+           "quad_peak", "mf_symbol_gather", "STREAM_HIST"]
+
+STREAM_HIST = 1536            # history samples carried between blocks
+_DET_NFFT = 512               # detection segment size (2*next_pow2(s_len))
+_DET_HOP = _DET_NFFT // 2
+_RANGE_BINS = 2
+
+
+def quad_peak(ym1, y0, yp1):
+    """Quadratic interpolation of a 3-point peak -> (frac offset, value)."""
+    a = 0.5 * (yp1 + ym1) - y0
+    b = 0.5 * (yp1 - ym1)
+    frac = jnp.where(jnp.abs(a) > 1e-20, -b / (2 * jnp.where(
+        jnp.abs(a) > 1e-20, a, 1.0)), 0.0)
+    return frac, a * frac * frac + b * frac + y0
+
+
+class StreamRxConfig(NamedTuple):
+    """Static per-framer receiver geometry (numpy-only; closures are
+    inlined by XLA — complex constants are kept as float planes because
+    the axon TPU backend cannot materialize complex transfers)."""
+    template: np.ndarray      # interpolated preamble + tail [s_len] c64
+    bank: np.ndarray          # polyphase MF bank [npfb, Lb] (branch order)
+    region_start: int         # first MF symbol of the pilot region
+    region_len: int           # pilot-region length (symbols, incl pilots)
+    pilots: np.ndarray        # pilot symbols [npil] c64
+    pilot_spacing: int
+    pilot_nfft: int           # qpilotsync FFT size for this npil
+    suppress_span: int        # samples suppressed after a detection
+    k: int = 2                # samples/symbol
+
+
+class StreamRxBlock(NamedTuple):
+    """Per-block batched detection+sync result: leading axis is the
+    candidate slot (fixed max_frames); `valid` masks live slots."""
+    valid: jnp.ndarray        # [..., P] bool
+    sample_index: jnp.ndarray # [..., P] int32, absolute stream index
+    rxy: jnp.ndarray          # [..., P] detection correlation
+    gamma: jnp.ndarray        # [..., P] channel gain
+    dphi: jnp.ndarray         # [..., P] coarse CFO, rad/sample
+    phi: jnp.ndarray          # [..., P] carrier phase at frame start
+    tau: jnp.ndarray          # [..., P] fractional timing offset
+    b_idx: jnp.ndarray        # [..., P] int32 polyphase branch
+    off_s: jnp.ndarray        # [..., P] int32 integer sample offset
+    dphi2: jnp.ndarray        # [..., P] pilot residual CFO, rad/symbol
+    phi2: jnp.ndarray         # [..., P] pilot phase
+    g2: jnp.ndarray           # [..., P] pilot gain
+    region_syms: jnp.ndarray  # [..., P, region_len] corrected symbols
+
+
+def mf_symbol_gather(buf, n0, off_s, dphi, phi, gamma, bank, b_idx,
+                     n_sym, *, start_sym=0, k=2):
+    """Batched mix + polyphase matched filter + k:1 symbol sampling.
+
+    buf [T?] complex, candidate-batched n0/off_s/dphi/phi/gamma/b_idx
+    [P]; returns [P, n_sym] symbols for symbol indices
+    [start_sym, start_sym + n_sym) relative to the frame start.  The
+    mixer phase is referenced to the template start (sample n0), exactly
+    like the one-shot receiver.
+    """
+    Lb = bank.shape[1]
+    base_t = (n0[:, None] + off_s[:, None]
+              + k * (start_sym + np.arange(n_sym))[None, :])
+    idx = (base_t[:, :, None] + np.arange(Lb)[None, None, :]
+           - (Lb - 1))                                   # [P, n_sym, Lb]
+    win = jnp.take(buf, idx, mode="fill", fill_value=0)
+    tt = (idx - n0[:, None, None]).astype(jnp.float32)
+    ph = dphi[:, None, None] * tt + phi[:, None, None]
+    win = win * lax.complex(jnp.cos(ph), -jnp.sin(ph))
+    taps = jnp.asarray(bank)[b_idx]                      # [P, Lb]
+    sym = jnp.einsum("pnl,pl->pn", win, taps.astype(win.dtype))
+    return sym * (0.5 / jnp.maximum(gamma, 1e-12))[:, None]
+
+
+def preamble_stream(block_len: int, cfg: StreamRxConfig,
+                    threshold: float = 0.5, max_frames: int = 4,
+                    name: str = "preamble_stream") -> Proc:
+    """Streaming preamble-sync receiver as a jittable block Proc.
+
+    apply(params, carry, x[..., block_len]) -> (StreamRxBlock, carry').
+    block_len must be a multiple of the detection hop so the absolute
+    segment grid is block-invariant.
+    """
+    T = int(block_len)
+    if T % _DET_HOP != 0:
+        raise ValueError("block_len must be a multiple of %d" % _DET_HOP)
+    P = int(max_frames)
+    hist = STREAM_HIST
+    s = cfg.template.astype(np.complex64)
+    s_len = len(s)
+    n_sym_tot = cfg.region_start + cfg.region_len
+    if hist < cfg.k * n_sym_tot + 2 or hist < _DET_NFFT:
+        raise ValueError("history window too short for this frame region")
+    s2_sum = float(np.sum(np.abs(s) ** 2))
+    S = np.fft.fft(s, _DET_NFFT)
+    offsets = np.arange(-_RANGE_BINS, _RANGE_BINS + 1)
+    So_np = np.stack([np.roll(S, off) for off in offsets])
+    bank_np = cfg.bank[:, ::-1].copy()                   # newest-first
+    C = {
+        "So_re": So_np.real.astype(np.float32),
+        "So_im": So_np.imag.astype(np.float32),
+        "sconj_re": s.conj().real.astype(np.float32),
+        "sconj_im": s.conj().imag.astype(np.float32),
+        "bank": bank_np.astype(np.float32),
+        "pil_re": cfg.pilots.real.astype(np.float32),
+        "pil_im": cfg.pilots.imag.astype(np.float32),
+    }
+    npil = len(cfg.pilots)
+    spacing = int(cfg.pilot_spacing)
+    pfft = int(cfg.pilot_nfft)
+    npfb = cfg.bank.shape[0]
+    n_seg = (hist + T - _DET_NFFT) // _DET_HOP + 1
+    starts = (np.arange(n_seg) * _DET_HOP).astype(np.int32)
+    span = int(cfg.suppress_span)
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return {"buf": jnp.zeros(batch_shape + (hist,), jnp.complex64),
+                "base": jnp.full(batch_shape, -hist, jnp.int32),
+                # buffer-relative position before which detections are
+                # suppressed: the analog of the reference's re-arm-after-
+                # frame (its seek state machine consumes the frame before
+                # looking again, framesync64.c:241-269)
+                "last_end": jnp.full(batch_shape, -(1 << 30), jnp.int32)}
+
+    def _apply_1d(carry, x):
+        buf = jnp.concatenate([carry["buf"], x.astype(jnp.complex64)],
+                              axis=-1)                      # [H+T]
+        So = lax.complex(jnp.asarray(C["So_re"]), jnp.asarray(C["So_im"]))
+        sconj = lax.complex(jnp.asarray(C["sconj_re"]),
+                            jnp.asarray(C["sconj_im"]))
+        pilots = lax.complex(jnp.asarray(C["pil_re"]),
+                             jnp.asarray(C["pil_im"]))
+
+        # ---- detect everywhere (qdetector seek, batched) ----
+        seg_idx = starts[:, None] + np.arange(_DET_NFFT)[None, :]
+        segs = buf[jnp.asarray(seg_idx)]                    # [n_seg, NFFT]
+        Xf = jnp.fft.fft(segs, axis=-1)
+        R = jnp.fft.ifft(Xf[:, None, :] * jnp.conj(So)[None],
+                         axis=-1) * _DET_NFFT               # [n_seg,n_off,NFFT]
+        x2 = jnp.sum(segs.real ** 2 + segs.imag ** 2, axis=-1)
+        g0 = jnp.sqrt(jnp.maximum(x2, 1e-20) * (s_len / _DET_NFFT))
+        g = 1.0 / (_DET_NFFT * g0 * np.sqrt(s2_sum))
+        # each position is owned by ONE segment: lags [0, hop)
+        rxy = jnp.abs(R[..., :_DET_HOP]) * g[:, None, None]
+        rxy_flat = rxy.reshape(n_seg, -1)
+        seg_arg = jnp.argmax(rxy_flat, axis=-1)
+        seg_peak = jnp.take_along_axis(rxy_flat, seg_arg[:, None],
+                                       axis=-1)[:, 0]
+        seg_off = seg_arg // _DET_HOP                       # offset-bin index
+        seg_lag = seg_arg % _DET_HOP
+        n0_seg = jnp.asarray(starts) + seg_lag              # buffer position
+        # a peak at position p with p % hop == hop-1 has a +-1-sample
+        # "twin" owned by the NEXT segment (and vice versa); keep only
+        # segments that beat both neighbors so exactly the best-aligned
+        # copy survives.  Deterministic across blocks: the segment grid
+        # is absolute-aligned (T % hop == 0), so both blocks compare the
+        # same numbers.
+        neg = jnp.full((1,), -jnp.inf, seg_peak.dtype)
+        pk_prev = jnp.concatenate([neg, seg_peak[:-1]])
+        pk_next = jnp.concatenate([seg_peak[1:], neg])
+        local = (seg_peak > pk_prev) & (seg_peak >= pk_next)
+        cand = (seg_peak > threshold) & (n0_seg < T) & local
+
+        # greedy in-order suppression: once a frame is detected, nothing
+        # fires again until `span` samples have passed — kills the
+        # +-1-sample twin emitted by a neighboring segment or the next
+        # block, and partial-template sidelobes inside the suppressed
+        # span.  Same semantics as the reference's re-arm.
+        def _suppress(last_end, ci):
+            c, p = ci
+            keep = c & (p >= last_end)
+            return jnp.where(keep, p + span, last_end), keep
+
+        _, keeps = lax.scan(_suppress, carry["last_end"], (cand, n0_seg))
+        cand = keeps
+        n_cand = jnp.sum(cand)
+        sel = jnp.nonzero(cand, size=P, fill_value=0)[0]    # first P, in order
+        valid = jnp.arange(P) < n_cand
+        n0 = n0_seg[sel]                                    # [P]
+        off_i = seg_off[sel]
+        peak = seg_peak[sel]
+
+        # ---- per-candidate refinement (qdetector align, batched) ----
+        xa = buf[n0[:, None] + np.arange(_DET_NFFT)[None, :]]  # [P, NFFT]
+        Xa = jnp.fft.fft(xa, axis=-1)
+        Ra = jnp.fft.ifft(Xa * jnp.conj(So)[off_i], axis=-1) * _DET_NFFT
+        tau, g_pk = quad_peak(jnp.sqrt(jnp.abs(Ra[:, -1])),
+                              jnp.sqrt(jnp.abs(Ra[:, 0])),
+                              jnp.sqrt(jnp.abs(Ra[:, 1])))
+        gamma = g_pk * g_pk / (_DET_NFFT * s2_sum)
+        # fine carrier: FFT of aligned window times conj(template)
+        w = xa[:, :s_len] * sconj[None, :]
+        W = jnp.fft.fft(w, _DET_NFFT, axis=-1)
+        Wm = jnp.abs(W)
+        i0 = jnp.argmax(Wm, axis=-1)
+        vm1 = jnp.take_along_axis(Wm, ((i0 - 1) % _DET_NFFT)[:, None],
+                                  axis=-1)[:, 0]
+        v0 = jnp.take_along_axis(Wm, i0[:, None], axis=-1)[:, 0]
+        vp1 = jnp.take_along_axis(Wm, ((i0 + 1) % _DET_NFFT)[:, None],
+                                  axis=-1)[:, 0]
+        frac, _ = quad_peak(vm1, v0, vp1)
+        index = i0 + frac - jnp.where(i0 > _DET_NFFT // 2, _DET_NFFT, 0)
+        dphi = index * (2 * np.pi / _DET_NFFT)
+        phi = jnp.angle(jnp.take_along_axis(W, i0[:, None], axis=-1)[:, 0])
+
+        # ---- mix + polyphase matched filter + k:1 sample (batched) ----
+        b_idx = jnp.where(
+            tau > 0,
+            jnp.floor(tau * npfb), jnp.floor((1.0 + tau) * npfb)
+        ).astype(jnp.int32) % npfb
+        off_s = jnp.where(tau > 0, 0, -1).astype(jnp.int32)
+        sym = mf_symbol_gather(buf, n0, off_s, dphi, phi, gamma,
+                               jnp.asarray(C["bank"]), b_idx, n_sym_tot,
+                               k=cfg.k)
+        region_rx = sym[:, cfg.region_start:]               # [P, region_len]
+
+        # ---- pilot sync (qpilotsync_execute, batched) ----
+        pil_idx = np.nonzero(np.arange(cfg.region_len) % spacing == 0)[0]
+        rx_pil = region_rx[:, jnp.asarray(pil_idx[:npil].astype(np.int32))]
+        v = rx_pil * jnp.conj(pilots)[None, :]
+        V = jnp.fft.fft(v, pfft, axis=-1)
+        Vm = jnp.abs(V)
+        j0 = jnp.argmax(Vm, axis=-1)
+        um1 = jnp.take_along_axis(Vm, ((j0 - 1) % pfft)[:, None],
+                                  axis=-1)[:, 0]
+        u0 = jnp.take_along_axis(Vm, j0[:, None], axis=-1)[:, 0]
+        up1 = jnp.take_along_axis(Vm, ((j0 + 1) % pfft)[:, None],
+                                  axis=-1)[:, 0]
+        frac2, _ = quad_peak(um1, u0, up1)
+        jdx = j0 + frac2 - jnp.where(j0 > pfft // 2, pfft, 0)
+        dphi2 = jdx * (2 * np.pi / (pfft * spacing))
+        rot = dphi2[:, None] * (np.arange(npil) * spacing)[None, :]
+        metric = jnp.sum(v * lax.complex(jnp.cos(rot), -jnp.sin(rot)),
+                         axis=-1)
+        phi2 = jnp.angle(metric)
+        g2 = jnp.abs(metric) / npil
+        i_all = np.arange(cfg.region_len)[None, :]
+        ph2 = dphi2[:, None] * i_all + phi2[:, None]
+        corr = lax.complex(jnp.cos(ph2), -jnp.sin(ph2)) \
+            / jnp.maximum(g2, 1e-12)[:, None]
+        region_syms = region_rx * corr
+
+        out = StreamRxBlock(
+            valid=valid,
+            sample_index=carry["base"] + n0.astype(jnp.int32),
+            rxy=peak, gamma=gamma, dphi=dphi, phi=phi, tau=tau,
+            b_idx=b_idx, off_s=off_s, dphi2=dphi2, phi2=phi2, g2=g2,
+            region_syms=region_syms)
+        # advance the suppression watermark into next block's coordinates
+        last_n0 = jnp.max(jnp.where(cand, n0_seg, -(1 << 30)))
+        new_last = jnp.maximum(carry["last_end"],
+                               jnp.where(n_cand > 0, last_n0 + span,
+                                         -(1 << 30))) - T
+        new_carry = {"buf": buf[..., T:], "base": carry["base"] + T,
+                     "last_end": jnp.maximum(new_last, -(1 << 30))}
+        return out, new_carry
+
+    def apply(params, carry, x):
+        if x.ndim == 1:
+            return _apply_1d(carry, x)
+        batch = x.shape[:-1]
+        xf = x.reshape((-1, T))
+        cf = jax.tree_util.tree_map(
+            lambda a: a.reshape((-1,) + a.shape[len(batch):]), carry)
+        out, nc = jax.vmap(_apply_1d)(cf, xf)
+        out = jax.tree_util.tree_map(
+            lambda a: a.reshape(batch + a.shape[1:]), out)
+        nc = jax.tree_util.tree_map(
+            lambda a: a.reshape(batch + a.shape[1:]), nc)
+        return out, nc
+
+    return Proc(params=(), init=init, apply=apply, rate=(1, 1), name=name)

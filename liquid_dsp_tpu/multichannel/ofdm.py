@@ -165,87 +165,143 @@ class OFDMSyncResult(NamedTuple):
     evm_db: float
 
 
+_CORE_CACHE: dict = {}
+
+
+def _sync_core(params: OFDMParams, n_syms: int, threshold: float):
+    """Build the jittable synchronizer core for one frame geometry.
+
+    Everything below is static-shape jnp with numpy closure constants
+    (complex constants kept as float planes: the axon TPU backend
+    cannot materialize complex transfers, and numpy closures are
+    inlined by XLA).  x -> (detected, best_idx, cfo, data, evm_db).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    M, cp = params.M, params.cp_len
+    M2 = M // 2
+    W0 = M + cp                       # plateau window
+    W1 = 3 * (M + cp) + M             # S1 search window
+    s1 = params.s1.astype(np.complex64)
+    s1c_re = s1.conj().real.astype(np.float32)
+    s1c_im = s1.conj().imag.astype(np.float32)
+    s1_e = float(np.sum(np.abs(s1) ** 2))
+    on_idx = np.nonzero(params.p != SCTYPE_NULL)[0].astype(np.int32)
+    S1_on = params.S1[on_idx] * np.sqrt(params.M_pilot + params.M_data)
+    S1i_re = (1.0 / S1_on).real.astype(np.float32)
+    S1i_im = (1.0 / S1_on).imag.astype(np.float32)
+    pil_idx = _pilot_order(params).astype(np.int32)
+    dat_idx = np.nonzero(params.p == SCTYPE_DATA)[0].astype(np.int32)
+    pilots = _pilot_sequence(params.M_pilot, n_syms)     # [n_syms, npil] +-1
+    # signed frequency index per bin (for the timing-slope correction)
+    k_signed = (((np.arange(M) + M2) % M) - M2).astype(np.float32)
+    order = np.argsort(k_signed[pil_idx], kind="stable")
+    kk = k_signed[pil_idx][order]                        # ascending
+    dk = np.diff(kk)                                     # static spacing
+    scale = float(np.sqrt(params.M_pilot + params.M_data))
+
+    def core(x):
+        T = x.shape[0]
+        t32 = jnp.arange(T, dtype=jnp.float32)
+        # --- 1. Schmidl-Cox autocorrelation over the whole capture ---
+        prod = x[M2:] * jnp.conj(x[:-M2])
+        c = jnp.cumsum(jnp.concatenate([jnp.zeros(1, prod.dtype), prod]))
+        P = c[M2:] - c[:-M2]          # window-M/2 sum at each offset
+        e = jnp.cumsum(jnp.concatenate(
+            [jnp.zeros(1, jnp.float32), jnp.abs(x).astype(jnp.float32) ** 2]))
+        R = e[M:] - e[:-M]
+        L = min(int(P.shape[0]), int(R.shape[0]))
+        metric = jnp.abs(P[:L]) / jnp.maximum(R[:L], 1e-12) * 2.0
+        hit = metric > threshold
+        detected = jnp.any(hit)
+        d0 = jnp.argmax(hit).astype(jnp.int32)           # first True
+        # plateau: advance to the local max within one symbol
+        mpad = jnp.concatenate([metric, jnp.full(W0, -jnp.inf, metric.dtype)])
+        seg = lax.dynamic_slice(mpad, (d0,), (W0,))
+        d0 = d0 + jnp.argmax(seg).astype(jnp.int32)
+        cfo = jnp.angle(P[jnp.minimum(d0, L - 1)]) / M2
+        # --- 2. de-rotate; S1 by ONE batched cross-correlation ---
+        xc = x * lax.complex(jnp.cos(cfo * t32), -jnp.sin(cfo * t32))
+        idx = d0 + jnp.arange(W1)[:, None] + np.arange(M)[None, :]
+        win = jnp.take(xc, idx, mode="fill", fill_value=0)   # [W1, M]
+        s1c = lax.complex(jnp.asarray(s1c_re), jnp.asarray(s1c_im))
+        V = win @ s1c                                    # MXU matmul
+        m1 = jnp.abs(V) / s1_e
+        best = jnp.argmax(m1).astype(jnp.int32)
+        best_idx = d0 + best
+        # --- 3. per-subcarrier channel estimate from S1 ---
+        xpad = jnp.concatenate([xc, jnp.zeros(W1 + M, xc.dtype)])
+        S1_rx = jnp.fft.fft(lax.dynamic_slice(xpad, (best_idx,), (M,)))
+        S1inv = lax.complex(jnp.asarray(S1i_re), jnp.asarray(S1i_im))
+        vals = S1_rx[jnp.asarray(on_idx)] * S1inv
+        # smooth across enabled bins (reference smoothing), keep ends
+        sm = jnp.convolve(vals, jnp.ones(3, vals.dtype) / 3.0, mode="same")
+        sm = sm.at[0].set(vals[0]).at[-1].set(vals[-1])
+        Gs = jnp.zeros(M, xc.dtype).at[jnp.asarray(on_idx)].set(sm)
+        # --- 4. batched payload FFT + EQ ---
+        payload_start = best_idx + M
+        need = payload_start + n_syms * (M + cp)
+        detected = detected & (need <= T)
+        bidx = payload_start + jnp.arange(n_syms * (M + cp))
+        body = jnp.take(xc, bidx, mode="fill", fill_value=0)
+        body = body.reshape(n_syms, M + cp)[:, cp:]
+        Xr = jnp.fft.fft(body, axis=-1) / scale
+        inv = jnp.where(jnp.abs(Gs) > 1e-9, 1.0 / jnp.where(
+            jnp.abs(Gs) > 1e-9, Gs, 1.0), 0.0)
+        Xeq = Xr * inv[None, :]
+        # --- 5. per-symbol pilot tracking: residual phase AND timing
+        # slope (reference ofdmframesync.c:876+ estimates both from the
+        # pilots each symbol and drives its NCO/sampler with them) ---
+        q = (Xeq[:, jnp.asarray(pil_idx)] * pilots)[:, order]  # [n, npil]
+        dphi_n = jnp.angle(q[:, 1:] * jnp.conj(q[:, :-1]))     # neighbor
+        b_s = jnp.sum(dphi_n * dk[None, :], axis=1) / float(np.sum(dk ** 2))
+        rot = b_s[:, None] * kk[None, :]
+        a_s = jnp.angle(jnp.sum(
+            q * lax.complex(jnp.cos(rot), -jnp.sin(rot)), axis=1))
+        ph_all = a_s[:, None] + b_s[:, None] * k_signed[None, :]
+        Xeq = Xeq * lax.complex(jnp.cos(ph_all), -jnp.sin(ph_all))
+        data = Xeq[:, jnp.asarray(dat_idx)]
+        # --- 6. pilot-referenced stats ---
+        perr = Xeq[:, jnp.asarray(pil_idx)] * pilots - 1.0
+        evm_db = 20.0 * jnp.log10(
+            jnp.sqrt(jnp.mean(jnp.abs(perr) ** 2)) + 1e-12)
+        # residual CFO from the symbol-to-symbol pilot phase advance
+        da = jnp.angle(jnp.mean(jnp.exp(1j * (a_s[1:] - a_s[:-1])))) \
+            if n_syms > 1 else jnp.float32(0.0)
+        cfo_out = cfo + da / (M + cp)
+        return detected, best_idx, cfo_out, data, evm_db
+
+    return jax.jit(core)
+
+
 def ofdm_frame_sync(params: OFDMParams, x, n_syms: int,
                     threshold: float = 0.7) -> OFDMSyncResult:
-    """Block-native OFDM synchronizer.
+    """Block-native OFDM synchronizer (jittable end-to-end).
 
     1. Schmidl-Cox autocorrelation on the half-symbol-periodic S0
        (coarse timing + carrier offset; reference execute_seekplcp).
-    2. S1 cross-correlation for exact symbol timing + phase.
+    2. S1 timing by one batched matmul cross-correlation.
     3. Per-subcarrier channel estimate from S1 (reference _S1 EQ init).
-    4. Batched payload FFT + EQ + per-symbol pilot phase correction.
+    4. Batched payload FFT + EQ + per-symbol pilot phase AND timing-
+       slope tracking (reference ofdmframesync.c:876+).
+
+    evm_db is pilot-referenced: rms error of the equalized, corrected
+    pilot bins against their known +-1 values (modulation-independent).
     """
+    import jax.numpy as jnp
     x = np.asarray(x, np.complex64)
-    M, cp = params.M, params.cp_len
-    M2 = M // 2
-    T = len(x)
-    # --- 1. Schmidl-Cox over the whole capture ---
-    prod = x[M2:] * np.conj(x[:-M2])
-    c = np.cumsum(np.concatenate([[0], prod]))
-    P = c[M2:] - c[:-M2]           # sum over window M/2 at each offset
-    e = np.cumsum(np.concatenate([[0], np.abs(x) ** 2]))
-    R = e[M:] - e[:-M]
-    L = min(len(P), len(R))
-    metric = np.abs(P[:L]) / np.maximum(R[:L], 1e-12) * 2.0
-    hits = np.nonzero(metric > threshold)[0]
-    if len(hits) == 0:
-        return OFDMSyncResult(False, 0, 0.0, None, 0.0)
-    d0 = int(hits[0])
-    # plateau: advance to local max within one symbol
-    w_end = min(d0 + M + cp, L)
-    d0 = d0 + int(np.argmax(metric[d0:w_end]))
-    cfo = float(np.angle(P[d0]) / M2)
-    # --- 2. de-rotate and find S1 by cross-correlation ---
-    t = np.arange(T)
-    xc = x * np.exp(-1j * cfo * t)
-    # search S1 within a window after the coarse point
-    search_lo = d0
-    search_hi = min(d0 + 3 * (M + cp) + M, T - M)
-    best_idx, best_val, best_ph = -1, 0.0, 0.0
-    s1 = params.s1
-    s1_e = np.sum(np.abs(s1) ** 2)
-    for k in range(search_lo, search_hi):
-        v = np.vdot(s1, xc[k: k + M])  # sum conj(s1)*x
-        m = np.abs(v) / s1_e
-        if m > best_val:
-            best_val, best_idx, best_ph = m, k, np.angle(v)
-    if best_idx < 0:
-        return OFDMSyncResult(False, 0, cfo, None, 0.0)
-    # S1 body starts at best_idx; frame payload starts after it
-    payload_start = best_idx + M
-    # --- 3. channel estimate from S1 ---
-    S1_rx = np.fft.fft(xc[best_idx: best_idx + M])
-    on = params.p != SCTYPE_NULL
-    G = np.zeros(M, np.complex64)
-    G[on] = S1_rx[on] / (params.S1[on] * np.sqrt(params.M_pilot +
-                                                 params.M_data))
-    # smooth channel estimate across enabled bins (reference smoothing)
-    on_idx = np.nonzero(on)[0]
-    Gs = G.copy()
-    vals = G[on_idx]
-    sm = np.convolve(vals, np.ones(3) / 3.0, mode="same")
-    sm[0] = vals[0]
-    sm[-1] = vals[-1]
-    Gs[on_idx] = sm
-    # --- 4. payload demod ---
-    pil_idx = _pilot_order(params)
-    dat_idx = np.nonzero(params.p == SCTYPE_DATA)[0]
-    pilots = _pilot_sequence(params.M_pilot, n_syms)
-    need = payload_start + n_syms * (M + cp)
-    if need > T:
-        return OFDMSyncResult(False, best_idx, cfo, None, 0.0)
-    body = xc[payload_start: need].reshape(n_syms, M + cp)[:, cp:]
-    Xr = np.fft.fft(body, axis=-1) / np.sqrt(params.M_pilot + params.M_data)
-    inv = np.zeros(M, np.complex64)
-    nz = np.abs(Gs) > 1e-9
-    inv[nz] = 1.0 / Gs[nz]
-    Xeq = Xr * inv[None, :]
-    # per-symbol phase from pilots
-    pr = Xeq[:, pil_idx] * pilots
-    ph = np.angle(np.sum(pr, axis=1))
-    Xeq = Xeq * np.exp(-1j * ph)[:, None]
-    data = Xeq[:, dat_idx]
-    # EVM vs nearest of a dense grid is modem-specific; report vs unit circle
-    evm_db = float(20 * np.log10(np.std(np.abs(data) - np.mean(np.abs(data)))
-                                 + 1e-12))
-    return OFDMSyncResult(True, best_idx, cfo, data, evm_db)
+    key = (params.M, params.cp_len, params.taper_len, params.p.tobytes(),
+           int(n_syms), float(threshold))
+    core = _CORE_CACHE.get(key)
+    if core is None:
+        core = _CORE_CACHE[key] = _sync_core(params, int(n_syms),
+                                             float(threshold))
+    det, best_idx, cfo, data, evm_db = core(jnp.asarray(x))
+    if not bool(np.asarray(det)):
+        return OFDMSyncResult(False, int(np.asarray(best_idx)),
+                              float(np.asarray(cfo)), None, 0.0)
+    return OFDMSyncResult(True, int(np.asarray(best_idx)),
+                          float(np.asarray(cfo)), np.asarray(data),
+                          float(np.asarray(evm_db)))

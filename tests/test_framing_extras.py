@@ -42,6 +42,58 @@ class TestSymtrack:
         assert r.decisions.shape == tail.shape[:0] + r.symbols.shape
 
 
+class TestSymtrackStream:
+    def test_stream_matches_oneshot(self):
+        """Block-by-block streaming == one-shot on the same capture."""
+        from liquid_dsp_tpu.framing.symtrack import Symtrack
+        _, x = _qpsk_stream(2000, gain=0.3, phase=0.8, noise=0.004, seed=3)
+        ref = symtrack(x)
+        st = Symtrack(block_len=512)
+        n_use = len(x) // st.block_len * st.block_len
+        sy, dec = st.execute(x[:n_use])
+        n = min(len(sy), len(ref.symbols))
+        assert n > 1500
+        np.testing.assert_allclose(sy[:n], ref.symbols[:n],
+                                   rtol=0, atol=2e-4)
+        np.testing.assert_array_equal(dec[:n], ref.decisions[:n])
+
+    def test_block_size_invariance(self):
+        """Same capture split into different block sizes -> same output."""
+        from liquid_dsp_tpu.framing.symtrack import Symtrack
+        _, x = _qpsk_stream(1500, gain=0.5, phase=-0.4, noise=0.01, seed=4)
+        outs = []
+        for bl in (256, 1024):
+            st = Symtrack(block_len=bl)
+            n_use = len(x) // 1024 * 1024
+            sy, dec = st.execute(x[:n_use])
+            outs.append((sy, dec))
+        n = min(len(outs[0][0]), len(outs[1][0]))
+        np.testing.assert_allclose(outs[0][0][:n], outs[1][0][:n],
+                                   rtol=0, atol=2e-4)
+        np.testing.assert_array_equal(outs[0][1][:n], outs[1][1][:n])
+
+    def test_state_survives_calls(self):
+        """Feeding the capture in many small execute() calls matches one
+        call (the persistent-object contract, reference symtrack.c)."""
+        from liquid_dsp_tpu.framing.symtrack import Symtrack
+        _, x = _qpsk_stream(1200, gain=0.4, phase=0.2, noise=0.01, seed=5)
+        n_use = len(x) // 512 * 512
+        st1 = Symtrack(block_len=512)
+        sy1, _ = st1.execute(x[:n_use])
+        st2 = Symtrack(block_len=512)
+        chunks = []
+        for i in range(0, n_use, 300):
+            s, _ = st2.execute(x[i:i + 300])
+            if len(s):
+                chunks.append(s)
+        sy2 = np.concatenate(chunks)
+        n = min(len(sy1), len(sy2))
+        np.testing.assert_allclose(sy1[:n], sy2[:n], rtol=0, atol=2e-4)
+        st2.reset()
+        sy3, _ = st2.execute(x[:n_use])
+        np.testing.assert_allclose(sy3, sy1, rtol=0, atol=0)
+
+
 class TestSources:
     def test_symstream_energy(self):
         s = symstream(1024, ms="qpsk", seed=1)

@@ -22,11 +22,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..design.firdes import firdes_arkaiser
-from ..ops.fir import firinterp
 from .qpacket import (qpacketmodem_encode, qpacketmodem_decode,
                       qpacketmodem_frame_len, qpilotgen, qpilotsync,
                       qpilot_frame_len, qpilot_pilots)
-from .frame64 import frame64_preamble
+from .frame64 import frame64_preamble, np_interp2
 from .detector import qdetector_detect
 
 __all__ = ["flexframegen", "flexframesync", "FlexFrameResult",
@@ -84,9 +83,7 @@ def flexframegen(header, payload, crc: str = "crc32", fec0: str = "none",
     settle = 2 * _M  # reference tail: 2m zero symbols (flexframegen.c:457)
     stream = np.concatenate([frame64_preamble(), h_sym, p_sym,
                              np.zeros(settle, np.complex64)])
-    qi = firinterp(_K, _interp_taps())
-    y, _ = qi(jnp.asarray(stream.astype(np.complex64)), batch_shape=())
-    return np.asarray(y).astype(np.complex64)
+    return np_interp2(stream.astype(np.complex64), _interp_taps())
 
 
 class FlexFrameResult(NamedTuple):
@@ -105,11 +102,9 @@ _BANK = None
 
 
 def _detector_template():
-    qi = firinterp(_K, _interp_taps())
     seq = np.concatenate([frame64_preamble(),
                           np.zeros(2 * _M, np.complex64)])
-    y, _ = qi(jnp.asarray(seq), batch_shape=())
-    return np.asarray(y).astype(np.complex64)
+    return np_interp2(seq, _interp_taps())
 
 
 def _mf_bank():

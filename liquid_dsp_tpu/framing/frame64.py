@@ -25,7 +25,6 @@ from jax import lax
 
 from ..core import Proc
 from ..design.firdes import firdes_arkaiser
-from ..ops.fir import firinterp
 from ..utils.sequence import MSequence
 from .qpacket import (qpacketmodem_encode, qpacketmodem_decode,
                       qpilot_pilots, qpilotgen, qpilotsync)
@@ -61,6 +60,16 @@ def _interp_taps() -> np.ndarray:
     return firdes_arkaiser(_K, _M, _BETA).astype(np.float32)
 
 
+def np_interp2(stream: np.ndarray, taps: np.ndarray) -> np.ndarray:
+    """1:2 pulse-shape interpolation in pure numpy (identical to the
+    firinterp Proc from zero state).  Frame construction/TX math stays
+    host-side: an eager complex device op would poison the axon TPU
+    tunnel's transfers (PERF.md backend caveats)."""
+    xz = np.zeros(len(stream) * 2, np.complex64)
+    xz[::2] = stream
+    return np.convolve(xz, taps)[: len(stream) * 2].astype(np.complex64)
+
+
 def framegen64(header, payload) -> np.ndarray:
     """Generate one frame: 8-byte header + 64-byte payload ->
     1440 complex samples (reference framegen64_execute:130-172)."""
@@ -79,21 +88,17 @@ def framegen64(header, payload) -> np.ndarray:
     settle = 2 * _M + 2 + 10
     stream = np.concatenate([frame64_preamble(), frame_syms,
                              np.zeros(settle, np.complex64)])
-    qi = firinterp(_K, _interp_taps())
-    y, _ = qi(jnp.asarray(stream), batch_shape=())
-    y = np.asarray(y)
+    y = np_interp2(stream, _interp_taps())
     assert len(y) == FRAME64_LEN
-    return y.astype(np.complex64)
+    return y
 
 
 def _detector_template() -> np.ndarray:
     """Interpolated preamble + filter tail (reference
     qdetector_cccf_create_linear: s_len = k*(64 + 2m))."""
-    qi = firinterp(_K, _interp_taps())
     seq = np.concatenate([frame64_preamble(),
                           np.zeros(2 * _M, np.complex64)])
-    y, _ = qi(jnp.asarray(seq), batch_shape=())
-    return np.asarray(y).astype(np.complex64)
+    return np_interp2(seq, _interp_taps())
 
 
 def _mf_bank() -> np.ndarray:

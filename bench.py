@@ -315,8 +315,16 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
         main()
     else:
-        if _tpu_healthy():
-            main()
+        # Retry window: the tunnel's unhealthy periods are often
+        # transient (minutes), and a real TPU number is worth far more
+        # than a fast CPU fallback — probe up to 3 times over ~5 min
+        # before giving up (VERDICT r1: never fall back early).
+        for attempt in range(3):
+            if _tpu_healthy():
+                main()
+                break
+            if attempt < 2:
+                time.sleep(90)
         else:
             # the TPU tunnel hangs on device->host transfers: re-exec on CPU
             # (a trustworthy number beats a hung driver; the CPU path still

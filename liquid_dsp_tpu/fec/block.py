@@ -7,11 +7,19 @@ fec_secded{2216,3932,7264}.c, fec_golay2412.c.
 The generator matrices below are DATA: each k-entry list is the image of
 the unit input bits under the reference encoder (bit k-1 first), read out
 from the reference implementation — the same role as extracted golden
-vectors.  Encoding is a bit-level matmul mod 2 (MXU-shaped when batched);
-decoding is syndrome computation (another bit matmul) followed by a
-table gather: the syndrome table enumerates all correctable error
-patterns (1-bit for Hamming/SEC-DED, up to 3-bit for Golay — a perfect
-code, so its 2^12 syndromes exactly cover weight<=3 errors).
+vectors.  Encoding is a bit-level matmul mod 2; decoding is syndrome
+computation (another bit matmul) followed by a table gather: the
+syndrome table enumerates all correctable error patterns (1-bit for
+Hamming/SEC-DED, up to 3-bit for Golay — a perfect code, so its 2^12
+syndromes exactly cover weight<=3 errors).
+
+DESIGN CHOICE: this whole byte path runs in HOST numpy, deliberately.
+FEC operates on short byte packets after the receiver has gathered and
+demodulated a frame; at those sizes device dispatch dominates any MXU
+win, and keeping it host-side lets receivers decode headers eagerly
+(flexframe's payload geometry depends on decoded header bytes).  The
+matmul formulation means a device port is mechanical if a future
+pipeline wants it fused.
 
 Byte-stream framing matches the reference: the message is unpacked into
 a MSB-first bit stream, chopped into k-bit symbols (zero-padded at the
@@ -363,7 +371,8 @@ def _block_decode_soft(scheme: str, llr, dec_len: int) -> np.ndarray:
     """Soft-decision block decode: maximum-correlation codeword over all
     2^k candidates (reference fecsoft_hamming74_decode and friends use
     min soft distance — identical criterion).  One [nsym, n] @ [n, 2^k]
-    matmul, so the whole decode is MXU-shaped.
+    matmul, evaluated in host numpy (BLAS) — see the module docstring
+    for why the byte path stays host-side.
 
     llr: float per-bit metrics, positive = bit 1.
     """

@@ -133,6 +133,83 @@ class TestSources:
         assert st.num_frames_detected == 0
 
 
+class TestStreamingSources:
+    def test_symstream_chunked_equals_oneshot(self):
+        """Streaming generation in arbitrary chunks == one call
+        (the persistent-object contract, reference symstream.c)."""
+        from liquid_dsp_tpu.framing.sources import Symstream
+        a = Symstream(seed=9).generate(4096)
+        st = Symstream(seed=9)
+        chunks = [st.generate(n) for n in (1, 700, 63, 2048, 4096 - 1 - 700
+                                           - 63 - 2048)]
+        np.testing.assert_array_equal(np.concatenate(chunks), a)
+
+    def test_msource_add_remove_runtime(self):
+        from liquid_dsp_tpu.framing.sources import Msource
+        q = Msource()
+        t0 = q.add_tone(fc=0.1)
+        assert q.num_sources == 1
+        y1 = q.generate(256)
+        n0 = q.add_noise(gain_db=-10)
+        assert q.num_sources == 2
+        q.remove(n0)
+        assert q.num_sources == 1
+        y2 = q.generate(256)
+        # tone stays phase-continuous across the add/remove churn
+        full = np.exp(2j * np.pi * 0.1 * np.arange(512))
+        np.testing.assert_allclose(np.concatenate([y1, y2]), full,
+                                   rtol=0, atol=1e-5)
+
+    def test_msource_set_frequency_phase_continuous(self):
+        from liquid_dsp_tpu.framing.sources import Msource
+        q = Msource()
+        sid = q.add_tone(fc=0.05)
+        y1 = q.generate(100)
+        q.set_frequency(sid, 0.2)
+        y2 = q.generate(100)
+        # no phase jump at the boundary: the first sample after the
+        # change continues from the accumulated phase (one old-rate step)
+        step = (np.angle(y2[0]) - np.angle(y1[-1])) % (2 * np.pi)
+        assert abs(step - 2 * np.pi * 0.05) < 1e-4
+        # and the new rate holds from then on
+        dph = np.angle(y2[1:] * np.conj(y2[:-1]))
+        np.testing.assert_allclose(dph, 2 * np.pi * 0.2, atol=1e-4)
+
+    def test_msource_enable_disable_and_gain(self):
+        from liquid_dsp_tpu.framing.sources import Msource
+        q = Msource()
+        sid = q.add_tone()
+        q.set_gain(sid, -20.0)
+        assert abs(q.get_gain(sid) + 20.0) < 1e-6
+        y = q.generate(64)
+        np.testing.assert_allclose(np.abs(y), 0.1, atol=1e-6)
+        q.disable(sid)
+        np.testing.assert_array_equal(q.generate(64), 0)
+        q.enable(sid)
+        assert np.abs(q.generate(1)[0]) > 0.09
+
+    def test_msource_bandlimited_noise(self):
+        from liquid_dsp_tpu.framing.sources import Msource
+        q = Msource(seed=2)
+        q.add_noise(fc=0.0, bandwidth=0.2)
+        y = q.generate(1 << 15)
+        Y = np.abs(np.fft.fft(y)) ** 2
+        f = np.fft.fftfreq(len(y))
+        inband = np.mean(Y[np.abs(f) < 0.08])
+        outband = np.mean(Y[np.abs(f) > 0.2])
+        assert inband / outband > 1e4   # >40 dB suppression
+        # unit total power (the shaping filter is power-normalized)
+        assert abs(np.mean(np.abs(y) ** 2) - 1.0) < 0.05
+
+    def test_msource_user_source(self):
+        from liquid_dsp_tpu.framing.sources import Msource
+        q = Msource()
+        q.add_user(lambda n: np.full(n, 0.5, np.complex64), fc=0.25)
+        y = q.generate(8)
+        np.testing.assert_allclose(
+            y, 0.5 * np.exp(2j * np.pi * 0.25 * np.arange(8)), atol=1e-6)
+
+
 class TestBPacket:
     @pytest.mark.parametrize("n,fec1", [(20, "none"), (50, "hamming128"),
                                         (111, "golay2412")])

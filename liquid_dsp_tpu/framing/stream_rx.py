@@ -108,18 +108,43 @@ def mf_symbol_gather(buf, n0, off_s, dphi, phi, gamma, bank, b_idx,
     [start_sym, start_sym + n_sym) relative to the frame start.  The
     mixer phase is referenced to the template start (sample n0), exactly
     like the one-shot receiver.
+
+    Formulation: per-candidate contiguous `dynamic_slice` spans, mixed
+    in place, then a depthwise (feature-grouped) strided convolution —
+    one conv call for all candidates, no computed-index gather.  An
+    arbitrary [P, n_sym, Lb] `jnp.take` here was the whole receiver's
+    bottleneck on TPU (gathers serialize on the VPU; the conv's
+    internal im2col pipelines through the MXU instead).
     """
-    Lb = bank.shape[1]
-    base_t = (n0[:, None] + off_s[:, None]
-              + k * (start_sym + np.arange(n_sym))[None, :])
-    idx = (base_t[:, :, None] + np.arange(Lb)[None, None, :]
-           - (Lb - 1))                                   # [P, n_sym, Lb]
-    win = jnp.take(buf, idx, mode="fill", fill_value=0)
-    tt = (idx - n0[:, None, None]).astype(jnp.float32)
-    ph = dphi[:, None, None] * tt + phi[:, None, None]
-    win = win * lax.complex(jnp.cos(ph), -jnp.sin(ph))
-    taps = jnp.asarray(bank)[b_idx]                      # [P, Lb]
-    sym = jnp.einsum("pnl,pl->pn", win, taps.astype(win.dtype))
+    Lb = int(bank.shape[1])
+    span = k * (n_sym - 1) + Lb
+    # pad so the earliest tap (Lb-1 before the first frame sample, off_s
+    # can be -1) stays in range: dynamic_slice clamps, and a clamp would
+    # silently shift the window; padding preserves the zero-fill
+    # semantics of the previous gather for frames at the buffer edge.
+    pad = Lb
+    end_pad = k * start_sym + span      # worst case for any n0 in range
+    bufp = jnp.concatenate([jnp.zeros(pad, buf.dtype), buf,
+                            jnp.zeros(end_pad, buf.dtype)])
+    start = pad + n0 + off_s + k * start_sym - (Lb - 1)      # [P]
+    spans = jax.vmap(
+        lambda s: lax.dynamic_slice(bufp, (s,), (span,)))(start)
+    # mixer phase over the span, referenced to the template start
+    tt = ((start - pad - n0)[:, None]
+          + np.arange(span)[None, :]).astype(jnp.float32)
+    ph = dphi[:, None] * tt + phi[:, None]
+    vmix = spans * lax.complex(jnp.cos(ph), -jnp.sin(ph))
+    taps = jnp.asarray(bank)[b_idx]                          # [P, Lb]
+    dn = ("NCH", "OIH", "NCH")
+    P = taps.shape[0]
+
+    def dwconv(x):                                           # [P, span] f32
+        y = lax.conv_general_dilated(
+            x[None], taps[:, None, :], window_strides=(k,),
+            padding="VALID", dimension_numbers=dn, feature_group_count=P)
+        return y[0]                                          # [P, n_sym]
+
+    sym = lax.complex(dwconv(vmix.real), dwconv(vmix.imag))
     return sym * (0.5 / jnp.maximum(gamma, 1e-12))[:, None]
 
 
@@ -232,7 +257,10 @@ def preamble_stream(block_len: int, cfg: StreamRxConfig,
         peak = seg_peak[sel]
 
         # ---- per-candidate refinement (qdetector align, batched) ----
-        xa = buf[n0[:, None] + np.arange(_DET_NFFT)[None, :]]  # [P, NFFT]
+        # contiguous windows: dynamic_slice, not a computed-index gather
+        # (n0 < T and hist >= NFFT, so no clamp can occur)
+        xa = jax.vmap(lambda s: lax.dynamic_slice(
+            buf, (s,), (_DET_NFFT,)))(n0)                   # [P, NFFT]
         Xa = jnp.fft.fft(xa, axis=-1)
         Ra = jnp.fft.ifft(Xa * jnp.conj(So)[off_i], axis=-1) * _DET_NFFT
         tau, g_pk = quad_peak(jnp.sqrt(jnp.abs(Ra[:, -1])),

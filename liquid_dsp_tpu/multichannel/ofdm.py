@@ -224,15 +224,20 @@ def _sync_core(params: OFDMParams, n_syms: int, threshold: float):
         cfo = jnp.angle(P[jnp.minimum(d0, L - 1)]) / M2
         # --- 2. de-rotate; S1 by ONE batched cross-correlation ---
         xc = x * lax.complex(jnp.cos(cfo * t32), -jnp.sin(cfo * t32))
-        idx = d0 + jnp.arange(W1)[:, None] + np.arange(M)[None, :]
-        win = jnp.take(xc, idx, mode="fill", fill_value=0)   # [W1, M]
+        # contiguous span via dynamic_slice + STATIC windowing (a
+        # traced-index jnp.take here is a serializing gather on TPU —
+        # same fix as stream_rx.mf_symbol_gather)
+        body_len = n_syms * (M + cp)
+        xpad = jnp.concatenate(
+            [xc, jnp.zeros(W1 + M + body_len, xc.dtype)])
+        span = lax.dynamic_slice(xpad, (d0,), (W1 + M - 1,))
+        win = span[np.arange(W1)[:, None] + np.arange(M)[None, :]]
         s1c = lax.complex(jnp.asarray(s1c_re), jnp.asarray(s1c_im))
         V = win @ s1c                                    # MXU matmul
         m1 = jnp.abs(V) / s1_e
         best = jnp.argmax(m1).astype(jnp.int32)
         best_idx = d0 + best
         # --- 3. per-subcarrier channel estimate from S1 ---
-        xpad = jnp.concatenate([xc, jnp.zeros(W1 + M, xc.dtype)])
         S1_rx = jnp.fft.fft(lax.dynamic_slice(xpad, (best_idx,), (M,)))
         S1inv = lax.complex(jnp.asarray(S1i_re), jnp.asarray(S1i_im))
         vals = S1_rx[jnp.asarray(on_idx)] * S1inv
@@ -242,10 +247,9 @@ def _sync_core(params: OFDMParams, n_syms: int, threshold: float):
         Gs = jnp.zeros(M, xc.dtype).at[jnp.asarray(on_idx)].set(sm)
         # --- 4. batched payload FFT + EQ ---
         payload_start = best_idx + M
-        need = payload_start + n_syms * (M + cp)
+        need = payload_start + body_len
         detected = detected & (need <= T)
-        bidx = payload_start + jnp.arange(n_syms * (M + cp))
-        body = jnp.take(xc, bidx, mode="fill", fill_value=0)
+        body = lax.dynamic_slice(xpad, (payload_start,), (body_len,))
         body = body.reshape(n_syms, M + cp)[:, cp:]
         Xr = jnp.fft.fft(body, axis=-1) / scale
         inv = jnp.where(jnp.abs(Gs) > 1e-9, 1.0 / jnp.where(

@@ -69,23 +69,28 @@ def resamp2_decim(m: int = 7, f0: float = 0.0, as_db: float = 60.0,
     h1 = np.ascontiguousarray(full[1::2])       # [2m] odd-position taps
     h1j = _as_jnp_taps(h1)
     L = 2 * m
+    # carry = last H RAW input samples (even, so phase parity is
+    # preserved): the even-phase FIR needs L-1 past even samples and the
+    # delayed odd phase needs m past odd samples, both contained in the
+    # last 4m-2 raw samples.  A raw-sample tail carry makes this stage
+    # time-shardable via the standard ppermute halo exchange
+    # (parallel/stream.py).
+    H = 4 * m - 2
 
     def init(batch_shape=(), dtype=jnp.complex64):
-        return {"we": jnp.zeros(batch_shape + (L - 1,), dtype),
-                "wo": jnp.zeros(batch_shape + (m,), dtype)}
+        return jnp.zeros(batch_shape + (H,), dtype)
 
     def apply(params, carry, x):
         (h1_,) = params
-        xe = x[..., 0::2]
-        xo = x[..., 1::2]
-        y1, we = fir_apply_auto(h1_, carry["we"].astype(x.dtype), xe)
-        xop = jnp.concatenate([carry["wo"].astype(x.dtype), xo], axis=-1)
-        y0 = xop[..., : xo.shape[-1]]
-        new_carry = {"we": we, "wo": xop[..., xo.shape[-1]:]}
-        return y0 + y1, new_carry
+        xa = jnp.concatenate([carry.astype(x.dtype), x], axis=-1)
+        xe = xa[..., 0::2]                      # [..., (L-1) + T/2]
+        xo = xa[..., 1::2]
+        y1, _ = fir_apply_auto(h1_, xe[..., : L - 1], xe[..., L - 1:])
+        y0 = xo[..., m - 1: xo.shape[-1] - m]   # odd phase delayed by m
+        return y0 + y1, xa[..., xa.shape[-1] - H:]
 
     return Proc(params=(h1j,), init=init, apply=apply, rate=(1, 2),
-                name=name)
+                name=name, halo=H)
 
 
 def resamp2_interp(m: int = 7, f0: float = 0.0, as_db: float = 60.0,
@@ -175,7 +180,8 @@ def msresamp2(direction: str, num_stages: int, fc: float = 0.4,
             return ()
 
         return Proc(params=(), init=init,
-                    apply=lambda p, c, x: (x, c), rate=(1, 1), name=name)
+                    apply=lambda p, c, x: (x, c), rate=(1, 1), name=name,
+                    halo=0)
     # reference stage design (msresamp2.c create): fc halves per stage,
     # each stage's semi-length from the transition band ft = (0.5-fc)/2
     # via the Kaiser length estimate, m = ceil((h_len-1)/4)
@@ -208,7 +214,7 @@ def msresamp2(direction: str, num_stages: int, fc: float = 0.4,
 
         stages.append(Proc(params=(), init=gain_init,
                            apply=lambda p, c, x: (zeta * x, c),
-                           rate=(1, 1), name=f"{name}_zeta"))
+                           rate=(1, 1), name=f"{name}_zeta", halo=0))
     return chain(*stages, name=name)
 
 

@@ -231,6 +231,8 @@ def preamble_stream(block_len: int, cfg: StreamRxConfig,
         # copy survives.  Deterministic across blocks: the segment grid
         # is absolute-aligned (T % hop == 0), so both blocks compare the
         # same numbers.
+        from .. import debug
+        debug.tap("stream_rx.seg_peak", seg_peak)   # per-segment rxy
         neg = jnp.full((1,), -jnp.inf, seg_peak.dtype)
         pk_prev = jnp.concatenate([neg, seg_peak[:-1]])
         pk_next = jnp.concatenate([seg_peak[1:], neg])
@@ -319,6 +321,8 @@ def preamble_stream(block_len: int, cfg: StreamRxConfig,
             / jnp.maximum(g2, 1e-12)[:, None]
         region_syms = region_rx * corr
 
+        debug.tap("stream_rx.dphi", dphi)
+        debug.tap("stream_rx.region_syms", region_syms)
         out = StreamRxBlock(
             valid=valid,
             sample_index=carry["base"] + n0.astype(jnp.int32),

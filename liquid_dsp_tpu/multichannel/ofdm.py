@@ -214,6 +214,8 @@ def _sync_core(params: OFDMParams, n_syms: int, threshold: float):
         R = e[M:] - e[:-M]
         L = min(int(P.shape[0]), int(R.shape[0]))
         metric = jnp.abs(P[:L]) / jnp.maximum(R[:L], 1e-12) * 2.0
+        from .. import debug
+        debug.tap("ofdm.metric", metric)    # Schmidl-Cox trajectory
         hit = metric > threshold
         detected = jnp.any(hit)
         d0 = jnp.argmax(hit).astype(jnp.int32)           # first True

@@ -41,6 +41,8 @@ def agc_scan(alpha, carry, x, locked: bool = False):
     # scan over the LAST axis: move time to the front
     xt = jnp.moveaxis(x, -1, 0)
     (g, y2p), yt = lax.scan(step, (carry["g"], carry["y2_prime"]), xt)
+    from .. import debug
+    debug.tap("agc.gain", g)          # converged gain per block
     return jnp.moveaxis(yt, 0, -1), {"g": g, "y2_prime": y2p}
 
 

@@ -30,7 +30,7 @@ from .wire import crc_to_wire, fec_to_wire, crc_from_wire, fec_from_wire
 from .detector import qdetector_detect
 
 __all__ = ["gmskframegen", "gmskframesync", "GMSKFrameResult",
-           "GMSKFRAME_H_USER"]
+           "GMSKFrameSync", "GMSKFRAME_H_USER"]
 
 GMSKFRAME_H_USER = 8
 _H_CRC, _H_FEC = "crc32", "hamming128"
@@ -147,3 +147,209 @@ def gmskframesync(x, k: int = 2, m: int = 3, bt: float = 0.5,
     payload, ok = packetizer_decode(p_enc, n_payload, crc, fec0, fec1)
     return GMSKFrameResult(True, True, bool(ok), hdr[:q], payload,
                            n_payload)
+
+
+# ---------------------------------------------------------------------------
+# Streaming multi-frame receiver
+# ---------------------------------------------------------------------------
+#
+# Two-stage design like FlexFrameSync (flexframe.py): stage 1 is the
+# shared detect-everywhere detector Proc on device (detector_stream —
+# the qdetector front half without a linear-MF back end, since GMSK
+# demodulates by phase derivative, not matched filtering of symbols);
+# stage 2 demodulates each candidate's bit span in a bucketed jit and
+# decodes header/payload bytes on host, firing the reference's
+# callback-per-frame contract (reference gmskframesync.c execute loop).
+
+from functools import partial
+import jax
+from jax import lax
+from typing import Callable
+from .stream_rx import detector_stream, STREAM_HIST
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _gmsk_demod_span(n_bits: int, k: int, m: int, bt: float,
+                     win, dphi, phi):
+    """Mix a raw window starting at the frame start and demodulate
+    n_bits GMSK bits (identical math to the one-shot path)."""
+    t = jnp.arange(win.shape[-1], dtype=jnp.float32)
+    ph = dphi * t + phi
+    xa = win * lax.complex(jnp.cos(ph), -jnp.sin(ph))
+    dem = gmsk_demodulator(k, m, bt)
+    bits, _ = dem.apply(dem.params, dem.init(batch_shape=()), xa)
+    return bits[2 * m: 2 * m + n_bits]      # drop the demod delay
+
+
+class GMSKFrameSync:
+    """Streaming multi-frame GMSK receiver with the callback contract
+    (the reference gmskframesync object: create/execute/callback,
+    reference gmskframesync.c:72-113).  Feed arbitrary-length sample
+    arrays via execute(); the callback fires once per decoded frame
+    with (header, header_ok, payload, payload_ok, stats)."""
+
+    _PAD = 64
+
+    def __init__(self, callback: Optional[Callable] = None,
+                 k: int = 2, m: int = 3, bt: float = 0.5,
+                 block_len: int = 4096, threshold: float = 0.5,
+                 max_frames: int = 4):
+        self.callback = callback
+        self._k, self._m, self._bt = int(k), int(m), float(bt)
+        self.block_len = int(block_len)
+        tpl = _template(k, m, bt)
+        self._proc = detector_stream(self.block_len, tpl,
+                                     threshold=threshold,
+                                     max_frames=max_frames,
+                                     suppress_span=len(tpl) - 8)
+        self._carry = self._proc.init()
+        self._jit = jax.jit(self._proc.apply)
+        self._h_enc_len = packetizer_compute_enc_msg_len(
+            GMSKFRAME_H_USER + 5, _H_CRC, _H_FEC, "none")
+        self._h_bits = 8 * self._h_enc_len
+        self._pending = np.zeros(0, np.complex64)
+        self._ring = np.zeros(0, np.complex64)
+        self._ring_base = 0
+        self._abs_fed = 0
+        self._cands: list = []
+        self._armed_until = -(1 << 60)
+        self.frames: list = []
+        self.num_frames_detected = 0
+
+    # -- sample ingestion ----------------------------------------------
+    def execute(self, x):
+        self._pending = np.concatenate(
+            [self._pending, np.asarray(x, np.complex64)])
+        results = []
+        while len(self._pending) >= self.block_len:
+            blk = self._pending[:self.block_len]
+            self._pending = self._pending[self.block_len:]
+            self._ring = np.concatenate([self._ring, blk])
+            self._abs_fed += self.block_len
+            out, self._carry = self._jit((), self._carry, jnp.asarray(blk))
+            self._collect(out)
+            results.extend(self._drain())
+            self._trim()
+        return results
+
+    def flush(self):
+        tail = int(np.ceil((STREAM_HIST + self.block_len) / self.block_len))
+        pad = (-len(self._pending)) % self.block_len + tail * self.block_len
+        out = self.execute(np.zeros(pad, np.complex64))
+        out.extend(self._drain(final=True))
+        return out
+
+    # -- internals ------------------------------------------------------
+    def _collect(self, out):
+        o = jax.tree_util.tree_map(np.asarray, out)
+        for p in range(len(o.valid)):
+            if not o.valid[p]:
+                continue
+            self._cands.append({
+                "n0": int(o.sample_index[p]), "rxy": float(o.rxy[p]),
+                "gamma": float(o.gamma[p]), "dphi": float(o.dphi[p]),
+                "phi": float(o.phi[p]), "hdr": None})
+        self._cands.sort(key=lambda c: c["n0"])
+
+    def _demod_bits(self, c, n_bits: int) -> np.ndarray:
+        """Demodulate frame bits [0, n_bits) for a candidate from the
+        raw ring (bucketed static shapes: one compile per bucket)."""
+        k, m = self._k, self._m
+        bucket = max(256, 1 << int(np.ceil(np.log2(n_bits))))
+        n_win = k * (bucket + 2 * m) + self._PAD
+        i0 = c["n0"] - self._ring_base
+        win = np.zeros(n_win, np.complex64)
+        s0, s1 = max(i0, 0), min(i0 + n_win, len(self._ring))
+        if s1 > s0:
+            win[s0 - i0: s1 - i0] = self._ring[s0:s1]
+        bits = _gmsk_demod_span(bucket, k, m, self._bt,
+                                jnp.asarray(win),
+                                jnp.float32(c["dphi"]),
+                                jnp.float32(c["phi"]))
+        return np.asarray(bits)[:n_bits]
+
+    def _header_decode(self, c):
+        bits = self._demod_bits(c, 63 + self._h_bits)
+        h_enc = unscramble_data(
+            pack_bits(bits[63: 63 + self._h_bits])[: self._h_enc_len])
+        hdr, h_ok = packetizer_decode(h_enc, GMSKFRAME_H_USER + 5,
+                                      _H_CRC, _H_FEC, "none")
+        geom = None
+        q = GMSKFRAME_H_USER
+        if h_ok and hdr[q] == _VERSION:
+            n_payload = (int(hdr[q + 1]) << 8) | int(hdr[q + 2])
+            try:
+                crc = crc_from_wire((int(hdr[q + 3]) >> 5) & 0x07)
+                fec0 = fec_from_wire(int(hdr[q + 3]) & 0x1F)
+                fec1 = fec_from_wire(int(hdr[q + 4]) & 0x1F)
+                p_enc_len = packetizer_compute_enc_msg_len(
+                    n_payload, crc, fec0, fec1)
+                geom = (n_payload, crc, fec0, fec1, p_enc_len)
+            except (ValueError, KeyError):
+                h_ok = False
+        else:
+            h_ok = False
+        c["hdr"] = (hdr if hdr is not None else None, h_ok, geom)
+
+    def _drain(self, final: bool = False):
+        k, m = self._k, self._m
+        res = []
+        while self._cands:
+            c = self._cands[0]
+            if c["n0"] < self._armed_until:
+                self._cands.pop(0)
+                continue
+            hdr_end = c["n0"] + k * (63 + self._h_bits + 4 * m) + self._PAD
+            if hdr_end > self._abs_fed and not final:
+                break
+            if c["hdr"] is None:
+                self._header_decode(c)
+            hdr, h_ok, geom = c["hdr"]
+            if not h_ok:
+                self._cands.pop(0)
+                self.num_frames_detected += 1
+                self._armed_until = c["n0"] + k * (63 + self._h_bits)
+                frame = (None if hdr is None else hdr[:GMSKFRAME_H_USER],
+                         False, None, False, self._stats(c, 0))
+                self._emit(frame)
+                res.append(frame)
+                continue
+            n_payload, crc, fec0, fec1, p_enc_len = geom
+            p_bits = 8 * p_enc_len
+            total_bits = 63 + self._h_bits + p_bits
+            end_abs = c["n0"] + k * (total_bits + 4 * m) + self._PAD
+            if end_abs > self._abs_fed and not final:
+                break
+            self._cands.pop(0)
+            self.num_frames_detected += 1
+            bits = self._demod_bits(c, total_bits)
+            p_enc = pack_bits(
+                bits[63 + self._h_bits: total_bits])[:p_enc_len]
+            payload, ok = packetizer_decode(p_enc, n_payload, crc, fec0,
+                                            fec1)
+            self._armed_until = c["n0"] + k * total_bits - 8
+            frame = (hdr[:GMSKFRAME_H_USER].copy(), True, payload,
+                     bool(ok), self._stats(c, n_payload))
+            self._emit(frame)
+            res.append(frame)
+        return res
+
+    def _stats(self, c, n_payload):
+        return {"rxy": c["rxy"],
+                "rssi_db": float(20 * np.log10(max(c["gamma"], 1e-12))),
+                "cfo": c["dphi"], "sample_index": c["n0"],
+                "payload_len": n_payload}
+
+    def _emit(self, frame):
+        self.frames.append(frame)
+        if self.callback is not None:
+            self.callback(*frame)
+
+    def _trim(self):
+        keep_from = self._abs_fed - STREAM_HIST - self.block_len
+        if self._cands:
+            keep_from = min(keep_from, self._cands[0]["n0"] - self._PAD)
+        cut = keep_from - self._ring_base
+        if cut > 0:
+            self._ring = self._ring[cut:]
+            self._ring_base += cut

@@ -148,6 +148,201 @@ def mf_symbol_gather(buf, n0, off_s, dphi, phi, gamma, bank, b_idx,
     return sym * (0.5 / jnp.maximum(gamma, 1e-12))[:, None]
 
 
+def _detect_consts(template: np.ndarray) -> dict:
+    """Numpy constants for the detect-everywhere correlator (float
+    planes: the axon TPU backend cannot materialize complex transfers)."""
+    s = template.astype(np.complex64)
+    S = np.fft.fft(s, _DET_NFFT)
+    offsets = np.arange(-_RANGE_BINS, _RANGE_BINS + 1)
+    So_np = np.stack([np.roll(S, off) for off in offsets])
+    return {
+        "So_re": So_np.real.astype(np.float32),
+        "So_im": So_np.imag.astype(np.float32),
+        "sconj_re": s.conj().real.astype(np.float32),
+        "sconj_im": s.conj().imag.astype(np.float32),
+        "s_len": len(s),
+        "s2_sum": float(np.sum(np.abs(s) ** 2)),
+    }
+
+
+def _detect_refine(buf, last_end, dc: dict, threshold: float, P: int,
+                   T: int, starts: np.ndarray, span: int):
+    """Detect-everywhere + per-candidate refinement over one buffer.
+
+    buf [H+T] complex; last_end: suppression watermark (buffer coords).
+    Returns a dict of candidate-batched estimates plus the raw
+    (cand, n0_seg) masks the caller folds into its next watermark.
+    Identical math to qdetector_cccf seek+align (reference
+    qdetector_cccf.c:373-441), batched over segments and candidates.
+    """
+    n_seg = len(starts)
+    s_len, s2_sum = dc["s_len"], dc["s2_sum"]
+    So = lax.complex(jnp.asarray(dc["So_re"]), jnp.asarray(dc["So_im"]))
+    sconj = lax.complex(jnp.asarray(dc["sconj_re"]),
+                        jnp.asarray(dc["sconj_im"]))
+
+    # ---- detect everywhere (qdetector seek, batched) ----
+    seg_idx = starts[:, None] + np.arange(_DET_NFFT)[None, :]
+    segs = buf[jnp.asarray(seg_idx)]                    # [n_seg, NFFT]
+    Xf = jnp.fft.fft(segs, axis=-1)
+    R = jnp.fft.ifft(Xf[:, None, :] * jnp.conj(So)[None],
+                     axis=-1) * _DET_NFFT               # [n_seg,n_off,NFFT]
+    x2 = jnp.sum(segs.real ** 2 + segs.imag ** 2, axis=-1)
+    g0 = jnp.sqrt(jnp.maximum(x2, 1e-20) * (s_len / _DET_NFFT))
+    g = 1.0 / (_DET_NFFT * g0 * np.sqrt(s2_sum))
+    # each position is owned by ONE segment: lags [0, hop)
+    rxy = jnp.abs(R[..., :_DET_HOP]) * g[:, None, None]
+    rxy_flat = rxy.reshape(n_seg, -1)
+    seg_arg = jnp.argmax(rxy_flat, axis=-1)
+    seg_peak = jnp.take_along_axis(rxy_flat, seg_arg[:, None],
+                                   axis=-1)[:, 0]
+    seg_off = seg_arg // _DET_HOP                       # offset-bin index
+    seg_lag = seg_arg % _DET_HOP
+    n0_seg = jnp.asarray(starts) + seg_lag              # buffer position
+    # a peak at position p with p % hop == hop-1 has a +-1-sample
+    # "twin" owned by the NEXT segment (and vice versa); keep only
+    # segments that beat both neighbors so exactly the best-aligned
+    # copy survives.  Deterministic across blocks: the segment grid
+    # is absolute-aligned (T % hop == 0), so both blocks compare the
+    # same numbers.
+    from .. import debug
+    debug.tap("stream_rx.seg_peak", seg_peak)           # per-segment rxy
+    neg = jnp.full((1,), -jnp.inf, seg_peak.dtype)
+    pk_prev = jnp.concatenate([neg, seg_peak[:-1]])
+    pk_next = jnp.concatenate([seg_peak[1:], neg])
+    local = (seg_peak > pk_prev) & (seg_peak >= pk_next)
+    cand = (seg_peak > threshold) & (n0_seg < T) & local
+
+    # greedy in-order suppression: once a frame is detected, nothing
+    # fires again until `span` samples have passed — kills the
+    # +-1-sample twin emitted by a neighboring segment or the next
+    # block, and partial-template sidelobes inside the suppressed
+    # span.  Same semantics as the reference's re-arm.
+    def _suppress(le, ci):
+        c, p = ci
+        keep = c & (p >= le)
+        return jnp.where(keep, p + span, le), keep
+
+    _, keeps = lax.scan(_suppress, last_end, (cand, n0_seg))
+    cand = keeps
+    n_cand = jnp.sum(cand)
+    sel = jnp.nonzero(cand, size=P, fill_value=0)[0]    # first P, in order
+    valid = jnp.arange(P) < n_cand
+    n0 = n0_seg[sel]                                    # [P]
+    off_i = seg_off[sel]
+    peak = seg_peak[sel]
+
+    # ---- per-candidate refinement (qdetector align, batched) ----
+    # contiguous windows: dynamic_slice, not a computed-index gather
+    # (n0 < T and hist >= NFFT, so no clamp can occur)
+    xa = jax.vmap(lambda st: lax.dynamic_slice(
+        buf, (st,), (_DET_NFFT,)))(n0)                  # [P, NFFT]
+    Xa = jnp.fft.fft(xa, axis=-1)
+    Ra = jnp.fft.ifft(Xa * jnp.conj(So)[off_i], axis=-1) * _DET_NFFT
+    tau, g_pk = quad_peak(jnp.sqrt(jnp.abs(Ra[:, -1])),
+                          jnp.sqrt(jnp.abs(Ra[:, 0])),
+                          jnp.sqrt(jnp.abs(Ra[:, 1])))
+    gamma = g_pk * g_pk / (_DET_NFFT * s2_sum)
+    # fine carrier: FFT of aligned window times conj(template)
+    w = xa[:, :s_len] * sconj[None, :]
+    W = jnp.fft.fft(w, _DET_NFFT, axis=-1)
+    Wm = jnp.abs(W)
+    i0 = jnp.argmax(Wm, axis=-1)
+    vm1 = jnp.take_along_axis(Wm, ((i0 - 1) % _DET_NFFT)[:, None],
+                              axis=-1)[:, 0]
+    v0 = jnp.take_along_axis(Wm, i0[:, None], axis=-1)[:, 0]
+    vp1 = jnp.take_along_axis(Wm, ((i0 + 1) % _DET_NFFT)[:, None],
+                              axis=-1)[:, 0]
+    frac, _ = quad_peak(vm1, v0, vp1)
+    index = i0 + frac - jnp.where(i0 > _DET_NFFT // 2, _DET_NFFT, 0)
+    dphi = index * (2 * np.pi / _DET_NFFT)
+    phi = jnp.angle(jnp.take_along_axis(W, i0[:, None], axis=-1)[:, 0])
+    return {"valid": valid, "n_cand": n_cand, "n0": n0, "off_i": off_i,
+            "peak": peak, "tau": tau, "gamma": gamma, "dphi": dphi,
+            "phi": phi, "cand": cand, "n0_seg": n0_seg}
+
+
+def _advance_watermark(carry, det, span: int, T: int):
+    """Fold this block's detections into the next block's suppression
+    watermark (shifted into the next block's buffer coordinates)."""
+    last_n0 = jnp.max(jnp.where(det["cand"], det["n0_seg"], -(1 << 30)))
+    new_last = jnp.maximum(carry["last_end"],
+                           jnp.where(det["n_cand"] > 0, last_n0 + span,
+                                     -(1 << 30))) - T
+    return jnp.maximum(new_last, -(1 << 30))
+
+
+class DetStreamBlock(NamedTuple):
+    """Streaming detector output: candidate-slot batched estimates."""
+    valid: jnp.ndarray        # [..., P] bool
+    sample_index: jnp.ndarray # [..., P] int32, absolute stream index
+    rxy: jnp.ndarray          # [..., P] detection correlation
+    gamma: jnp.ndarray        # [..., P] channel gain
+    dphi: jnp.ndarray         # [..., P] CFO, rad/sample
+    phi: jnp.ndarray          # [..., P] carrier phase at template start
+    tau: jnp.ndarray          # [..., P] fractional timing offset
+
+
+def detector_stream(block_len: int, template: np.ndarray,
+                    threshold: float = 0.5, max_frames: int = 4,
+                    suppress_span: int | None = None,
+                    name: str = "detector_stream") -> Proc:
+    """Streaming preamble DETECTOR as a jittable block Proc: the
+    detect-everywhere + refine front half of preamble_stream, without a
+    matched-filter/pilot back end — for framers whose demodulation is
+    not a linear MF chain (GMSK's phase-derivative demod, custom PHYs).
+
+    apply(params, carry, x[..., block_len]) -> (DetStreamBlock, carry').
+    Reference analog: qdetector_cccf run persistently over a stream
+    (reference qdetector_cccf.c:373-441) with re-arm semantics.
+    """
+    T = int(block_len)
+    if T % _DET_HOP != 0:
+        raise ValueError("block_len must be a multiple of %d" % _DET_HOP)
+    P = int(max_frames)
+    hist = STREAM_HIST
+    dc = _detect_consts(np.asarray(template))
+    span = int(suppress_span if suppress_span is not None
+               else dc["s_len"])
+    n_seg = (hist + T - _DET_NFFT) // _DET_HOP + 1
+    starts = (np.arange(n_seg) * _DET_HOP).astype(np.int32)
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return {"buf": jnp.zeros(batch_shape + (hist,), jnp.complex64),
+                "base": jnp.full(batch_shape, -hist, jnp.int32),
+                "last_end": jnp.full(batch_shape, -(1 << 30), jnp.int32)}
+
+    def _apply_1d(carry, x):
+        buf = jnp.concatenate([carry["buf"], x.astype(jnp.complex64)],
+                              axis=-1)
+        det = _detect_refine(buf, carry["last_end"], dc, threshold, P, T,
+                             starts, span)
+        out = DetStreamBlock(
+            valid=det["valid"],
+            sample_index=carry["base"] + det["n0"].astype(jnp.int32),
+            rxy=det["peak"], gamma=det["gamma"], dphi=det["dphi"],
+            phi=det["phi"], tau=det["tau"])
+        new_carry = {"buf": buf[..., T:], "base": carry["base"] + T,
+                     "last_end": _advance_watermark(carry, det, span, T)}
+        return out, new_carry
+
+    def apply(params, carry, x):
+        if x.ndim == 1:
+            return _apply_1d(carry, x)
+        batch = x.shape[:-1]
+        xf = x.reshape((-1, T))
+        cf = jax.tree_util.tree_map(
+            lambda a: a.reshape((-1,) + a.shape[len(batch):]), carry)
+        out, nc = jax.vmap(_apply_1d)(cf, xf)
+        out = jax.tree_util.tree_map(
+            lambda a: a.reshape(batch + a.shape[1:]), out)
+        nc = jax.tree_util.tree_map(
+            lambda a: a.reshape(batch + a.shape[1:]), nc)
+        return out, nc
+
+    return Proc(params=(), init=init, apply=apply, rate=(1, 1), name=name)
+
+
 def preamble_stream(block_len: int, cfg: StreamRxConfig,
                     threshold: float = 0.5, max_frames: int = 4,
                     name: str = "preamble_stream") -> Proc:
@@ -162,21 +357,12 @@ def preamble_stream(block_len: int, cfg: StreamRxConfig,
         raise ValueError("block_len must be a multiple of %d" % _DET_HOP)
     P = int(max_frames)
     hist = STREAM_HIST
-    s = cfg.template.astype(np.complex64)
-    s_len = len(s)
     n_sym_tot = cfg.region_start + cfg.region_len
     if hist < cfg.k * n_sym_tot + 2 or hist < _DET_NFFT:
         raise ValueError("history window too short for this frame region")
-    s2_sum = float(np.sum(np.abs(s) ** 2))
-    S = np.fft.fft(s, _DET_NFFT)
-    offsets = np.arange(-_RANGE_BINS, _RANGE_BINS + 1)
-    So_np = np.stack([np.roll(S, off) for off in offsets])
+    dc = _detect_consts(cfg.template)
     bank_np = cfg.bank[:, ::-1].copy()                   # newest-first
     C = {
-        "So_re": So_np.real.astype(np.float32),
-        "So_im": So_np.imag.astype(np.float32),
-        "sconj_re": s.conj().real.astype(np.float32),
-        "sconj_im": s.conj().imag.astype(np.float32),
         "bank": bank_np.astype(np.float32),
         "pil_re": cfg.pilots.real.astype(np.float32),
         "pil_im": cfg.pilots.imag.astype(np.float32),
@@ -201,88 +387,13 @@ def preamble_stream(block_len: int, cfg: StreamRxConfig,
     def _apply_1d(carry, x):
         buf = jnp.concatenate([carry["buf"], x.astype(jnp.complex64)],
                               axis=-1)                      # [H+T]
-        So = lax.complex(jnp.asarray(C["So_re"]), jnp.asarray(C["So_im"]))
-        sconj = lax.complex(jnp.asarray(C["sconj_re"]),
-                            jnp.asarray(C["sconj_im"]))
         pilots = lax.complex(jnp.asarray(C["pil_re"]),
                              jnp.asarray(C["pil_im"]))
-
-        # ---- detect everywhere (qdetector seek, batched) ----
-        seg_idx = starts[:, None] + np.arange(_DET_NFFT)[None, :]
-        segs = buf[jnp.asarray(seg_idx)]                    # [n_seg, NFFT]
-        Xf = jnp.fft.fft(segs, axis=-1)
-        R = jnp.fft.ifft(Xf[:, None, :] * jnp.conj(So)[None],
-                         axis=-1) * _DET_NFFT               # [n_seg,n_off,NFFT]
-        x2 = jnp.sum(segs.real ** 2 + segs.imag ** 2, axis=-1)
-        g0 = jnp.sqrt(jnp.maximum(x2, 1e-20) * (s_len / _DET_NFFT))
-        g = 1.0 / (_DET_NFFT * g0 * np.sqrt(s2_sum))
-        # each position is owned by ONE segment: lags [0, hop)
-        rxy = jnp.abs(R[..., :_DET_HOP]) * g[:, None, None]
-        rxy_flat = rxy.reshape(n_seg, -1)
-        seg_arg = jnp.argmax(rxy_flat, axis=-1)
-        seg_peak = jnp.take_along_axis(rxy_flat, seg_arg[:, None],
-                                       axis=-1)[:, 0]
-        seg_off = seg_arg // _DET_HOP                       # offset-bin index
-        seg_lag = seg_arg % _DET_HOP
-        n0_seg = jnp.asarray(starts) + seg_lag              # buffer position
-        # a peak at position p with p % hop == hop-1 has a +-1-sample
-        # "twin" owned by the NEXT segment (and vice versa); keep only
-        # segments that beat both neighbors so exactly the best-aligned
-        # copy survives.  Deterministic across blocks: the segment grid
-        # is absolute-aligned (T % hop == 0), so both blocks compare the
-        # same numbers.
-        from .. import debug
-        debug.tap("stream_rx.seg_peak", seg_peak)   # per-segment rxy
-        neg = jnp.full((1,), -jnp.inf, seg_peak.dtype)
-        pk_prev = jnp.concatenate([neg, seg_peak[:-1]])
-        pk_next = jnp.concatenate([seg_peak[1:], neg])
-        local = (seg_peak > pk_prev) & (seg_peak >= pk_next)
-        cand = (seg_peak > threshold) & (n0_seg < T) & local
-
-        # greedy in-order suppression: once a frame is detected, nothing
-        # fires again until `span` samples have passed — kills the
-        # +-1-sample twin emitted by a neighboring segment or the next
-        # block, and partial-template sidelobes inside the suppressed
-        # span.  Same semantics as the reference's re-arm.
-        def _suppress(last_end, ci):
-            c, p = ci
-            keep = c & (p >= last_end)
-            return jnp.where(keep, p + span, last_end), keep
-
-        _, keeps = lax.scan(_suppress, carry["last_end"], (cand, n0_seg))
-        cand = keeps
-        n_cand = jnp.sum(cand)
-        sel = jnp.nonzero(cand, size=P, fill_value=0)[0]    # first P, in order
-        valid = jnp.arange(P) < n_cand
-        n0 = n0_seg[sel]                                    # [P]
-        off_i = seg_off[sel]
-        peak = seg_peak[sel]
-
-        # ---- per-candidate refinement (qdetector align, batched) ----
-        # contiguous windows: dynamic_slice, not a computed-index gather
-        # (n0 < T and hist >= NFFT, so no clamp can occur)
-        xa = jax.vmap(lambda s: lax.dynamic_slice(
-            buf, (s,), (_DET_NFFT,)))(n0)                   # [P, NFFT]
-        Xa = jnp.fft.fft(xa, axis=-1)
-        Ra = jnp.fft.ifft(Xa * jnp.conj(So)[off_i], axis=-1) * _DET_NFFT
-        tau, g_pk = quad_peak(jnp.sqrt(jnp.abs(Ra[:, -1])),
-                              jnp.sqrt(jnp.abs(Ra[:, 0])),
-                              jnp.sqrt(jnp.abs(Ra[:, 1])))
-        gamma = g_pk * g_pk / (_DET_NFFT * s2_sum)
-        # fine carrier: FFT of aligned window times conj(template)
-        w = xa[:, :s_len] * sconj[None, :]
-        W = jnp.fft.fft(w, _DET_NFFT, axis=-1)
-        Wm = jnp.abs(W)
-        i0 = jnp.argmax(Wm, axis=-1)
-        vm1 = jnp.take_along_axis(Wm, ((i0 - 1) % _DET_NFFT)[:, None],
-                                  axis=-1)[:, 0]
-        v0 = jnp.take_along_axis(Wm, i0[:, None], axis=-1)[:, 0]
-        vp1 = jnp.take_along_axis(Wm, ((i0 + 1) % _DET_NFFT)[:, None],
-                                  axis=-1)[:, 0]
-        frac, _ = quad_peak(vm1, v0, vp1)
-        index = i0 + frac - jnp.where(i0 > _DET_NFFT // 2, _DET_NFFT, 0)
-        dphi = index * (2 * np.pi / _DET_NFFT)
-        phi = jnp.angle(jnp.take_along_axis(W, i0[:, None], axis=-1)[:, 0])
+        det = _detect_refine(buf, carry["last_end"], dc, threshold, P, T,
+                             starts, span)
+        valid, n0, peak = det["valid"], det["n0"], det["peak"]
+        tau, gamma = det["tau"], det["gamma"]
+        dphi, phi = det["dphi"], det["phi"]
 
         # ---- mix + polyphase matched filter + k:1 sample (batched) ----
         b_idx = jnp.where(
@@ -321,6 +432,7 @@ def preamble_stream(block_len: int, cfg: StreamRxConfig,
             / jnp.maximum(g2, 1e-12)[:, None]
         region_syms = region_rx * corr
 
+        from .. import debug
         debug.tap("stream_rx.dphi", dphi)
         debug.tap("stream_rx.region_syms", region_syms)
         out = StreamRxBlock(
@@ -330,12 +442,8 @@ def preamble_stream(block_len: int, cfg: StreamRxConfig,
             b_idx=b_idx, off_s=off_s, dphi2=dphi2, phi2=phi2, g2=g2,
             region_syms=region_syms)
         # advance the suppression watermark into next block's coordinates
-        last_n0 = jnp.max(jnp.where(cand, n0_seg, -(1 << 30)))
-        new_last = jnp.maximum(carry["last_end"],
-                               jnp.where(n_cand > 0, last_n0 + span,
-                                         -(1 << 30))) - T
         new_carry = {"buf": buf[..., T:], "base": carry["base"] + T,
-                     "last_end": jnp.maximum(new_last, -(1 << 30))}
+                     "last_end": _advance_watermark(carry, det, span, T)}
         return out, new_carry
 
     def apply(params, carry, x):

@@ -282,6 +282,188 @@ def _sync_core(params: OFDMParams, n_syms: int, threshold: float):
     return jax.jit(core)
 
 
+_DEMOD_CACHE: dict = {}
+
+
+def frame_demod_core(params: OFDMParams, n_syms: int):
+    """Cached jittable per-candidate frame demodulator for streaming
+    receivers: window in (position 0 = coarse S0 plateau index), frame
+    out.  Returns (fn, win_len) where
+    fn(win[win_len], cfo) -> (s1_off, data[n_syms, M_data],
+    perr[n_syms, n_pil], cfo_out).  Same math as the one-shot
+    _sync_core steps 2-6; the constant carrier phase difference from
+    de-rotating relative to the window start (instead of the capture
+    start) folds into the S1 channel estimate.
+    """
+    key = (params.M, params.cp_len, params.taper_len, params.p.tobytes(),
+           int(n_syms))
+    hit = _DEMOD_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    M, cp = params.M, params.cp_len
+    M2 = M // 2
+    W1 = 3 * (M + cp) + M
+    body_len = n_syms * (M + cp)
+    WIN = W1 + M + body_len
+    s1 = params.s1.astype(np.complex64)
+    s1c_re = s1.conj().real.astype(np.float32)
+    s1c_im = s1.conj().imag.astype(np.float32)
+    s1_e = float(np.sum(np.abs(s1) ** 2))
+    on_idx = np.nonzero(params.p != SCTYPE_NULL)[0].astype(np.int32)
+    S1_on = params.S1[on_idx] * np.sqrt(params.M_pilot + params.M_data)
+    S1i_re = (1.0 / S1_on).real.astype(np.float32)
+    S1i_im = (1.0 / S1_on).imag.astype(np.float32)
+    pil_idx = _pilot_order(params).astype(np.int32)
+    dat_idx = np.nonzero(params.p == SCTYPE_DATA)[0].astype(np.int32)
+    pilots = _pilot_sequence(params.M_pilot, n_syms)
+    k_signed = (((np.arange(M) + M2) % M) - M2).astype(np.float32)
+    order = np.argsort(k_signed[pil_idx], kind="stable")
+    kk = k_signed[pil_idx][order]
+    dk = np.diff(kk)
+    scale = float(np.sqrt(params.M_pilot + params.M_data))
+
+    def core(win, cfo):
+        t32 = jnp.arange(WIN, dtype=jnp.float32)
+        xc = win * lax.complex(jnp.cos(cfo * t32), -jnp.sin(cfo * t32))
+        w2 = xc[: W1 + M - 1]
+        win2 = w2[np.arange(W1)[:, None] + np.arange(M)[None, :]]
+        s1c = lax.complex(jnp.asarray(s1c_re), jnp.asarray(s1c_im))
+        V = win2 @ s1c
+        best = jnp.argmax(jnp.abs(V) / s1_e).astype(jnp.int32)
+        S1_rx = jnp.fft.fft(lax.dynamic_slice(xc, (best,), (M,)))
+        S1inv = lax.complex(jnp.asarray(S1i_re), jnp.asarray(S1i_im))
+        vals = S1_rx[jnp.asarray(on_idx)] * S1inv
+        sm = jnp.convolve(vals, jnp.ones(3, vals.dtype) / 3.0, mode="same")
+        sm = sm.at[0].set(vals[0]).at[-1].set(vals[-1])
+        Gs = jnp.zeros(M, xc.dtype).at[jnp.asarray(on_idx)].set(sm)
+        body = lax.dynamic_slice(xc, (best + M,), (body_len,))
+        body = body.reshape(n_syms, M + cp)[:, cp:]
+        Xr = jnp.fft.fft(body, axis=-1) / scale
+        nz = jnp.abs(Gs) > 1e-9
+        inv = jnp.where(nz, 1.0 / jnp.where(nz, Gs, 1.0), 0.0)
+        Xeq = Xr * inv[None, :]
+        q = (Xeq[:, jnp.asarray(pil_idx)] * pilots)[:, order]
+        dphi_n = jnp.angle(q[:, 1:] * jnp.conj(q[:, :-1]))
+        b_s = jnp.sum(dphi_n * dk[None, :], axis=1) / float(np.sum(dk ** 2))
+        rot = b_s[:, None] * kk[None, :]
+        a_s = jnp.angle(jnp.sum(
+            q * lax.complex(jnp.cos(rot), -jnp.sin(rot)), axis=1))
+        ph_all = a_s[:, None] + b_s[:, None] * k_signed[None, :]
+        Xeq = Xeq * lax.complex(jnp.cos(ph_all), -jnp.sin(ph_all))
+        data = Xeq[:, jnp.asarray(dat_idx)]
+        perr = Xeq[:, jnp.asarray(pil_idx)] * pilots - 1.0
+        da = jnp.angle(jnp.mean(jnp.exp(1j * (a_s[1:] - a_s[:-1])))) \
+            if n_syms > 1 else jnp.float32(0.0)
+        return best, data, perr, cfo + da / (M + cp)
+
+    import jax
+    out = (jax.jit(core), WIN)
+    _DEMOD_CACHE[key] = out
+    return out
+
+
+def ofdm_detector_stream(block_len: int, params: OFDMParams,
+                         threshold: float = 0.7, max_frames: int = 4,
+                         suppress_span: int | None = None,
+                         name: str = "ofdm_detector_stream"):
+    """Streaming Schmidl-Cox S0 detector as a jittable block Proc.
+
+    apply(params_, carry, x[..., block_len]) -> ((valid, sample_index,
+    cfo, metric), carry').  sample_index is the absolute coarse plateau
+    position (feed frame_demod_core a window starting there); the
+    suppression watermark re-arms after `suppress_span` samples
+    (reference ofdmframesync re-arms after consuming the frame).
+    Detection math: the plateau metric of _sync_core, segmented into
+    256-sample chunks with per-chunk local-max selection — the same
+    block-invariance argument as stream_rx (the chunk grid is absolute
+    -aligned because block_len % 256 == 0).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from ..core import Proc
+
+    T = int(block_len)
+    CH = 256
+    if T % CH != 0:
+        raise ValueError("block_len must be a multiple of %d" % CH)
+    M, cp = params.M, params.cp_len
+    M2 = M // 2
+    P_ = int(max_frames)
+    hist = 1536
+    span = int(suppress_span if suppress_span is not None
+               else 3 * (M + cp) + M)
+    n_chunk = (hist + T - M) // CH      # chunks fully covered by metric
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return {"buf": jnp.zeros(batch_shape + (hist,), jnp.complex64),
+                "base": jnp.full(batch_shape, -hist, jnp.int32),
+                "last_end": jnp.full(batch_shape, -(1 << 30), jnp.int32)}
+
+    def _apply_1d(carry, x):
+        buf = jnp.concatenate([carry["buf"], x.astype(jnp.complex64)],
+                              axis=-1)
+        prod = buf[M2:] * jnp.conj(buf[:-M2])
+        c = jnp.cumsum(jnp.concatenate([jnp.zeros(1, prod.dtype), prod]))
+        Pm = c[M2:] - c[:-M2]
+        e = jnp.cumsum(jnp.concatenate(
+            [jnp.zeros(1, jnp.float32),
+             jnp.abs(buf).astype(jnp.float32) ** 2]))
+        R = e[M:] - e[:-M]
+        Lm = n_chunk * CH
+        metric = jnp.abs(Pm[:Lm]) / jnp.maximum(R[:Lm], 1e-12) * 2.0
+        mc = metric.reshape(n_chunk, CH)
+        pk = jnp.max(mc, axis=-1)
+        pos = jnp.asarray(np.arange(n_chunk) * CH, jnp.int32) + \
+            jnp.argmax(mc, axis=-1).astype(jnp.int32)
+        neg = jnp.full((1,), -jnp.inf, pk.dtype)
+        local = (pk > jnp.concatenate([neg, pk[:-1]])) & \
+            (pk >= jnp.concatenate([pk[1:], neg]))
+        cand = (pk > threshold) & (pos < T) & local
+
+        def _suppress(le, ci):
+            cnd, p = ci
+            keep = cnd & (p >= le)
+            return jnp.where(keep, p + span, le), keep
+
+        _, keeps = lax.scan(_suppress, carry["last_end"], (cand, pos))
+        cand = keeps
+        n_cand = jnp.sum(cand)
+        sel = jnp.nonzero(cand, size=P_, fill_value=0)[0]
+        valid = jnp.arange(P_) < n_cand
+        d0 = pos[sel]
+        peak = pk[sel]
+        cfo = jnp.angle(Pm[jnp.minimum(d0, Lm - 1)]) / M2
+        out = (valid, carry["base"] + d0, cfo, peak)
+        last_n0 = jnp.max(jnp.where(cand, pos, -(1 << 30)))
+        new_last = jnp.maximum(
+            carry["last_end"],
+            jnp.where(n_cand > 0, last_n0 + span, -(1 << 30))) - T
+        new_carry = {"buf": buf[..., T:], "base": carry["base"] + T,
+                     "last_end": jnp.maximum(new_last, -(1 << 30))}
+        return out, new_carry
+
+    def apply(params_, carry, x):
+        if x.ndim == 1:
+            return _apply_1d(carry, x)
+        batch = x.shape[:-1]
+        xf = x.reshape((-1, T))
+        cf = jax.tree_util.tree_map(
+            lambda a: a.reshape((-1,) + a.shape[len(batch):]), carry)
+        out, nc = jax.vmap(_apply_1d)(cf, xf)
+        out = jax.tree_util.tree_map(
+            lambda a: a.reshape(batch + a.shape[1:]), out)
+        nc = jax.tree_util.tree_map(
+            lambda a: a.reshape(batch + a.shape[1:]), nc)
+        return out, nc
+
+    return Proc(params=(), init=init, apply=apply, rate=(1, 1), name=name)
+
+
 def ofdm_frame_sync(params: OFDMParams, x, n_syms: int,
                     threshold: float = 0.7) -> OFDMSyncResult:
     """Block-native OFDM synchronizer (jittable end-to-end).

@@ -189,3 +189,49 @@ class TestNCOGolden:
         p = nco(dphi=0.123, direction="up", table=True)
         y, _ = p(jnp.asarray(fg["nco_x"]), batch_shape=())
         assert np.abs(np.asarray(y) - fg["nco_lut_y"]).max() < 1e-5
+
+
+class TestStagePipeline:
+    """Stage pipelining across device groups (SURVEY.md §2.12, new design):
+    each chain stage's params+carry live on their own device; equivalence
+    contract is pipelined == single-device chain."""
+
+    def test_two_stage_fir_equivalence(self):
+        from liquid_dsp_tpu.parallel.pipeline import StagePipeline
+        rng = np.random.default_rng(21)
+        h1 = rng.standard_normal(17).astype(np.float32)
+        h2 = rng.standard_normal(9).astype(np.float32)
+        f1, f2 = firfilt(h1), firfilt(h2)
+        x = _rand_cplx(rng, 4, 256)
+        pipe = StagePipeline([f1, f2], devices=jax.devices()[:2])
+        y = pipe.run(x)
+        ch = chain(f1, f2)
+        c = ch.init()
+        ref = []
+        for b in x:
+            yb, c = ch.apply(ch.params, c, jnp.asarray(b))
+            ref.append(np.asarray(yb))
+        assert_close(y, np.stack(ref), tol=1e-5, msg="2-stage pipeline")
+        # stages actually placed on distinct devices
+        assert pipe._devs[0] != pipe._devs[1]
+
+    def test_rate_changing_stage_and_reset(self):
+        from liquid_dsp_tpu.parallel.pipeline import StagePipeline
+        rng = np.random.default_rng(22)
+        h1 = rng.standard_normal(17).astype(np.float32)
+        h2 = rng.standard_normal(12).astype(np.float32)
+        f1, dec = firfilt(h1), firdecim(4, h2)
+        x = _rand_cplx(rng, 3, 512)
+        pipe = StagePipeline([f1, dec], devices=jax.devices()[:2])
+        y1 = pipe.run(x)
+        assert y1.shape == (3, 128)
+        pipe.reset()
+        y2 = pipe.run(x)
+        assert_close(y2, y1, tol=0, msg="reset reproducibility")
+        ch = chain(f1, dec)
+        c = ch.init()
+        ref = []
+        for b in x:
+            yb, c = ch.apply(ch.params, c, jnp.asarray(b))
+            ref.append(np.asarray(yb))
+        assert_close(y1, np.stack(ref), tol=1e-5, msg="pipelined decim chain")

@@ -99,47 +99,61 @@ def build_chain():
         stages.append(msresamp(0.5, 60.0))
     except Exception:
         pass
-    return chain(*stages)
+    proc = chain(*stages)
+    if not on_cpu:
+        # LTI chain fusion (fuse.py): FIR64 + FIR57 + halfband decim + gain
+        # collapse into ONE 144-tap strided banded matmul — each cascade
+        # stage otherwise re-streams the block through HBM (2.3x measured,
+        # PERF.md).  On CPU the segmented fftfilt cascade wins instead.
+        from liquid_dsp_tpu import fuse
+        proc = fuse(proc)
+    return proc
 
 
 def planar_main(batch, T):
-    """Run the REAL complex64 chain on the accelerator with planar host
-    I/O.  The axon tunnel cannot device_put complex arrays
-    (UNIMPLEMENTED — PERF.md backend caveats) but on-device complex
-    compute is fully supported, so transfer real/imag float32 planes and
-    ``lax.complex`` them inside jit.  This measures the actual
-    public-API chain in complex64 end-to-end; only the host boundary is
-    planar.  The initial carry is built on-device by a jitted init (no
-    complex host->device transfer), and the carry stays device-resident
-    across trials."""
+    """Run the public-API chain in PLANAR (structure-of-arrays) execution
+    (liquid_dsp_tpu.planar): every complex stream is a (re, im) float32
+    plane pair end-to-end.  This is the TPU-native layout — interleaved
+    complex64 elementwise math measures ~2x slower than plane math
+    (PERF.md) — and doubles as the tunnel's host I/O format (it cannot
+    device_put complex arrays at all).  The chain itself is the fused
+    public chain from build_chain(); the initial carry is built
+    on-device by a jitted init and stays device-resident across
+    trials."""
     import jax
     import jax.numpy as jnp
 
-    proc = build_chain()
+    from liquid_dsp_tpu import planar
+    proc = planar(build_chain())
     rng = np.random.default_rng(0)
     xr = jnp.asarray(rng.standard_normal((batch, T)).astype(np.float32))
     xi = jnp.asarray(rng.standard_normal((batch, T)).astype(np.float32))
     carry0 = jax.jit(lambda: proc.init(batch_shape=(batch,)))()
 
+    # Params are CLOSED OVER as host numpy constants, not passed as jit
+    # arguments: per-argument dispatch on the tunnel costs ~3x at this
+    # block size (1748 vs 5231 Msps, tools/exp_bisect.py), and baking the
+    # taps lets XLA constant-fold the banded weight matrix.  numpy (not
+    # jnp) closures per the axon lowering rule (CLAUDE.md).
+    params = jax.tree.map(np.asarray, proc.params)
+
     @jax.jit
-    def step(params, c, r, i):
-        x = jax.lax.complex(r, i)
-        y, c2 = proc.apply(params, c, x)
+    def step(c, r, i):
+        (yr, yi), c2 = proc.apply(params, c, (r, i))
         # checksum must touch EVERY output nonlinearly: y is not a jit
         # output here, and a partial or linear reduction lets XLA
         # dead-code-eliminate / algebraically bypass the actual filtering
-        chk = jnp.sum(jnp.real(y) ** 2 + jnp.imag(y) ** 2)
+        chk = jnp.sum(yr * yr + yi * yi)
         return c2, chk
 
-    params = proc.params
-    c, chk = step(params, carry0, xr, xi)
+    c, chk = step(carry0, xr, xi)
     float(np.asarray(chk))  # value readback (warmup/compile)
 
     def run_trials(n):
         t0 = time.perf_counter()
         c, chk = carry0, None
         for _ in range(n):
-            c, chk = step(params, c, xr, xi)
+            c, chk = step(c, xr, xi)
         float(np.asarray(chk))  # value readback: proves completion
         return time.perf_counter() - t0
 
@@ -258,7 +272,7 @@ def main(cpu_fallback: bool = False, planes_only: bool = False,
     if mode == "planar":
         try:
             msps = planar_main(batch, T)
-            metric_note += " [planar host I/O]"
+            metric_note += " [planar SoA execution]"
         except Exception:
             if not os.environ.get("LIQUID_BENCH_NO_REEXEC"):
                 sys.stdout.flush()

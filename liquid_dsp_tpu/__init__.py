@@ -21,4 +21,6 @@ Package layout:
 
 __version__ = "0.1.0"
 
-from .core import Proc, chain  # noqa: F401
+from .core import LTI, Proc, chain  # noqa: F401
+from .fuse import fuse, fused_fir  # noqa: F401
+from .planar import planar, to_planes, from_planes  # noqa: F401

@@ -34,6 +34,26 @@ Pytree = Any
 
 
 @dataclasses.dataclass(frozen=True)
+class LTI:
+    """Static linear-time-invariant description of a Proc, enabling chain
+    fusion (`liquid_dsp_tpu.fuse`):
+
+        y[i] = sum_j taps[j] * x[down*i + d - j]
+
+    with ``taps`` a HOST numpy array (1-D), integer decimation ``down`` >= 1
+    and input offset ``0 <= d < down``.  Adjacent LTI stages compose into a
+    single strided FIR (taps convolve, downs multiply, offsets accumulate) —
+    the TPU analog of the reference's freedom to pick any exact
+    implementation for a filter cascade (reference
+    examples/fftfilt_crcf_example.c asserts firfilt/fftfilt equivalence).
+    """
+
+    taps: Any
+    down: int = 1
+    d: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
 class Proc:
     """A streaming block processor.
 
@@ -64,6 +84,16 @@ class Proc:
     advance: Optional[Callable[[Pytree, Pytree, int], Pytree]] = None
     # children: set by `chain` so sharding transforms can recurse.
     children: Optional[Tuple["Proc", ...]] = None
+    # lti: static FIR/decimator description enabling chain fusion (fuse.py).
+    lti: Optional[LTI] = None
+    # planar execution support (planar.py): complex streams carried as a
+    # (re, im) float-plane pair — structure-of-arrays.  Interleaved
+    # complex64 elementwise ops measure ~1.5-2x slower than plane math on
+    # TPU (PERF.md), and the axon tunnel cannot transfer complex at all.
+    # Stages without these fields are wrapped (complex<->planes at the
+    # stage boundary) by the `planar` transform.
+    planar_apply: Optional[Callable] = None
+    planar_init: Optional[Callable[..., Pytree]] = None
 
     def __call__(self, x, carry: Optional[Pytree] = None, **init_kw):
         """Convenience single-shot execution (fresh carry if none given)."""

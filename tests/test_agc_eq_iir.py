@@ -45,7 +45,7 @@ class TestIIR:
         c = q.init(batch_shape=())
         ys = []
         for blk in d["x"].reshape(4, -1):
-            yb, c = q.apply(q.params, c, jnp.asarray(blk))
+            yb, c = q.jitted(q.params, c, jnp.asarray(blk))
             ys.append(np.asarray(yb))
         assert_close(np.concatenate(ys), np.asarray(y_once), tol=1e-6)
 
@@ -199,7 +199,7 @@ class TestPScan:
         c = q.init(batch_shape=(), dtype=jnp.float32)
         ys = []
         for blk in x.reshape(4, -1):
-            yb, c = q.apply(q.params, c, jnp.asarray(blk))
+            yb, c = q.jitted(q.params, c, jnp.asarray(blk))
             ys.append(np.asarray(yb))
         assert_close(np.concatenate(ys), np.asarray(y_once), tol=1e-4)
 

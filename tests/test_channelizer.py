@@ -119,7 +119,7 @@ class TestProperties:
         c = qa.init(batch_shape=())
         outs = []
         for blk in x.reshape(4, -1):
-            Yb, c = qa.apply(qa.params, c, jnp.asarray(blk))
+            Yb, c = qa.jitted(qa.params, c, jnp.asarray(blk))
             outs.append(np.asarray(Yb))
         np.testing.assert_allclose(np.concatenate(outs, axis=-1),
                                    np.asarray(Y_once), atol=1e-5)

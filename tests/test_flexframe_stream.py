@@ -185,8 +185,8 @@ class TestStreamProcDirect:
         carry = proc.init(batch_shape=(2,))
         hits = {}
         for b in range(2):
-            out, carry = proc.apply((), carry,
-                                    jnp.asarray(x[:, b * T:(b + 1) * T]))
+            out, carry = proc.jitted((), carry,
+                                     jnp.asarray(x[:, b * T:(b + 1) * T]))
             o = jax.tree_util.tree_map(np.asarray, out)
             for ch in range(2):
                 for s in range(o.valid.shape[1]):

@@ -140,7 +140,8 @@ class TestBatchedChannels:
         carry = proc.init(batch_shape=(2,))
         outs = []
         for b in range(2):
-            out, carry = proc.apply((), carry, jnp.asarray(x[:, b * T:(b + 1) * T]))
+            out, carry = proc.jitted((), carry,
+                                     jnp.asarray(x[:, b * T:(b + 1) * T]))
             outs.append(jax.tree_util.tree_map(np.asarray, out))
         # drain: channel 0 frame at 300, channel 1 frame at 2500
         hits = {}

@@ -20,7 +20,7 @@ def _run_blocks(proc, x_blocks, batch_shape):
     carry = proc.init(batch_shape=batch_shape)
     outs = []
     for xb in x_blocks:
-        y, carry = proc.apply(proc.params, carry, jnp.asarray(xb))
+        y, carry = proc.jitted(proc.params, carry, jnp.asarray(xb))
         outs.append(np.asarray(y))
     return np.concatenate(outs, axis=-1)
 

@@ -15,7 +15,7 @@ def _run_complex(proc, blocks, batch):
     carry = proc.init(batch_shape=batch)
     outs = []
     for xb in blocks:
-        y, carry = proc.apply(proc.params, carry, jnp.asarray(xb))
+        y, carry = proc.jitted(proc.params, carry, jnp.asarray(xb))
         outs.append(np.asarray(y))
     return np.concatenate(outs, axis=-1)
 
@@ -26,7 +26,7 @@ def _run_planar(proc, blocks, batch):
     outs = []
     for xb in blocks:
         x = (jnp.asarray(xb.real.copy()), jnp.asarray(xb.imag.copy()))
-        (yr, yi), carry = p.apply(p.params, carry, x)
+        (yr, yi), carry = p.jitted(p.params, carry, x)
         outs.append(np.asarray(yr) + 1j * np.asarray(yi))
     return np.concatenate(outs, axis=-1)
 

@@ -80,7 +80,7 @@ class TestSymsync:
         c = q.init(batch_shape=())
         ys, vs = [], []
         for blk in x.reshape(4, -1):
-            (yb, vb), c = q.apply(q.params, c, jnp.asarray(blk))
+            (yb, vb), c = q.jitted(q.params, c, jnp.asarray(blk))
             ys.append(np.asarray(yb))
             vs.append(np.asarray(vb))
         y2 = np.concatenate(ys)[np.concatenate(vs)]
@@ -318,7 +318,7 @@ class TestFirhilbForms:
         c = q.init(batch_shape=())
         parts = []
         for b in range(4):
-            yb, c = q.apply(q.params, c, jnp.asarray(x[b * 64:(b + 1) * 64]))
+            yb, c = q.jitted(q.params, c, jnp.asarray(x[b * 64:(b + 1) * 64]))
             parts.append(np.asarray(yb))
         assert np.abs(np.concatenate(parts) - np.asarray(y1)).max() < 1e-6
 

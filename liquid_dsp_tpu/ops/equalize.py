@@ -96,9 +96,15 @@ def eqlms(h_len: int = 5, mu: float = 0.5, h=None,
     array runs decision-directed with a hard sign slicer.
     """
     w_init = eqlms_init_weights(h_len, h)
+    # default decision device: UNIT-ENERGY QPSK points (+-sqrt(1/2) per
+    # rail) to match the framework's modem normalization — a +-1+-1j
+    # slicer has 3 dB of systematic scale error and diverges on
+    # unit-energy input (reference eqlms blind operation likewise
+    # references the unit circle, examples/eqlms_cccf_blind_example.c)
+    s2 = np.float32(np.sqrt(0.5))
     default_slicer = slicer or (
-        lambda y: jnp.sign(y.real) + (1j * jnp.sign(y.imag)
-                                      if jnp.iscomplexobj(y) else 0))
+        lambda y: (jnp.sign(y.real) * s2 + 1j * jnp.sign(y.imag) * s2)
+        if jnp.iscomplexobj(y) else jnp.sign(y))
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return {"w": jnp.broadcast_to(jnp.asarray(w_init, dtype),

@@ -22,5 +22,5 @@ Package layout:
 __version__ = "0.1.0"
 
 from .core import LTI, Proc, chain  # noqa: F401
-from .fuse import fuse, fused_fir  # noqa: F401
+from .fuse import fuse, fused_fir, kernel_fuse  # noqa: F401
 from .planar import planar, to_planes, from_planes  # noqa: F401

@@ -94,6 +94,9 @@ class Proc:
     # stage boundary) by the `planar` transform.
     planar_apply: Optional[Callable] = None
     planar_init: Optional[Callable[..., Pytree]] = None
+    # meta: static op description for pattern-matching transforms (e.g.
+    # fuse.kernel_fuse recognizing a mixer ahead of a fused FIR).
+    meta: Optional[dict] = None
 
     @property
     def jitted(self) -> Callable:

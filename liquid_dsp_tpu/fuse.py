@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from .core import LTI, Proc, chain
 
-__all__ = ["fuse", "fused_fir"]
+__all__ = ["fuse", "fused_fir", "kernel_fuse"]
 
 
 def _flatten(proc: Proc):
@@ -113,6 +113,80 @@ def fused_fir(meta: LTI, name: str = "fused_fir") -> Proc:
 
     return Proc(params={"h": hj}, init=init, apply=apply, rate=(1, down),
                 name=name, halo=L - 1, lti=LTI(h_np, down, d),
+                planar_apply=planar_apply, planar_init=planar_init)
+
+
+def kernel_fuse(proc: Proc) -> Proc:
+    """Collapse a (mixer -> fused-FIR) pair into ONE Pallas TPU kernel.
+
+    Pattern-matches a chain whose flattened stages are exactly
+    [nco (VCO mode, scalar phase), LTI stage (real taps, L <= 257)] —
+    the shape `fuse()` leaves the headline chain in — and returns a
+    Proc whose planar path runs mixer + banded FIR + decimation in one
+    VMEM pass (ops/kernels/pallas_chain.py: ~20 B/sample of HBM traffic
+    instead of ~36).  Anything that doesn't match is returned
+    unchanged, so `kernel_fuse(fuse(p))` is always safe.
+
+    Constraints at run time: block length a multiple of 2048, batch a
+    multiple of 8, batch_shape of rank 1 (or scalar), phase shared
+    across the batch."""
+    from .ops.kernels.pallas_chain import (SUB, TILE, fold_offset,
+                                           make_band, make_ramp,
+                                           mix_fir_decim)
+    stages = _flatten(proc)
+    if len(stages) != 2:
+        return proc
+    mix, fir = stages
+    m = mix.meta or {}
+    if (m.get("kind") != "nco" or m.get("table") or fir.lti is None
+            or np.iscomplexobj(fir.lti.taps)
+            or np.atleast_1d(fir.lti.taps).shape[-1] > SUB + 1):
+        return proc
+    dphi, theta0, sgn = m["dphi"], m["theta0"], m["sgn"]
+    h = fold_offset(np.asarray(fir.lti.taps, np.float32), fir.lti.d)
+    L = int(h.shape[-1])
+    down = int(fir.lti.down)
+    if SUB % down:
+        return proc
+    band = make_band(h, down)
+    ramp_c, ramp_s = make_ramp(L, dphi)
+
+    def planar_init(batch_shape=(), dtype=jnp.float32):
+        if len(batch_shape) > 1:
+            raise ValueError("kernel_fuse supports rank<=1 batch shapes")
+        B = batch_shape[0] if batch_shape else 1
+        z = jnp.zeros((B, SUB), jnp.float32)
+        return {"tr": z, "ti": z, "theta": jnp.float32(theta0)}
+
+    def planar_apply(params, carry, x):
+        import jax as _jax
+        r, i = x
+        flat = r.ndim == 1
+        if flat:
+            r, i = r[None], i[None]
+        yr, yi = mix_fir_decim(
+            r, i, carry["tr"], carry["ti"], carry["theta"],
+            ramp_c, ramp_s, band, L=L, down=down, sgn=sgn, dphi=dphi,
+            interpret=_jax.default_backend() == "cpu")
+        theta = jnp.mod(carry["theta"] + np.float32(
+            np.mod(dphi * r.shape[-1], 2 * np.pi)) + np.pi,
+            2 * np.pi) - np.pi
+        new_carry = {"tr": r[:, -SUB:], "ti": i[:, -SUB:], "theta": theta}
+        if flat:
+            yr, yi = yr[0], yi[0]
+        return (yr, yi), new_carry
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return planar_init(batch_shape=batch_shape)
+
+    def apply(params, carry, x):
+        (yr, yi), c2 = planar_apply(
+            params, carry, (jnp.real(x), jnp.imag(x)))
+        import jax.lax as _lax
+        return _lax.complex(yr, yi), c2
+
+    return Proc(params=(), init=init, apply=apply, rate=(1, down),
+                name=proc.name + "_kernel", halo=L - 1,
                 planar_apply=planar_apply, planar_init=planar_init)
 
 

@@ -1,0 +1,184 @@
+"""Pallas TPU kernel: mixer + fused FIR + decimation in ONE pass.
+
+The fused planar headline chain (fuse.py + planar.py) is HBM-bound in
+XLA: the mixer output, the halo-padded stream, and the banded im2col
+frames each round-trip HBM between kernels (~36 B/sample, PERF.md).
+This kernel performs the whole chain per tile inside VMEM:
+
+  * reads each input plane once per tile (current block + previous
+    block for the filter halo; the first tile reads the streaming
+    carry instead),
+  * mixes with a precomputed cos/sin ramp plus a per-tile phase scalar
+    (angle addition — T + nt transcendentals instead of T*nt),
+  * builds the banded windows with static in-VMEM slices and runs the
+    [B*NSUB, WK] @ [WK, SUB/down] banded matmul on the MXU,
+  * strides the outputs and writes [B, TILE/down] planes,
+
+for ~20 B/sample of HBM traffic.  Reference analog: none — this is the
+freedom of re-architecting the cascade (the reference asserts exact
+implementations are interchangeable, examples/fftfilt_crcf_example.c);
+the composed-taps algebra is identical to `fuse.fused_fir`.
+
+Constraints: real taps with L <= SUB+1, block length a multiple of
+TILE (2048), batch a multiple of 8 (f32 sublane), shared scalar NCO
+phase across the batch.  `pallas_mix_fir_supported` checks them.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["SUB", "NSUB", "TILE", "WK", "make_band", "fold_offset",
+           "mix_fir_decim", "pallas_mix_fir_supported"]
+
+SUB = 256          # full-rate outputs per matmul column block
+NSUB = 8           # sub-tiles folded into the matmul M dimension
+TILE = SUB * NSUB  # input samples consumed per grid step (2048)
+WK = 2 * SUB       # banded K dimension (512); requires L <= SUB + 1
+
+
+def fold_offset(h: np.ndarray, d: int) -> np.ndarray:
+    """Fold the strided-output offset d into the taps:
+    y[i] = sum_j h[j] x[down*i + d - j] = sum_j h'[j] x[down*i - j]."""
+    h = np.asarray(h)
+    return np.concatenate([h[d:], np.zeros(d, h.dtype)]) if d else h
+
+
+def make_band(h: np.ndarray, down: int) -> np.ndarray:
+    """Band [WK, SUB//down]: y[o] = sum_m w[k*SUB + m] * band[m, o] with
+    w[q] = x[q - (L-1)] (halo-prefixed stream), offset pre-folded."""
+    h = np.asarray(h, np.float32)
+    L = len(h)
+    if L > SUB + 1:
+        raise ValueError(f"taps too long for the banded kernel: {L}")
+    no = SUB // down
+    band = np.zeros((WK, no), np.float32)
+    for o in range(no):
+        of = down * o
+        for m in range(of, min(WK, of + L)):
+            j = of - m + (L - 1)
+            if 0 <= j < L:
+                band[m, o] = h[j]
+    return band
+
+
+def pallas_mix_fir_supported(h_np, down: int, batch: int, T: int,
+                             theta_shape=()) -> bool:
+    """Static eligibility for the fused kernel (see module docstring)."""
+    return (not np.iscomplexobj(h_np)
+            and len(np.atleast_1d(h_np)) <= SUB + 1
+            and T % TILE == 0
+            and batch % 8 == 0
+            and theta_shape == ())
+
+
+def _kernel(ci_ref, si_ref, xr_ref, xrp_ref, xi_ref, xip_ref,
+            ct_ref, st_ref, band_ref, cr_ref, cri_ref,
+            or_ref, oi_ref, *, L, down, sgn):
+    i = pl.program_id(0)
+    halo = L - 1
+    pad = WK - SUB - halo
+    B = xr_ref.shape[0]
+    first = i == 0
+
+    def wbuf(cur_ref, prev_ref, carry_ref):
+        tail = jnp.where(first, carry_ref[:, SUB - halo:],
+                         prev_ref[:, TILE - halo:])
+        return jnp.concatenate(
+            [tail, cur_ref[:], jnp.zeros((B, pad), jnp.float32)], axis=-1)
+
+    wr = wbuf(xr_ref, xrp_ref, cr_ref)
+    wi = wbuf(xi_ref, xip_ref, cri_ref)
+
+    # mix on the window: angle addition with the per-tile phase scalar
+    cb, sb = ci_ref[0, 0], si_ref[0, 0]
+    c = cb * ct_ref[0, :] - sb * st_ref[0, :]
+    s = sb * ct_ref[0, :] + cb * st_ref[0, :]
+    if sgn < 0:
+        s = -s
+    mr = wr * c - wi * s
+    mi = wr * s + wi * c
+
+    # banded matmul: fold sub-tiles into M
+    def fir(m):
+        W = jnp.concatenate(
+            [m[:, k * SUB: k * SUB + WK] for k in range(NSUB)], axis=0)
+        return jnp.dot(W, band_ref[:], preferred_element_type=jnp.float32)
+
+    yr = fir(mr)                       # [B*NSUB, SUB//down]
+    yi = fir(mi)
+    no = SUB // down
+    for k in range(NSUB):
+        or_ref[:, k * no:(k + 1) * no] = yr[k * B:(k + 1) * B]
+        oi_ref[:, k * no:(k + 1) * no] = yi[k * B:(k + 1) * B]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("L", "down", "sgn", "dphi", "interpret"))
+def mix_fir_decim(xr, xi, carry_r, carry_i, theta, ramp_c, ramp_s, band,
+                  *, L, down, sgn, dphi, interpret=False):
+    """One streaming block through the fused kernel.
+
+    xr/xi [B, T] float32 input planes; carry_[ri] [B, SUB]: the last SUB
+    pre-mix input samples of the previous block (zeros initially);
+    theta: scalar NCO phase at the first sample; ramp_c/s [1, TILE+SUB]:
+    cos/sin of dphi*(k - (L-1)); band [WK, SUB//down] from make_band.
+
+    Returns (yr, yi) [B, T//down].  The caller advances theta by
+    dphi*T (wrapped) and keeps x[..., -SUB:] as the next carry.
+    """
+    B, T = xr.shape
+    assert T % TILE == 0
+    nt = T // TILE
+    no = SUB // down
+    # per-tile phase offsets (computed with jnp so theta can be traced)
+    step = np.float32(np.mod(dphi * TILE, 2 * np.pi))
+    ph = theta + step * jnp.arange(nt, dtype=jnp.float32)
+    ph = jnp.mod(ph + np.pi, 2 * np.pi) - np.pi
+    tile_c = jnp.cos(ph)[:, None]
+    tile_s = jnp.sin(ph)[:, None]
+
+    kern = functools.partial(_kernel, L=L, down=down, sgn=sgn)
+    spec_cur = pl.BlockSpec((B, TILE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    spec_prev = pl.BlockSpec((B, TILE), lambda i: (0, jnp.maximum(i - 1, 0)),
+                             memory_space=pltpu.VMEM)
+
+    def spec_const(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    spec_smem = pl.BlockSpec((1, 1), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((B, T // down), jnp.float32),
+                   jax.ShapeDtypeStruct((B, T // down), jnp.float32)),
+        grid=(nt,),
+        in_specs=[
+            spec_smem, spec_smem,
+            spec_cur, spec_prev, spec_cur, spec_prev,
+            spec_const((1, TILE + SUB)), spec_const((1, TILE + SUB)),
+            spec_const((WK, no)),
+            spec_const((B, SUB)), spec_const((B, SUB)),
+        ],
+        out_specs=(pl.BlockSpec((B, no * NSUB), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((B, no * NSUB), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(tile_c, tile_s, xr, xr, xi, xi, ramp_c, ramp_s, band,
+      carry_r, carry_i)
+
+
+def make_ramp(h_len: int, dphi: float):
+    """Host (f64) mixer ramp for the window coordinate system."""
+    k = np.arange(TILE + SUB) - (h_len - 1)
+    ramp = dphi * np.asarray(k, np.float64)
+    return (np.cos(ramp).astype(np.float32)[None],
+            np.sin(ramp).astype(np.float32)[None])

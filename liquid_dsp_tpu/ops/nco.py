@@ -117,7 +117,10 @@ def nco(dphi: float, theta0: float = 0.0, direction: str = "down",
                         "sintab": jnp.asarray(sintab)},
                 init=init, apply=apply,
                 rate=(1, 1), name=name, advance=advance,
-                planar_apply=planar_apply, planar_init=planar_init)
+                planar_apply=planar_apply, planar_init=planar_init,
+                meta={"kind": "nco", "dphi": float(dphi),
+                      "theta0": float(theta0), "sgn": sgn,
+                      "table": bool(table)})
 
 
 def mix_down(x, dphi, theta0=0.0):

@@ -1,0 +1,67 @@
+"""Fused Pallas mix+FIR+decim kernel (kernel_fuse): streaming output ==
+the planar fused XLA chain, including carries across block boundaries.
+Runs in interpret mode on CPU; the real-hardware path is identical code
+with interpret=False (benched by tools/exp_pallas_fused.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from liquid_dsp_tpu import chain, fuse, kernel_fuse, planar
+from liquid_dsp_tpu.design.firdes import firdes_kaiser
+from liquid_dsp_tpu.ops.fir import firfilt
+from liquid_dsp_tpu.ops.nco import nco
+from liquid_dsp_tpu.ops.resample import msresamp
+
+
+def _headline():
+    return fuse(chain(nco(dphi=0.125, direction="down"),
+                      firfilt(firdes_kaiser(64, 0.2, 60.0)),
+                      firfilt(firdes_kaiser(57, 0.3, 60.0)),
+                      msresamp(0.5, 60.0)))
+
+
+def _run_planar(proc, blocks, batch):
+    p = planar(proc)
+    params = jax.tree.map(np.asarray, p.params)
+    carry = p.init(batch_shape=batch)
+    outs = []
+    for xb in blocks:
+        (yr, yi), carry = p.apply(params, carry,
+                                  (jnp.asarray(xb.real.copy()),
+                                   jnp.asarray(xb.imag.copy())))
+        outs.append(np.asarray(yr) + 1j * np.asarray(yi))
+    return np.concatenate(outs, axis=-1)
+
+
+def test_kernel_matches_fused_planar_streaming():
+    fused = _headline()
+    k = kernel_fuse(fused)
+    assert k is not fused, "headline pattern must match kernel_fuse"
+    rng = np.random.default_rng(0)
+    B, T, nblk = 8, 2048, 3
+    blocks = [(rng.standard_normal((B, T)) +
+               1j * rng.standard_normal((B, T))).astype(np.complex64)
+              for _ in range(nblk)]
+    y_ref = _run_planar(fused, blocks, (B,))
+    y_k = _run_planar(k, blocks, (B,))
+    assert y_k.shape == y_ref.shape
+    rms = np.sqrt(np.mean(np.abs(y_ref) ** 2))
+    assert np.abs(y_k - y_ref).max() / rms < 2e-4
+
+
+def test_kernel_complex_entry_point():
+    k = kernel_fuse(_headline())
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((8, 2048)) +
+         1j * rng.standard_normal((8, 2048))).astype(np.complex64)
+    y, c = k(jnp.asarray(x), batch_shape=(8,))
+    assert np.asarray(y).shape == (8, 1024)
+    assert np.iscomplexobj(np.asarray(y))
+
+
+def test_kernel_fuse_no_match_is_identity():
+    p = chain(nco(dphi=0.125, direction="down", table=True),
+              firfilt(firdes_kaiser(64, 0.2, 60.0)))
+    assert kernel_fuse(p) is p          # table-mode NCO: no match
+    q = firfilt(firdes_kaiser(64, 0.2, 60.0))
+    assert kernel_fuse(q) is q          # single stage: no match

@@ -129,6 +129,27 @@ class Proc:
         return y, carry
 
 
+def planar_per_plane(apply: Callable, init: Callable):
+    """(planar_apply, planar_init) for an op that is R-linear with REAL
+    coefficients and an input-tail carry: filtering a complex stream is
+    then exactly filtering each float plane independently (planar.py) —
+    two contiguous unit-stride passes instead of one interleaved
+    complex pass.  The op's own init/apply run per plane with f32."""
+    import jax.numpy as jnp
+
+    def planar_init(batch_shape=(), dtype=jnp.float32):
+        return (init(batch_shape=batch_shape, dtype=dtype),
+                init(batch_shape=batch_shape, dtype=dtype))
+
+    def planar_apply(params, carry, x):
+        (r, i), (cr, ci) = x, carry
+        yr, cr2 = apply(params, cr, r)
+        yi, ci2 = apply(params, ci, i)
+        return (yr, yi), (cr2, ci2)
+
+    return planar_apply, planar_init
+
+
 def chain(*procs: Proc, name: str = "chain") -> Proc:
     """Compose processors left-to-right: the analog of the user wiring
     liquid objects in sequence (e.g. mixer -> firfilt -> decim in the

@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..core import LTI, Proc
+from ..core import LTI, Proc, planar_per_plane
 from .fft import fft, ifft
 
 __all__ = ["fftfilt"]
@@ -78,5 +78,8 @@ def fftfilt(h, block_len: int | None = None, scale=1.0, name: str = "fftfilt") -
     h_host = np.asarray(h * scale,
                         dtype=np.complex64 if np.iscomplexobj(h)
                         else np.float32)
+    pa, pi = ((None, None) if np.iscomplexobj(h) else
+              planar_per_plane(apply, init))
     return Proc(params={"h": hj}, init=init, apply=apply, rate=(1, 1),
-                name=name, halo=L - 1, lti=LTI(h_host, 1, 0))
+                name=name, halo=L - 1, lti=LTI(h_host, 1, 0),
+                planar_apply=pa, planar_init=pi)

@@ -22,7 +22,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from ..core import LTI, Proc
+from ..core import LTI, Proc, planar_per_plane
 from .dotprod import conv1d
 
 __all__ = ["firfilt", "firdecim", "firinterp", "firpfb_execute", "firhilb",
@@ -222,8 +222,11 @@ def firdecim(m: int, h, scale=1.0, name: str = "firdecim") -> Proc:
     def apply(params, carry, x):
         return fir_apply(params["h"], _coerce(carry, x.dtype), x, stride=m)
 
+    pa, pi = ((None, None) if np.iscomplexobj(h_np) else
+              planar_per_plane(apply, init))
     return Proc(params={"h": h}, init=init, apply=apply, rate=(1, m),
-                name=name, halo=L - 1, lti=LTI(h_np, m, 0))
+                name=name, halo=L - 1, lti=LTI(h_np, m, 0),
+                planar_apply=pa, planar_init=pi)
 
 
 def firinterp(k: int, h, scale=1.0, name: str = "firinterp") -> Proc:
@@ -259,7 +262,10 @@ def firinterp(k: int, h, scale=1.0, name: str = "firinterp") -> Proc:
         new_carry = xp[..., xp.shape[-1] - (Lp - 1):] if Lp > 1 else carry
         return y, new_carry
 
-    return Proc(params={"hp": hp}, init=init, apply=apply, rate=(k, 1), name=name)
+    pa, pi = ((None, None) if np.iscomplexobj(h_np) else
+              planar_per_plane(apply, init))
+    return Proc(params={"hp": hp}, init=init, apply=apply, rate=(k, 1),
+                name=name, planar_apply=pa, planar_init=pi)
 
 
 def firpfb_execute(hp, x_window):

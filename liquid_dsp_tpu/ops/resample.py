@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import LTI, Proc, chain
+from ..core import LTI, Proc, chain, planar_per_plane
 from ..design.windows import kaiser, kaiser_beta_as
 from .fir import firinterp, fir_apply, fir_apply_auto, _as_jnp_taps
 
@@ -93,8 +93,11 @@ def resamp2_decim(m: int = 7, f0: float = 0.0, as_db: float = 60.0,
     # (even prototype taps vanish except the unit center, which lands on
     # the delayed odd phase; odd taps hit the even phase — same samples).
     from .fir import _np_taps
+    pa, pi = ((None, None) if np.iscomplexobj(h1) else
+              planar_per_plane(apply, init))
     return Proc(params=(h1j,), init=init, apply=apply, rate=(1, 2),
-                name=name, halo=H, lti=LTI(_np_taps(full), 2, 1))
+                name=name, halo=H, lti=LTI(_np_taps(full), 2, 1),
+                planar_apply=pa, planar_init=pi)
 
 
 def resamp2_interp(m: int = 7, f0: float = 0.0, as_db: float = 60.0,

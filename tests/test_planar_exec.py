@@ -76,3 +76,33 @@ def test_wrapped_stage_roundtrip():
     p = chain(nco(dphi=0.1, direction="down"), firfilt(h.astype(np.complex64)))
     assert p.children[1].planar_apply is None
     _check(p)
+
+
+def test_firdecim_firinterp_planar():
+    from liquid_dsp_tpu.ops.fir import firdecim, firinterp
+    _check(firdecim(4, firdes_kaiser(24, 0.1, 60.0)), T=512)
+    _check(firinterp(3, firdes_kaiser(21, 0.15, 60.0)), T=512)
+
+
+def test_fftfilt_planar():
+    from liquid_dsp_tpu.ops.fftfilt import fftfilt
+    _check(fftfilt(firdes_kaiser(57, 0.3, 60.0)), T=1024)
+
+
+def test_resamp2_decim_planar():
+    from liquid_dsp_tpu.ops.resample import resamp2_decim
+    _check(resamp2_decim(7), T=512)
+
+
+def test_mixed_rate_planar_chain():
+    # interp -> filter -> halfband decim, all planar-native
+    from liquid_dsp_tpu.ops.fir import firinterp
+    from liquid_dsp_tpu.ops.resample import resamp2_decim
+    p = chain(nco(dphi=0.2, direction="up"),
+              firinterp(2, firdes_kaiser(16, 0.2, 60.0)),
+              firfilt(firdes_kaiser(33, 0.25, 60.0)),
+              resamp2_decim(5))
+    pp = planar(p)
+    # every stage should be planar-native (no _wrapped fallback)
+    assert all("wrapped" not in c.name for c in pp.children)
+    _check(p, T=512)

@@ -64,7 +64,33 @@ def agc(bandwidth: float = AGC_DEFAULT_BW, locked: bool = False,
     def apply(params, carry, x):
         return agc_scan(alpha, carry, x, locked=locked)
 
-    return Proc(params={}, init=init, apply=apply, name=name)
+    def planar_init(batch_shape=(), dtype=jnp.float32):
+        return init(batch_shape=batch_shape)
+
+    def planar_apply(params, carry, x):
+        # planar form (planar.py): the loop only needs the instantaneous
+        # POWER p = r^2 + i^2 (y2 = g^2 p — identical recurrence), so the
+        # scan body is all-real scalar math emitting per-sample gains,
+        # and the planes are scaled elementwise outside the scan.
+        r, i = x
+        p = jnp.moveaxis(r * r + i * i, -1, 0)
+
+        def step(c, pt):
+            g, y2p = c
+            y2p = (1.0 - alpha) * y2p + alpha * (g * g) * pt
+            g_out = g
+            if not locked:
+                g = jnp.where(y2p > 1e-6,
+                              g * jnp.exp(-0.5 * alpha * jnp.log(y2p)), g)
+                g = jnp.minimum(g, 1e6)
+            return (g, y2p), g_out
+
+        (g, y2p), gt = lax.scan(step, (carry["g"], carry["y2_prime"]), p)
+        s = jnp.moveaxis(gt, 0, -1)
+        return (r * s, i * s), {"g": g, "y2_prime": y2p}
+
+    return Proc(params={}, init=init, apply=apply, name=name,
+                planar_apply=planar_apply, planar_init=planar_init)
 
 
 def rssi_from_carry(carry):

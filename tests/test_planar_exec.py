@@ -106,3 +106,19 @@ def test_mixed_rate_planar_chain():
     # every stage should be planar-native (no _wrapped fallback)
     assert all("wrapped" not in c.name for c in pp.children)
     _check(p, T=512)
+
+
+def test_agc_planar():
+    from liquid_dsp_tpu.ops.agc import agc
+    rng = np.random.default_rng(5)
+    x = (0.1 * (rng.standard_normal((2, 400)) +
+                1j * rng.standard_normal((2, 400)))).astype(np.complex64)
+    _check_proc_on(agc(bandwidth=0.05), x)
+    _check_proc_on(agc(bandwidth=0.05, locked=True), x)
+
+
+def _check_proc_on(proc, x, rtol=2e-4):
+    y_c = _run_complex(proc, [x], x.shape[:-1])
+    y_p = _run_planar(proc, [x], x.shape[:-1])
+    rms = np.sqrt(np.mean(np.abs(y_c) ** 2)) + 1e-30
+    assert np.abs(y_p - y_c).max() / rms < rtol

@@ -102,18 +102,32 @@ def firfilt(h, scale: float | complex = 1.0, name: str = "firfilt",
     else:
         raise ValueError(f"unknown firfilt backend {backend!r}")
 
-    planar_apply = planar_init = None
+    def planar_init(batch_shape=(), dtype=jnp.float32):
+        z = jnp.zeros(batch_shape + (L - 1,), dtype)
+        return (z, z)
+
     if not np.iscomplexobj(h_np):
         # real taps: filter each float plane independently (planar.py)
-        def planar_init(batch_shape=(), dtype=jnp.float32):
-            z = jnp.zeros(batch_shape + (L - 1,), dtype)
-            return (z, z)
-
         def planar_apply(params, carry, x):
             (r, i), (cr, ci) = x, carry
             yr, cr2 = apply(params, cr, r)
             yi, ci2 = apply(params, ci, i)
             return (yr, yi), (cr2, ci2)
+    elif backend != "pallas":
+        # complex taps on float planes: 3-real-convolution Karatsuba
+        # split (y = x*h needs m1 = r*hr, m2 = i*hi, m3 = (r+i)*(hr+hi);
+        # yr = m1 - m2, yi = m3 - m1 - m2) — one fewer pass than the
+        # naive 4 and no interleaved complex math anywhere
+        def planar_apply(params, carry, x):
+            h_ = params["h"]
+            hr, hi = jnp.real(h_), jnp.imag(h_)
+            (r, i), (cr, ci) = x, carry
+            m1, cr2 = fir_apply_auto(hr, cr, r)
+            m2, ci2 = fir_apply_auto(hi, ci, i)
+            m3, _ = fir_apply_auto(hr + hi, cr + ci, r + i)
+            return (m1 - m2, m3 - m1 - m2), (cr2, ci2)
+    else:
+        planar_apply = planar_init = None
 
     return Proc(params=params, init=init, apply=apply, rate=(1, 1), name=name,
                 halo=L - 1, lti=LTI(h_np, 1, 0),

@@ -68,14 +68,24 @@ def test_fused_headline_chain_planar():
     _check(fuse(p), T=1024)
 
 
-def test_wrapped_stage_roundtrip():
-    # an op with no planar path (complex-tap FIR) gets wrapped: complex
-    # at the stage boundary, planes outside
+def test_complex_taps_karatsuba_planar():
+    # complex-tap FIR runs planar-natively via the 3-conv Karatsuba split
     h = firdes_kaiser(21, 0.2, 60.0) * np.exp(
         1j * 0.3 * np.arange(21))
     p = chain(nco(dphi=0.1, direction="down"), firfilt(h.astype(np.complex64)))
-    assert p.children[1].planar_apply is None
+    assert p.children[1].planar_apply is not None
     _check(p)
+
+
+def test_wrapped_stage_roundtrip():
+    # an op with no planar path (IIR) gets wrapped: complex at the
+    # stage boundary, planes outside
+    from liquid_dsp_tpu.ops.iir import iirfilt
+    from liquid_dsp_tpu.design.iirdes import iirdes
+    b, a = iirdes("butter", 5, 0.2)
+    p = chain(nco(dphi=0.1, direction="down"), iirfilt(b, a))
+    assert p.children[1].planar_apply is None
+    _check(p, rtol=1e-3)
 
 
 def test_firdecim_firinterp_planar():

@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["MSEQUENCE_DEFAULT_POLY", "msequence_bits", "msequence_symbols",
+           "bsequence_create_ccodes",
            "MSequence", "bsequence_correlate"]
 
 # default generator polynomials / initial states per m
@@ -98,3 +99,28 @@ def bsequence_correlate(a, b) -> int:
     a = np.asarray(a, np.int8)
     b = np.asarray(b, np.int8)
     return int(np.sum((2 * a - 1) * (2 * b - 1)))
+
+
+def bsequence_create_ccodes(num_bits: int):
+    """Complementary (Golay) code pair of num_bits each, bit-identical
+    to reference bsequence_create_ccodes (src/sequence/src/bsequence.c:284):
+    byte-level doubling a -> [a b], b -> [a ~b] from the seeds
+    0xb8/0xb7, right-aligned.  Returns (a_bits, b_bits) uint8 arrays.
+    The pair's aperiodic +-1 autocorrelations cancel at every nonzero
+    lag: r_a(k) + r_b(k) = 0 for k != 0 (the defining property)."""
+    if num_bits < 8 or num_bits % 8:
+        raise ValueError("ccodes length must be a multiple of 8, >= 8")
+    nb = num_bits // 8
+    a = np.zeros(nb, np.uint8)
+    b = np.zeros(nb, np.uint8)
+    a[-1], b[-1] = 0xB8, 0xB7
+    n = 1
+    while n < nb:
+        top = a[nb - n:].copy()          # current a
+        bot = b[nb - n:].copy()          # current b
+        a[nb - 2 * n: nb - n] = top      # a -> [a  b]
+        a[nb - n:] = bot
+        b[nb - 2 * n: nb - n] = top      # b -> [a ~b]
+        b[nb - n:] = bot ^ 0xFF
+        n *= 2
+    return np.unpackbits(a), np.unpackbits(b)

@@ -258,3 +258,29 @@ class TestDetectionRate:
             if r.detected and r.crc_ok and np.array_equal(r.payload, pay):
                 ok += 1
         assert ok >= 18, f"detection rate {ok}/{n_trials}"
+
+
+class TestComplementaryCodes:
+    """reference bsequence_create_ccodes (bsequence.c:284) + the
+    complementary property its autotest asserts."""
+
+    def test_seeds_match_reference(self):
+        from liquid_dsp_tpu.utils.sequence import bsequence_create_ccodes
+        a, b = bsequence_create_ccodes(8)
+        assert np.array_equal(np.packbits(a), [0xB8])
+        assert np.array_equal(np.packbits(b), [0xB7])
+
+    def test_autocorrelations_cancel(self):
+        from liquid_dsp_tpu.utils.sequence import bsequence_create_ccodes
+        for n in (16, 64, 256):
+            a, b = bsequence_create_ccodes(n)
+            sa, sb = 2.0 * a - 1, 2.0 * b - 1
+            s = np.correlate(sa, sa, "full") + np.correlate(sb, sb, "full")
+            assert s[n - 1] == 2 * n
+            assert np.abs(np.delete(s, n - 1)).max() == 0
+
+    def test_invalid_length_raises(self):
+        from liquid_dsp_tpu.utils.sequence import bsequence_create_ccodes
+        import pytest
+        with pytest.raises(ValueError):
+            bsequence_create_ccodes(12)

@@ -11,7 +11,11 @@ import numpy as np
 
 __all__ = ["repack_bytes", "pack_array", "unpack_array",
            "unpack_soft_bits", "count_ones", "count_ones_mod2",
-           "msb_index", "lbshift", "rbshift", "lbcircshift", "rbcircshift"]
+           "msb_index", "lbshift", "rbshift", "lbcircshift", "rbcircshift",
+           "bdotprod", "count_leading_zeros", "print_bitstring",
+           "reverse_byte", "reverse_uint16", "reverse_uint24",
+           "reverse_uint32", "lshift", "rshift", "lcircshift",
+           "rcircshift"]
 
 
 def repack_bytes(sym_in, bps_in: int, bps_out: int) -> np.ndarray:
@@ -123,3 +127,74 @@ def rbcircshift(src, b: int) -> np.ndarray:
     """Right circular bit-shift (reference liquid_rbcircshift)."""
     bits = _bytes_to_bits(src)
     return _bits_to_bytes(np.roll(bits, b))
+
+
+def bdotprod(x: int, y: int) -> int:
+    """Binary dot product: parity of x & y (reference liquid_bdotprod)."""
+    return count_ones_mod2(int(x) & int(y))
+
+
+def count_leading_zeros(x: int) -> int:
+    """Leading zeros in a 32-bit word (reference
+    liquid_count_leading_zeros)."""
+    return 32 - int(x).bit_length() if x else 32
+
+
+def print_bitstring(x: int, n: int) -> str:
+    """n-bit binary string, MSB first (reference liquid_print_bitstring
+    prints; here the string is returned)."""
+    return format(int(x) & ((1 << n) - 1), f"0{n}b")
+
+
+def reverse_byte(x: int) -> int:
+    """Bit-reverse one byte (reference liquid_reverse_byte table)."""
+    return int(f"{int(x) & 0xFF:08b}"[::-1], 2)
+
+
+def _reverse_uint(x: int, bits: int) -> int:
+    return int(format(int(x) & ((1 << bits) - 1), f"0{bits}b")[::-1], 2)
+
+
+def reverse_uint16(x: int) -> int:
+    """Bit-reverse a 16-bit word (reference liquid_reverse_uint16)."""
+    return _reverse_uint(x, 16)
+
+
+def reverse_uint24(x: int) -> int:
+    """Bit-reverse a 24-bit word (reference liquid_reverse_uint24)."""
+    return _reverse_uint(x, 24)
+
+
+def reverse_uint32(x: int) -> int:
+    """Bit-reverse a 32-bit word (reference liquid_reverse_uint32)."""
+    return _reverse_uint(x, 32)
+
+
+def lshift(src, n: int) -> np.ndarray:
+    """Byte-level left shift by n bytes, zero-filled (reference
+    liquid_lshift)."""
+    src = np.asarray(src, np.uint8)
+    out = np.zeros_like(src)
+    if n < len(src):
+        out[: len(src) - n] = src[n:]
+    return out
+
+
+def rshift(src, n: int) -> np.ndarray:
+    """Byte-level right shift by n bytes, zero-filled (reference
+    liquid_rshift)."""
+    src = np.asarray(src, np.uint8)
+    out = np.zeros_like(src)
+    if n < len(src):
+        out[n:] = src[: len(src) - n]
+    return out
+
+
+def lcircshift(src, n: int) -> np.ndarray:
+    """Byte-level left circular shift (reference liquid_lcircshift)."""
+    return np.roll(np.asarray(src, np.uint8), -int(n))
+
+
+def rcircshift(src, n: int) -> np.ndarray:
+    """Byte-level right circular shift (reference liquid_rcircshift)."""
+    return np.roll(np.asarray(src, np.uint8), int(n))

@@ -376,3 +376,45 @@ class TestCVSDGolden:
                               bits_ref)
         assert np.abs(np.asarray(cvsd_decode(bits_ref)) - xr_ref).max() \
             < 1e-4
+
+
+class TestBitUtilities:
+    """reference src/utility/: bdotprod, clz, byte/word reversal,
+    byte-level shifts (utility.c / bshift_array.c)."""
+
+    def test_bdotprod(self):
+        from liquid_dsp_tpu.utils.bits import bdotprod
+        assert bdotprod(0b1101, 0b1011) == 0       # overlap 1001: even
+        assert bdotprod(0b1101, 0b0011) == 1       # overlap 0001: odd
+        assert bdotprod(0xFFFFFFFF, 0xFFFFFFFF) == 0
+
+    def test_count_leading_zeros(self):
+        from liquid_dsp_tpu.utils.bits import count_leading_zeros
+        assert count_leading_zeros(0) == 32
+        assert count_leading_zeros(1) == 31
+        assert count_leading_zeros(0x80000000) == 0
+
+    def test_reversals_are_involutions(self):
+        from liquid_dsp_tpu.utils.bits import (reverse_byte, reverse_uint16,
+                                               reverse_uint24, reverse_uint32)
+        assert reverse_byte(0x01) == 0x80
+        assert reverse_byte(0xB8) == 0x1D
+        assert reverse_uint16(0x0001) == 0x8000
+        assert reverse_uint24(0x000001) == 0x800000
+        assert reverse_uint32(0x00000001) == 0x80000000
+        rng = np.random.default_rng(0)
+        for v in rng.integers(0, 1 << 32, 20):
+            assert reverse_uint32(reverse_uint32(int(v))) == int(v)
+
+    def test_byte_shifts(self):
+        from liquid_dsp_tpu.utils.bits import (lshift, rshift, lcircshift,
+                                               rcircshift)
+        a = np.array([1, 2, 3, 4], np.uint8)
+        assert np.array_equal(lshift(a, 1), [2, 3, 4, 0])
+        assert np.array_equal(rshift(a, 1), [0, 1, 2, 3])
+        assert np.array_equal(lcircshift(a, 1), [2, 3, 4, 1])
+        assert np.array_equal(rcircshift(a, 1), [4, 1, 2, 3])
+
+    def test_print_bitstring(self):
+        from liquid_dsp_tpu.utils.bits import print_bitstring
+        assert print_bitstring(0b1011, 6) == "001011"

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["dotprod", "sumsq", "vec_add", "vec_mul", "vec_norm", "vec_cexpj",
+           "vec_init", "vec_addscalar", "vec_mulscalar", "vec_carg",
+           "vec_abs", "vec_normalize",
            "conv1d_real"]
 
 
@@ -50,6 +52,37 @@ def vec_norm(x):
 def vec_cexpj(theta):
     """exp(j*theta) elementwise (reference vector_trig.c)."""
     return lax.complex(jnp.cos(theta), jnp.sin(theta))
+
+
+def vec_init(c, n: int):
+    """Constant-filled vector (reference vector_init)."""
+    return jnp.full((n,), c)
+
+
+def vec_addscalar(x, c):
+    """x + c elementwise (reference vector_addscalar)."""
+    return x + c
+
+
+def vec_mulscalar(x, c):
+    """x * c elementwise (reference vector_mulscalar)."""
+    return x * c
+
+
+def vec_carg(x):
+    """Complex phase elementwise (reference vector_trig.c carg)."""
+    return jnp.angle(x)
+
+
+def vec_abs(x):
+    """Magnitude elementwise (reference vector_abs)."""
+    return jnp.abs(x)
+
+
+def vec_normalize(x):
+    """Scale to unit L2 norm over the last axis (reference
+    vector_normalize)."""
+    return x / jnp.maximum(vec_norm(x), 1e-30)[..., None]
 
 
 def conv1d_real(x, h, stride: int = 1, lhs_dilation: int = 1):

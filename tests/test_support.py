@@ -418,3 +418,26 @@ class TestBitUtilities:
     def test_print_bitstring(self):
         from liquid_dsp_tpu.utils.bits import print_bitstring
         assert print_bitstring(0b1011, 6) == "001011"
+
+
+class TestVectorOps:
+    """reference MODULE vector (include/liquid.h:6675): elementwise ops."""
+
+    def test_vector_ops(self):
+        import jax.numpy as jnp
+        from liquid_dsp_tpu.ops.dotprod import (vec_init, vec_addscalar,
+                                                vec_mulscalar, vec_carg,
+                                                vec_abs, vec_normalize,
+                                                vec_norm)
+        rng = np.random.default_rng(1)
+        x = (rng.standard_normal(64) + 1j * rng.standard_normal(64)
+             ).astype(np.complex64)
+        xj = jnp.asarray(x)
+        assert np.allclose(np.asarray(vec_init(2.5, 4)), [2.5] * 4)
+        assert np.allclose(np.asarray(vec_addscalar(xj, 1.0)), x + 1.0)
+        assert np.allclose(np.asarray(vec_mulscalar(xj, 2.0)), 2 * x)
+        assert np.allclose(np.asarray(vec_carg(xj)), np.angle(x), atol=1e-6)
+        assert np.allclose(np.asarray(vec_abs(xj)), np.abs(x), atol=1e-6)
+        u = np.asarray(vec_normalize(xj))
+        assert abs(np.linalg.norm(u) - 1.0) < 1e-5
+        assert float(vec_norm(xj)) > 0

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core import Proc
+from ..core import Proc, planar_per_plane
 
 __all__ = ["iirfilt", "iirfilt_sos", "iir_apply_tf", "iir_apply_sos",
            "iir_freqresponse", "iir_group_delay"]
@@ -92,7 +92,10 @@ def iirfilt(b, a, name: str = "iirfilt") -> Proc:
         return iir_apply_tf(params["b"], params["a"],
                             carry.astype(x.dtype), x)
 
-    return Proc(params={"b": bj, "a": aj}, init=init, apply=apply, name=name)
+    pa, pi = ((None, None) if np.iscomplexobj(b) or np.iscomplexobj(a)
+              else planar_per_plane(apply, init))
+    return Proc(params={"b": bj, "a": aj}, init=init, apply=apply, name=name,
+                planar_apply=pa, planar_init=pi)
 
 
 def iir_apply_sos_pscan(B, A, carry, x):
@@ -167,7 +170,9 @@ def iirfilt_sos(B, A, name: str = "iirfilt_sos",
         fn = iir_apply_sos_pscan if backend == "pscan" else iir_apply_sos
         return fn(params["B"], params["A"], carry.astype(x.dtype), x)
 
-    return Proc(params={"B": Bj, "A": Aj}, init=init, apply=apply, name=name)
+    pa, pi = (None, None) if cplx else planar_per_plane(apply, init)
+    return Proc(params={"B": Bj, "A": Aj}, init=init, apply=apply, name=name,
+                planar_apply=pa, planar_init=pi)
 
 
 def iir_freqresponse(b, a, fc):

@@ -78,14 +78,23 @@ def test_complex_taps_karatsuba_planar():
 
 
 def test_wrapped_stage_roundtrip():
-    # an op with no planar path (IIR) gets wrapped: complex at the
-    # stage boundary, planes outside
+    # an op with no planar path (complex-coefficient IIR) gets wrapped:
+    # complex at the stage boundary, planes outside
     from liquid_dsp_tpu.ops.iir import iirfilt
-    from liquid_dsp_tpu.design.iirdes import iirdes
-    b, a = iirdes("butter", 5, 0.2)
+    b = np.array([1.0, 0.4 + 0.2j], np.complex64)
+    a = np.array([1.0, -0.3], np.float32)
     p = chain(nco(dphi=0.1, direction="down"), iirfilt(b, a))
     assert p.children[1].planar_apply is None
     _check(p, rtol=1e-3)
+
+
+def test_iir_planar():
+    from liquid_dsp_tpu.ops.iir import iirfilt, iirfilt_sos
+    from liquid_dsp_tpu.design.iirdes import iirdes, iirdes_sos
+    b, a = iirdes("butter", 5, 0.2)
+    _check(iirfilt(b, a), rtol=1e-3)
+    B, A = iirdes_sos("ellip", 5, 0.15)
+    _check(iirfilt_sos(B, A), rtol=1e-3)
 
 
 def test_firdecim_firinterp_planar():

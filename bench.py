@@ -71,7 +71,7 @@ def _probe() -> int:
     return 0
 
 
-def build_chain():
+def build_chain(fused: bool = True):
     """The headline chain (BASELINE.json): mix -> 64-tap Kaiser FIR ->
     57-tap filter -> halfband resampler.  Backend choice per platform
     (PERF.md): the banded-tap matmul FIR maps to the MXU and beats both
@@ -100,11 +100,13 @@ def build_chain():
     except Exception:
         pass
     proc = chain(*stages)
-    if not on_cpu:
-        # LTI chain fusion (fuse.py): FIR64 + FIR57 + halfband decim + gain
-        # collapse into ONE 144-tap strided banded matmul — each cascade
-        # stage otherwise re-streams the block through HBM (2.3x measured,
-        # PERF.md).  On CPU the segmented fftfilt cascade wins instead.
+    # LTI chain fusion (fuse.py): FIR64 + FIR57 + halfband decim + gain
+    # collapse into ONE 144-tap strided FIR — each cascade stage
+    # otherwise re-streams the block through memory (2.3x on TPU; on CPU
+    # fused+planar measures 26.9 vs 17.8 Msps for the unfused complex
+    # chain).  The unfused fftfilt cascade remains the complex-mode
+    # fallback path.
+    if fused:
         from liquid_dsp_tpu import fuse
         proc = fuse(proc)
     return proc
@@ -228,7 +230,7 @@ def main(cpu_fallback: bool = False, planes_only: bool = False,
     import jax
     import jax.numpy as jnp
 
-    proc = build_chain()
+    proc = build_chain(fused=False)
 
     batch, T = 16, 1 << 17  # 2M complex samples per step
     rng = np.random.default_rng(0)
@@ -319,7 +321,7 @@ if __name__ == "__main__":
         import jax
         jax.config.update("jax_platforms", "cpu")
         main(cpu_fallback=True, planes_only="--planes" in sys.argv,
-             planar_only="--planar" in sys.argv)
+             planar_only="--planes" not in sys.argv)
     elif "--planes" in sys.argv:
         main(planes_only=True)
     elif "--planar" in sys.argv:
@@ -327,7 +329,7 @@ if __name__ == "__main__":
     elif os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         import jax
         jax.config.update("jax_platforms", "cpu")
-        main()
+        main(planar_only=True)
     else:
         # Retry window: the tunnel's unhealthy periods are usually
         # minutes but have been observed to last hours, and a real TPU

@@ -125,41 +125,61 @@ def planar_main(batch, T):
     import jax
     import jax.numpy as jnp
 
-    from liquid_dsp_tpu import planar
-    proc = planar(build_chain())
+    from liquid_dsp_tpu import kernel_fuse, planar
+    fused = build_chain()
     rng = np.random.default_rng(0)
     xr = jnp.asarray(rng.standard_normal((batch, T)).astype(np.float32))
     xi = jnp.asarray(rng.standard_normal((batch, T)).astype(np.float32))
-    carry0 = jax.jit(lambda: proc.init(batch_shape=(batch,)))()
 
-    # Params are CLOSED OVER as host numpy constants, not passed as jit
-    # arguments: per-argument dispatch on the tunnel costs ~3x at this
-    # block size (1748 vs 5231 Msps, tools/exp_bisect.py), and baking the
-    # taps lets XLA constant-fold the banded weight matrix.  numpy (not
-    # jnp) closures per the axon lowering rule (CLAUDE.md).
-    params = jax.tree.map(np.asarray, proc.params)
+    def measure(proc):
+        carry0 = jax.jit(lambda: proc.init(batch_shape=(batch,)))()
+        # Params are CLOSED OVER as host numpy constants, not passed as
+        # jit arguments: per-argument dispatch on the tunnel costs ~3x
+        # at this block size (1748 vs 5231 Msps, tools/exp_bisect.py),
+        # and baking the taps lets XLA constant-fold the banded weight
+        # matrix.  numpy (not jnp) closures per the axon lowering rule
+        # (CLAUDE.md).
+        params = jax.tree.map(np.asarray, proc.params)
 
-    @jax.jit
-    def step(c, r, i):
-        (yr, yi), c2 = proc.apply(params, c, (r, i))
-        # checksum must touch EVERY output nonlinearly: y is not a jit
-        # output here, and a partial or linear reduction lets XLA
-        # dead-code-eliminate / algebraically bypass the actual filtering
-        chk = jnp.sum(yr * yr + yi * yi)
-        return c2, chk
+        @jax.jit
+        def step(c, r, i):
+            (yr, yi), c2 = proc.apply(params, c, (r, i))
+            # checksum must touch EVERY output nonlinearly: y is not a
+            # jit output here, and a partial or linear reduction lets
+            # XLA dead-code-eliminate the actual filtering
+            chk = jnp.sum(yr * yr + yi * yi)
+            return c2, chk
 
-    c, chk = step(carry0, xr, xi)
-    float(np.asarray(chk))  # value readback (warmup/compile)
+        c, chk = step(carry0, xr, xi)
+        float(np.asarray(chk))  # value readback (warmup/compile)
 
-    def run_trials(n):
-        t0 = time.perf_counter()
-        c, chk = carry0, None
-        for _ in range(n):
-            c, chk = step(c, xr, xi)
-        float(np.asarray(chk))  # value readback: proves completion
-        return time.perf_counter() - t0
+        def run_trials(n):
+            t0 = time.perf_counter()
+            c, chk = carry0, None
+            for _ in range(n):
+                c, chk = step(c, xr, xi)
+            float(np.asarray(chk))  # value readback: proves completion
+            return time.perf_counter() - t0
 
-    return timed_throughput(run_trials, batch * T) / 1e6
+        return timed_throughput(run_trials, batch * T) / 1e6
+
+    # candidate executions of the SAME public chain (all output-
+    # equivalent, tests/test_pallas_chain.py): XLA planar, and the
+    # single-Pallas-kernel mix+FIR+decim path on accelerators.  Measure
+    # both, report the winner — the driver gets the best real number
+    # whichever wins on today's toolchain.
+    results = {"xla": measure(planar(fused))}
+    kproc = kernel_fuse(fused)
+    if kproc is not fused and jax.default_backend() != "cpu":
+        try:
+            results["pallas-kernel"] = measure(planar(kproc))
+        except Exception:
+            pass
+    best = max(results, key=results.get)
+    if len(results) > 1:
+        print(f"# planar variants: " + ", ".join(
+            f"{k}={v:.1f}" for k, v in results.items()), file=sys.stderr)
+    return results[best]
 
 
 def planes_fallback(batch, T):

@@ -119,3 +119,24 @@ msequence_create = MSequence
 msequence_create_default = MSequence
 
 from .utils.quantization import compress_cf_mulaw, expand_cf_mulaw  # noqa: F401,E402
+
+# utility-module additions (reference liquid_* bit functions)
+from .utils.bits import (bdotprod as liquid_bdotprod,              # noqa: E402,F401
+                         count_ones as liquid_count_ones,
+                         count_ones_mod2 as liquid_count_ones_mod2,
+                         count_leading_zeros as liquid_count_leading_zeros,
+                         msb_index as liquid_msb_index,
+                         reverse_byte as liquid_reverse_byte,
+                         reverse_uint16 as liquid_reverse_uint16,
+                         reverse_uint24 as liquid_reverse_uint24,
+                         reverse_uint32 as liquid_reverse_uint32,
+                         repack_bytes as liquid_repack_bytes,
+                         lbshift as liquid_lbshift,
+                         rbshift as liquid_rbshift,
+                         lbcircshift as liquid_lbcircshift,
+                         rbcircshift as liquid_rbcircshift,
+                         lshift as liquid_lshift,
+                         rshift as liquid_rshift,
+                         lcircshift as liquid_lcircshift,
+                         rcircshift as liquid_rcircshift)
+from .utils.sequence import bsequence_create_ccodes  # noqa: E402,F401

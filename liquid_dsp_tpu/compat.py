@@ -140,3 +140,14 @@ from .utils.bits import (bdotprod as liquid_bdotprod,              # noqa: E402,
                          lcircshift as liquid_lcircshift,
                          rcircshift as liquid_rcircshift)
 from .utils.sequence import bsequence_create_ccodes  # noqa: E402,F401
+
+# math-module modular arithmetic (reference include/liquid.h:4617-4647)
+from .design.special import (is_prime as liquid_is_prime,          # noqa: E402,F401
+                             factor as liquid_factor,
+                             unique_factor as liquid_unique_factor,
+                             modpow as liquid_modpow,
+                             primitive_root_prime as
+                             liquid_primitive_root_prime,
+                             totient as liquid_totient,
+                             gcd as liquid_gcd,
+                             factorial as liquid_factorialf)

@@ -15,7 +15,8 @@ import numpy as np
 __all__ = [
     "lngamma", "gamma", "lnbesseli", "besseli", "besseli0", "besselj",
     "besselj0", "sinc", "qfunction", "nextpow2", "is_prime", "factor",
-    "totient", "gcd",
+    "unique_factor", "totient", "gcd", "modpow", "primitive_root_prime",
+    "factorial",
 ]
 
 
@@ -134,3 +135,36 @@ def totient(n: int) -> int:
 
 def gcd(a: int, b: int) -> int:
     return math.gcd(a, b)
+
+
+def unique_factor(n: int) -> list:
+    """Distinct prime factors, ascending (reference liquid_unique_factor,
+    src/math/src/modular_arithmetic.c)."""
+    return sorted(set(factor(n)))
+
+
+def modpow(base: int, exp: int, n: int) -> int:
+    """base**exp mod n (reference liquid_modpow,
+    src/math/src/modular_arithmetic.c)."""
+    return pow(int(base), int(exp), int(n))
+
+
+def primitive_root_prime(n: int) -> int:
+    """Smallest primitive root of prime n (reference
+    liquid_primitive_root_prime, src/math/src/modular_arithmetic.c).
+    Used by Rader-style prime-length FFT reasoning; checks g**((n-1)/p)
+    != 1 for every distinct prime p | n-1."""
+    if not is_prime(n):
+        raise ValueError("primitive_root_prime requires a prime n")
+    if n == 2:
+        return 1
+    probes = [(n - 1) // p for p in unique_factor(n - 1)]
+    for g in range(2, n):
+        if all(pow(g, e, n) != 1 for e in probes):
+            return g
+    raise ValueError(f"no primitive root found for {n}")  # unreachable
+
+
+def factorial(n: int) -> float:
+    """n! as float (reference liquid_factorialf uses gamma for large n)."""
+    return math.gamma(float(n) + 1.0)

@@ -89,7 +89,12 @@ def packetizer_decode_soft(llr_bits, msg_len: int, crc: str = "crc32",
     per-bit metrics (positive = bit 1).  The outer FEC stage decodes
     soft (soft Viterbi for convolutional schemes; hard slicing fallback
     otherwise, as in the reference fec_decode_soft); the inner stage is
-    hard (reference packetizer.c:336-390).  Returns (msg, crc_ok)."""
+    hard (reference packetizer.c:336-390).  One deliberate improvement
+    over the reference: when the outer stage is 'none' (a pure
+    pass-through — depth-0 interleave, identity code) the LLRs are
+    forwarded intact and the INNER stage decodes soft, instead of
+    hard-slicing at the pass-through as packetizer.c does.
+    Returns (msg, crc_ok)."""
     from .interleave import deinterleave_soft
     from . import dispatch as _fec_mod
     llr_bits = np.asarray(llr_bits, np.float32)
@@ -97,13 +102,19 @@ def packetizer_decode_soft(llr_bits, msg_len: int, crc: str = "crc32",
     (fs0, dec0, enc0, depth0), (fs1, dec1, enc1, depth1) = stages
     if len(llr_bits) < 8 * enc1:
         raise ValueError(f"expected {8*enc1} soft bits, got {len(llr_bits)}")
-    # outer: soft deinterleave + soft decode (soft Viterbi for conv,
-    # max-correlation codeword search for Hamming/Golay/rep)
-    soft = deinterleave_soft(llr_bits[: 8 * enc1], depth=depth1)
-    buf = _fec_mod.fec_decode_soft(fs1, soft, dec1)
-    # inner: hard
-    buf = deinterleave(buf[:enc0], depth=depth0)
-    buf = _fec_mod.fec_decode(fs0, buf, dec0)
+    if fs1 == "none":
+        # pass-through outer stage: keep the metrics soft for the inner
+        # decoder (strictly better than the reference's hard slice)
+        soft = deinterleave_soft(llr_bits[: 8 * enc0], depth=depth0)
+        buf = _fec_mod.fec_decode_soft(fs0, soft, dec0)
+    else:
+        # outer: soft deinterleave + soft decode (soft Viterbi for conv,
+        # max-correlation codeword search for Hamming/Golay/rep)
+        soft = deinterleave_soft(llr_bits[: 8 * enc1], depth=depth1)
+        buf = _fec_mod.fec_decode_soft(fs1, soft, dec1)
+        # inner: hard
+        buf = deinterleave(buf[:enc0], depth=depth0)
+        buf = _fec_mod.fec_decode(fs0, buf, dec0)
     nk = crc_sizeof_key(crc)
     msg = buf[:msg_len]
     key = 0

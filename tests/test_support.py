@@ -441,3 +441,35 @@ class TestVectorOps:
         u = np.asarray(vec_normalize(xj))
         assert abs(np.linalg.norm(u) - 1.0) < 1e-5
         assert float(vec_norm(xj)) > 0
+
+
+class TestModularArithmetic:
+    """reference src/math/src/modular_arithmetic.c (liquid_modpow,
+    liquid_primitive_root_prime, liquid_totient, liquid_unique_factor)."""
+
+    def test_modpow(self):
+        from liquid_dsp_tpu.design.special import modpow
+        assert modpow(3, 7, 11) == (3 ** 7) % 11
+        assert modpow(2, 100, 97) == pow(2, 100, 97)
+
+    def test_primitive_root_prime(self):
+        from liquid_dsp_tpu.design.special import (primitive_root_prime,
+                                                   totient, unique_factor)
+        # a primitive root generates all n-1 nonzero residues
+        for n in (3, 5, 7, 11, 13, 17, 79, 157):
+            g = primitive_root_prime(n)
+            seen = {pow(g, k, n) for k in range(1, n)}
+            assert seen == set(range(1, n)), n
+        assert totient(12) == 4
+        assert unique_factor(360) == [2, 3, 5]
+
+    def test_primitive_root_requires_prime(self):
+        import pytest
+        from liquid_dsp_tpu.design.special import primitive_root_prime
+        with pytest.raises(ValueError):
+            primitive_root_prime(12)
+
+    def test_factorial(self):
+        from liquid_dsp_tpu.design.special import factorial
+        assert factorial(5) == 120.0
+        assert abs(factorial(10) - 3628800.0) < 1e-3

@@ -23,23 +23,45 @@ from jax import lax
 from ..core import Proc
 from ..design.firdes import firdes_prototype
 
-__all__ = ["symsync", "symsync_run", "symsync_banks"]
+__all__ = ["symsync", "symsync_run", "symsync_banks",
+           "symsync_kaiser_banks", "symsync_kaiser"]
 
 
 def symsync_banks(ftype: str, k: int, m: int, beta: float, npfb: int):
     """(MF, dMF) polyphase banks [npfb, 2*k*m] (reference
     firpfb_create_rnyquist / _create_drnyquist, firpfb.c:188-213)."""
     H = firdes_prototype(ftype, k * npfb, m, beta).astype(np.float64)
-    n = len(H)
+    return _derivative_bank(H, npfb)
+
+
+def _derivative_bank(H: np.ndarray, npfb: int):
+    """Central-difference derivative prototype, normalized like
+    symsync_banks (reference firpfb _create_drnyquist scaling)."""
     dH = np.empty_like(H)
     dH[1:-1] = H[2:] - H[:-2]
     dH[0] = H[1] - H[-1]
     dH[-1] = H[0] - H[-2]
     dH *= 0.06 / np.max(np.abs(H * dH))
-    Lb = (n - 1) // npfb
+    Lb = (len(H) - 1) // npfb
     mf = np.stack([H[b + np.arange(Lb) * npfb] for b in range(npfb)])
     dmf = np.stack([dH[b + np.arange(Lb) * npfb] for b in range(npfb)])
     return mf.astype(np.float32), dmf.astype(np.float32)
+
+
+def symsync_kaiser_banks(k: int, m: int, npfb: int):
+    """Wideband Kaiser INTERPOLATING-filter banks for signals that are
+    already Nyquist-shaped (reference symsync.c:252-289 _create_kaiser:
+    cut-off fc=0.75 nominal sits outside the signal band, As=40 dB, so
+    the bank acts as a fractional-delay interpolator, not a matched
+    filter)."""
+    from ..design.firdes import firdes_kaiser
+    n = 2 * npfb * k * m + 1
+    fc = 0.75
+    H = firdes_kaiser(n, fc / (k * npfb), 40.0).astype(np.float64)
+    # normalize to the prototype-bank convention symsync_run expects
+    # (branch DC gain ~= k after the /k in the output path)
+    H *= (k * npfb) / H.sum()
+    return _derivative_bank(H, npfb)
 
 
 def symsync_run(mf_bank, dmf_bank, carry, x, k: int, k_out: int = 1,
@@ -127,6 +149,33 @@ def symsync(ftype: str = "arkaiser", k: int = 2, m: int = 5,
     compact with the mask (variable-rate output).
     """
     mf, dmf = symsync_banks(ftype, k, m, beta, npfb)
+    Lb = mf.shape[1]
+
+    def init(batch_shape=(), dtype=jnp.complex64):
+        return {"win": jnp.zeros(batch_shape + (Lb,), dtype),
+                "tau": jnp.zeros(batch_shape, jnp.float32),
+                "bf": jnp.zeros(batch_shape, jnp.float32),
+                "b": jnp.zeros(batch_shape, jnp.int32),
+                "rate": jnp.full(batch_shape, float(k) / k_out, jnp.float32),
+                "del": jnp.full(batch_shape, float(k) / k_out, jnp.float32),
+                "v0": jnp.zeros(batch_shape, jnp.float32),
+                "v1": jnp.zeros(batch_shape, jnp.float32),
+                "decim": jnp.full(batch_shape, k_out, jnp.int32)}
+
+    def apply(params, carry, x):
+        y, v, c = symsync_run(mf, dmf, carry, x, k, k_out, bw)
+        return (y, v), c
+
+    return Proc(params={"mf": jnp.asarray(mf), "dmf": jnp.asarray(dmf)},
+                init=init, apply=apply, rate=(k_out, k), name=name)
+
+
+def symsync_kaiser(k: int = 2, m: int = 5, npfb: int = 32, k_out: int = 1,
+                   bw: float = 0.01, name: str = "symsync_kaiser") -> Proc:
+    """Symbol synchronizer with a wideband Kaiser interpolating bank for
+    already-Nyquist-shaped input (reference symsync_crcf_create_kaiser,
+    symsync.c:252-289).  Same streaming contract as symsync()."""
+    mf, dmf = symsync_kaiser_banks(k, m, npfb)
     Lb = mf.shape[1]
 
     def init(batch_shape=(), dtype=jnp.complex64):

@@ -14,7 +14,8 @@ from typing import Callable
 
 import numpy as np
 
-__all__ = ["gradsearch", "qnsearch", "gasearch"]
+__all__ = ["gradsearch", "qnsearch", "gasearch", "Chromosome",
+           "gasearch_chromosome"]
 
 
 def _numgrad(u: Callable, x: np.ndarray, dx: float) -> np.ndarray:
@@ -121,3 +122,146 @@ def gasearch(u: Callable, bounds, n_iters: int = 60,
         f = fitness(pop)
     best = int(np.argmin(f))
     return pop[best], u(pop[best])
+
+
+class Chromosome:
+    """Bit-string parameter encoding for genetic-algorithm search.
+
+    Semantics follow reference src/optim/src/chromosome.c (studied, not
+    copied): each trait i occupies ``bits_per_trait[i]`` bits (<=32) of a
+    concatenated bit string; ``valuef`` maps trait i to [0, 1] as
+    trait / (2^bits - 1); ``mutate`` flips one bit by global bit index
+    (bit 0 = MSB of trait 0); ``crossover`` takes the first ``threshold``
+    bits from parent 1 and the rest from parent 2, splitting a trait's
+    bits when the threshold lands inside it.
+    """
+
+    def __init__(self, bits_per_trait, rng=None):
+        bpt = np.atleast_1d(np.asarray(bits_per_trait, dtype=np.int64))
+        if bpt.size < 1:
+            raise ValueError("must have at least one trait")
+        if np.any(bpt < 1) or np.any(bpt > 32):
+            raise ValueError("bits/trait must be in [1, 32]")
+        self.bits_per_trait = bpt
+        self.max_value = (np.int64(1) << bpt)  # 2^bits per trait
+        self.traits = np.zeros(bpt.size, dtype=np.int64)
+        self.num_bits = int(bpt.sum())
+        self._rng = rng if rng is not None else np.random.default_rng()
+
+    @classmethod
+    def basic(cls, num_traits: int, bits_per_trait: int, rng=None):
+        return cls([bits_per_trait] * num_traits, rng=rng)
+
+    @property
+    def num_traits(self) -> int:
+        return int(self.bits_per_trait.size)
+
+    def clone(self) -> "Chromosome":
+        c = Chromosome(self.bits_per_trait, rng=self._rng)
+        c.traits = self.traits.copy()
+        return c
+
+    def clear(self):
+        self.traits[:] = 0
+
+    def init(self, values):
+        v = np.asarray(values, dtype=np.int64)
+        if np.any(v >= self.max_value) or np.any(v < 0):
+            raise ValueError("value exceeds maximum for trait")
+        self.traits = v.copy()
+
+    def initf(self, values):
+        v = np.asarray(values, dtype=np.float64)
+        if np.any(v < 0.0) or np.any(v > 1.0):
+            raise ValueError("values must be in [0, 1]")
+        # quantize: floor(v * 2^bits), clipped into range (v == 1.0 edge)
+        q = np.floor(v * self.max_value).astype(np.int64)
+        self.traits = np.minimum(q, self.max_value - 1)
+
+    def init_random(self):
+        self.traits = self._rng.integers(0, self.max_value, dtype=np.int64)
+
+    def value(self, index: int) -> int:
+        return int(self.traits[index])
+
+    def valuef(self, index: int) -> float:
+        return float(self.traits[index]) / float(self.max_value[index] - 1)
+
+    def values_f(self) -> np.ndarray:
+        return self.traits / (self.max_value - 1.0)
+
+    def mutate(self, index: int):
+        """Flip the bit at global index (0 = MSB of trait 0)."""
+        if index >= self.num_bits or index < 0:
+            raise ValueError("bit index exceeded")
+        t = 0
+        for i, b in enumerate(self.bits_per_trait):
+            if index < t + b:
+                # bit position within trait i, MSB-first
+                self.traits[i] ^= np.int64(1) << np.int64(t + b - 1 - index)
+                return
+            t += int(b)
+
+    def crossover(self, p1: "Chromosome", p2: "Chromosome", threshold: int):
+        """First `threshold` bits from p1, the rest from p2."""
+        if threshold > self.num_bits or threshold < 0:
+            raise ValueError("crossover threshold exceeded")
+        t = 0
+        for i, b in enumerate(self.bits_per_trait):
+            b = int(b)
+            if t + b <= threshold:
+                self.traits[i] = p1.traits[i]        # fully before the cut
+            elif t >= threshold:
+                self.traits[i] = p2.traits[i]        # fully after the cut
+            else:
+                rem = t + b - threshold              # p2's bits (low side)
+                mask2 = (np.int64(1) << np.int64(rem)) - 1
+                mask1 = (self.max_value[i] - 1) ^ mask2
+                self.traits[i] = ((p1.traits[i] & mask1)
+                                  | (p2.traits[i] & mask2))
+            t += b
+
+    def __repr__(self):
+        bits = ".".join(
+            format(int(v), f"0{int(b)}b")
+            for v, b in zip(self.traits, self.bits_per_trait))
+        return f"Chromosome[{bits}]"
+
+
+def gasearch_chromosome(u: Callable, bits_per_trait, n_iters: int = 100,
+                        population: int = 32, mutation_rate: float = 0.1,
+                        minimize: bool = True, seed: int = 0):
+    """Genetic algorithm over a bit-string Chromosome population.
+
+    ``u`` receives a Chromosome and returns a scalar utility.  Mirrors
+    reference gasearch.c evolve loop semantics (rank selection, one-point
+    crossover, per-bit mutation) on the Chromosome encoding above.
+    Returns (best_chromosome, best_utility).
+    """
+    rng = np.random.default_rng(seed)
+    sign = 1.0 if minimize else -1.0
+    pop = []
+    for _ in range(population):
+        c = Chromosome(bits_per_trait, rng=rng)
+        c.init_random()
+        pop.append(c)
+    f = np.asarray([sign * u(c) for c in pop])
+    for _ in range(n_iters):
+        order = np.argsort(f)
+        pop = [pop[i] for i in order]
+        f = f[order]
+        elite = max(2, population // 4)
+        children = []
+        while len(children) < population - elite:
+            i, j = rng.integers(0, elite, 2)
+            child = pop[i].clone()
+            child.crossover(pop[i], pop[j],
+                            int(rng.integers(0, child.num_bits + 1)))
+            for b in range(child.num_bits):
+                if rng.random() < mutation_rate / child.num_bits:
+                    child.mutate(b)
+            children.append(child)
+        pop = pop[:elite] + children
+        f = np.asarray([sign * u(c) for c in pop])
+    best = int(np.argmin(f))
+    return pop[best], float(u(pop[best]))

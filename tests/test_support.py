@@ -265,6 +265,51 @@ class TestOptim:
         x, f = gasearch(u, [(-2, 2), (-2, 2)], n_iters=50, seed=3)
         assert f < 0.05, (x, f)
 
+    def test_chromosome_encoding(self):
+        # reference chromosome.c semantics: per-trait bit fields,
+        # valuef = trait / (2^bits - 1), MSB-first global bit indexing
+        from liquid_dsp_tpu.utils.optim import Chromosome
+        c = Chromosome([4, 8, 2])
+        assert c.num_bits == 14 and c.num_traits == 3
+        c.init([5, 200, 1])
+        assert c.value(1) == 200
+        assert abs(c.valuef(0) - 5 / 15) < 1e-12
+        assert abs(c.valuef(2) - 1 / 3) < 1e-12
+        # initf quantizes floor(v * 2^bits), clipped at max
+        c.initf([0.5, 0.5, 1.0])
+        assert list(c.traits) == [8, 128, 3]
+        # mutate flips one bit: global bit 0 is the MSB of trait 0
+        c.clear()
+        c.mutate(0)
+        assert c.value(0) == 8
+        c.clear()
+        c.mutate(4)  # first bit of trait 1 (its MSB)
+        assert c.value(1) == 128
+        c.clear()
+        c.mutate(13)  # last bit overall = LSB of trait 2
+        assert c.value(2) == 1
+
+    def test_chromosome_crossover(self):
+        from liquid_dsp_tpu.utils.optim import Chromosome
+        p1 = Chromosome([4, 8, 2]); p1.init([0b1111, 0xFF, 0b11])
+        p2 = Chromosome([4, 8, 2]); p2.init([0, 0, 0])
+        ch = Chromosome([4, 8, 2])
+        # threshold inside trait 1: 4 bits of trait0 from p1, then the
+        # top 2 bits of trait 1 from p1 and its low 6 bits from p2
+        ch.crossover(p1, p2, 6)
+        assert list(ch.traits) == [0b1111, 0b11000000, 0]
+        ch.crossover(p1, p2, 0)
+        assert list(ch.traits) == [0, 0, 0]
+        ch.crossover(p1, p2, 14)
+        assert list(ch.traits) == [0b1111, 0xFF, 0b11]
+
+    def test_gasearch_chromosome(self):
+        from liquid_dsp_tpu.utils.optim import gasearch_chromosome
+        # peak utility when both traits decode near (0.25, 0.75)
+        u = lambda c: (c.valuef(0) - 0.25) ** 2 + (c.valuef(1) - 0.75) ** 2
+        best, f = gasearch_chromosome(u, [8, 8], n_iters=40, seed=1)
+        assert f < 1e-2, (best, f)
+
 
 class TestBuffers:
     def test_window(self):

@@ -4,7 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from liquid_dsp_tpu.ops.symsync import symsync, symsync_banks
+from liquid_dsp_tpu.ops.symsync import (
+    symsync, symsync_banks, symsync_kaiser)
 from liquid_dsp_tpu.ops.fir import firinterp
 from liquid_dsp_tpu.ops.misc_filters import (
     firfarrow_taps, firfarrow, iirdecim, iirinterp, lpc)
@@ -71,6 +72,34 @@ class TestSymsync:
         (y, v), _ = q(jnp.asarray(xd), batch_shape=())
         y = np.asarray(y)[np.asarray(v)]
         assert _tail_err(y, syms, n - 10) < 5e-3
+
+    @pytest.mark.parametrize("frac", [0.3, 0.65])
+    def test_kaiser_interpolator_variant(self, frac):
+        # reference symsync_crcf_create_kaiser (symsync.c:252-289): the
+        # input is ALREADY Nyquist-shaped, so the bank is a wideband
+        # fractional-delay interpolator, not a matched filter.
+        rng = np.random.default_rng(11)
+        k, m, n = 2, 5, 1500
+        table = constellation("qpsk")
+        syms = np.asarray(modulate(table, jnp.asarray(
+            rng.integers(0, 4, n))))
+        h = firdes_prototype("kaiser", k, m, 0.5)  # full Nyquist pulse
+        tx = firinterp(k, h)
+        x, _ = tx(jnp.asarray(syms.astype(np.complex64)), batch_shape=())
+        x = np.asarray(x)
+        X = np.fft.fft(x)
+        f = np.fft.fftfreq(len(x))
+        xd = np.fft.ifft(X * np.exp(-2j * np.pi * f * frac)
+                         ).astype(np.complex64)
+        q = symsync_kaiser(k, m, bw=0.02)
+        (y, v), _ = q(jnp.asarray(xd), batch_shape=())
+        y = np.asarray(y)[np.asarray(v)]
+        assert abs(len(y) - n) <= 2
+        # normalize residual pulse gain, then compare to the symbols
+        tail = y[-400:]
+        tail = tail / np.mean(np.abs(tail))
+        d = np.abs(tail[:, None] - np.asarray(table)[None, :]).min(axis=1)
+        assert np.sqrt(np.mean(d ** 2)) < 0.05, frac
 
     def test_streaming_matches_oneshot(self):
         n = 512

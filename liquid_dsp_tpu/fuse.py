@@ -123,8 +123,9 @@ def kernel_fuse(proc: Proc) -> Proc:
     [nco (VCO mode, scalar phase), LTI stage (real taps, L <= 257)] —
     the shape `fuse()` leaves the headline chain in — and returns a
     Proc whose planar path runs mixer + banded FIR + decimation in one
-    VMEM pass (ops/kernels/pallas_chain.py: ~20 B/sample of HBM traffic
-    instead of ~36).  Anything that doesn't match is returned
+    VMEM pass (ops/kernels/pallas_chain.py: ~12 B/sample of HBM traffic
+    instead of ~36 — the inter-tile halo rides in VMEM scratch, so each
+    input plane is read once).  Anything that doesn't match is returned
     unchanged, so `kernel_fuse(fuse(p))` is always safe.
 
     Constraints at run time: block length a multiple of 2048, batch a

@@ -5,16 +5,20 @@ XLA: the mixer output, the halo-padded stream, and the banded im2col
 frames each round-trip HBM between kernels (~36 B/sample, PERF.md).
 This kernel performs the whole chain per tile inside VMEM:
 
-  * reads each input plane once per tile (current block + previous
-    block for the filter halo; the first tile reads the streaming
-    carry instead),
+  * reads each input plane exactly ONCE: the inter-tile filter halo
+    rides in VMEM scratch across the (sequential) grid steps, and the
+    first tile reads the streaming carry instead,
   * mixes with a precomputed cos/sin ramp plus a per-tile phase scalar
     (angle addition — T + nt transcendentals instead of T*nt),
   * builds the banded windows with static in-VMEM slices and runs the
-    [B*NSUB, WK] @ [WK, SUB/down] banded matmul on the MXU,
-  * strides the outputs and writes [B, TILE/down] planes,
+    [B*nsub, WK] @ [WK, SUB/down] banded matmul on the MXU,
+  * strides the outputs and writes [B, tile/down] planes,
 
-for ~20 B/sample of HBM traffic.  Reference analog: none — this is the
+for ~12 B/sample of HBM traffic (8 in + 4 out at down=2), measured
+3.1x the XLA planar schedule of the same chain (PERF.md).  The tile is
+SUB*nsub input samples with nsub picked per block length
+(`_pick_nsub`: 16 when 4096 | T, else 8; 32 measured slower — the
+matmul exceeds the sweet spot).  Reference analog: none — this is the
 freedom of re-architecting the cascade (the reference asserts exact
 implementations are interchangeable, examples/fftfilt_crcf_example.c);
 the composed-taps algebra is identical to `fuse.fused_fir`.
@@ -77,28 +81,38 @@ def pallas_mix_fir_supported(h_np, down: int, batch: int, T: int,
             and theta_shape == ())
 
 
-def _kernel(ci_ref, si_ref, xr_ref, xrp_ref, xi_ref, xip_ref,
+def _kernel(ci_ref, si_ref, xr_ref, xi_ref,
             ct_ref, st_ref, band_ref, cr_ref, cri_ref,
-            or_ref, oi_ref, *, L, down, sgn):
+            or_ref, oi_ref, hr_ref, hi_ref, *, L, down, sgn, nsub):
     i = pl.program_id(0)
+    tile = SUB * nsub
     halo = L - 1
     pad = WK - SUB - halo
     B = xr_ref.shape[0]
     first = i == 0
 
-    def wbuf(cur_ref, prev_ref, carry_ref):
+    # TPU grids execute sequentially, so VMEM scratch (hr/hi) carries
+    # the inter-tile filter halo — the previous tile is NOT re-read
+    # from HBM (that halved this kernel's input traffic).
+    def wbuf(cur_ref, scratch_ref, carry_ref):
         tail = jnp.where(first, carry_ref[:, SUB - halo:],
-                         prev_ref[:, TILE - halo:])
-        return jnp.concatenate(
+                         scratch_ref[:, SUB - halo:])
+        w = jnp.concatenate(
             [tail, cur_ref[:], jnp.zeros((B, pad), jnp.float32)], axis=-1)
+        scratch_ref[:] = cur_ref[:, tile - SUB:]   # next tile's halo
+        return w
 
-    wr = wbuf(xr_ref, xrp_ref, cr_ref)
-    wi = wbuf(xi_ref, xip_ref, cri_ref)
+    wr = wbuf(xr_ref, hr_ref, cr_ref)
+    wi = wbuf(xi_ref, hi_ref, cri_ref)
 
     # mix on the window: angle addition with the per-tile phase scalar
-    cb, sb = ci_ref[0, 0], si_ref[0, 0]
-    c = cb * ct_ref[0, :] - sb * st_ref[0, :]
-    s = sb * ct_ref[0, :] + cb * st_ref[0, :]
+    # (the SMEM refs hold ALL nt per-tile phases; Pallas TPU requires
+    # SMEM blocks to equal the array shape, so index by program_id)
+    cb, sb = ci_ref[i, 0], si_ref[i, 0]
+    ct = ct_ref[0, :tile + SUB]        # ramp is built at the max tile
+    st = st_ref[0, :tile + SUB]
+    c = cb * ct - sb * st
+    s = sb * ct + cb * st
     if sgn < 0:
         s = -s
     mr = wr * c - wi * s
@@ -107,15 +121,26 @@ def _kernel(ci_ref, si_ref, xr_ref, xrp_ref, xi_ref, xip_ref,
     # banded matmul: fold sub-tiles into M
     def fir(m):
         W = jnp.concatenate(
-            [m[:, k * SUB: k * SUB + WK] for k in range(NSUB)], axis=0)
+            [m[:, k * SUB: k * SUB + WK] for k in range(nsub)], axis=0)
         return jnp.dot(W, band_ref[:], preferred_element_type=jnp.float32)
 
-    yr = fir(mr)                       # [B*NSUB, SUB//down]
+    yr = fir(mr)                       # [B*nsub, SUB//down]
     yi = fir(mi)
     no = SUB // down
-    for k in range(NSUB):
+    for k in range(nsub):
         or_ref[:, k * no:(k + 1) * no] = yr[k * B:(k + 1) * B]
         oi_ref[:, k * no:(k + 1) * no] = yi[k * B:(k + 1) * B]
+
+
+NSUB_MAX = 16      # largest tile the ramp is built for (SUB*NSUB_MAX)
+
+
+def _pick_nsub(T: int) -> int:
+    """Largest supported sub-tile count whose tile divides T."""
+    for nsub in (NSUB_MAX, 8):
+        if T % (SUB * nsub) == 0:
+            return nsub
+    raise ValueError(f"block length {T} not a multiple of {TILE}")
 
 
 @functools.partial(jax.jit,
@@ -126,35 +151,36 @@ def mix_fir_decim(xr, xi, carry_r, carry_i, theta, ramp_c, ramp_s, band,
 
     xr/xi [B, T] float32 input planes; carry_[ri] [B, SUB]: the last SUB
     pre-mix input samples of the previous block (zeros initially);
-    theta: scalar NCO phase at the first sample; ramp_c/s [1, TILE+SUB]:
-    cos/sin of dphi*(k - (L-1)); band [WK, SUB//down] from make_band.
+    theta: scalar NCO phase at the first sample; ramp_c/s
+    [1, SUB*NSUB_MAX+SUB]: cos/sin of dphi*(k - (L-1)) (make_ramp);
+    band [WK, SUB//down] from make_band.
 
     Returns (yr, yi) [B, T//down].  The caller advances theta by
     dphi*T (wrapped) and keeps x[..., -SUB:] as the next carry.
     """
     B, T = xr.shape
-    assert T % TILE == 0
-    nt = T // TILE
+    nsub = _pick_nsub(T)
+    tile = SUB * nsub
+    nt = T // tile
     no = SUB // down
     # per-tile phase offsets (computed with jnp so theta can be traced)
-    step = np.float32(np.mod(dphi * TILE, 2 * np.pi))
+    step = np.float32(np.mod(dphi * tile, 2 * np.pi))
     ph = theta + step * jnp.arange(nt, dtype=jnp.float32)
     ph = jnp.mod(ph + np.pi, 2 * np.pi) - np.pi
     tile_c = jnp.cos(ph)[:, None]
     tile_s = jnp.sin(ph)[:, None]
 
-    kern = functools.partial(_kernel, L=L, down=down, sgn=sgn)
-    spec_cur = pl.BlockSpec((B, TILE), lambda i: (0, i),
+    kern = functools.partial(_kernel, L=L, down=down, sgn=sgn, nsub=nsub)
+    spec_cur = pl.BlockSpec((B, tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    spec_prev = pl.BlockSpec((B, TILE), lambda i: (0, jnp.maximum(i - 1, 0)),
-                             memory_space=pltpu.VMEM)
 
     def spec_const(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
-    spec_smem = pl.BlockSpec((1, 1), lambda i: (i, 0),
+    spec_smem = pl.BlockSpec((nt, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)
+    ramp_len = ramp_c.shape[-1]
     return pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((B, T // down), jnp.float32),
@@ -162,23 +188,26 @@ def mix_fir_decim(xr, xi, carry_r, carry_i, theta, ramp_c, ramp_s, band,
         grid=(nt,),
         in_specs=[
             spec_smem, spec_smem,
-            spec_cur, spec_prev, spec_cur, spec_prev,
-            spec_const((1, TILE + SUB)), spec_const((1, TILE + SUB)),
+            spec_cur, spec_cur,
+            spec_const((1, ramp_len)), spec_const((1, ramp_len)),
             spec_const((WK, no)),
             spec_const((B, SUB)), spec_const((B, SUB)),
         ],
-        out_specs=(pl.BlockSpec((B, no * NSUB), lambda i: (0, i),
+        out_specs=(pl.BlockSpec((B, no * nsub), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((B, no * NSUB), lambda i: (0, i),
+                   pl.BlockSpec((B, no * nsub), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((B, SUB), jnp.float32),
+                        pltpu.VMEM((B, SUB), jnp.float32)],
         interpret=interpret,
-    )(tile_c, tile_s, xr, xr, xi, xi, ramp_c, ramp_s, band,
+    )(tile_c, tile_s, xr, xi, ramp_c, ramp_s, band,
       carry_r, carry_i)
 
 
 def make_ramp(h_len: int, dphi: float):
-    """Host (f64) mixer ramp for the window coordinate system."""
-    k = np.arange(TILE + SUB) - (h_len - 1)
+    """Host (f64) mixer ramp for the window coordinate system, sized
+    for the largest tile (smaller tiles slice it statically)."""
+    k = np.arange(SUB * NSUB_MAX + SUB) - (h_len - 1)
     ramp = dphi * np.asarray(k, np.float64)
     return (np.cos(ramp).astype(np.float32)[None],
             np.sin(ramp).astype(np.float32)[None])

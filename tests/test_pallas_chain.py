@@ -49,6 +49,24 @@ def test_kernel_matches_fused_planar_streaming():
     assert np.abs(y_k - y_ref).max() / rms < 2e-4
 
 
+def test_kernel_large_tile_and_mixed_blocks():
+    # T=4096 engages the nsub=16 tile; a following 2048 block must
+    # continue the stream correctly through the carry (different tile
+    # choice per block, same state contract)
+    fused = _headline()
+    k = kernel_fuse(fused)
+    rng = np.random.default_rng(2)
+    B = 8
+    blocks = [(rng.standard_normal((B, T)) +
+               1j * rng.standard_normal((B, T))).astype(np.complex64)
+              for T in (4096, 2048, 4096)]
+    y_ref = _run_planar(fused, blocks, (B,))
+    y_k = _run_planar(k, blocks, (B,))
+    assert y_k.shape == y_ref.shape
+    rms = np.sqrt(np.mean(np.abs(y_ref) ** 2))
+    assert np.abs(y_k - y_ref).max() / rms < 2e-4
+
+
 def test_kernel_complex_entry_point():
     k = kernel_fuse(_headline())
     rng = np.random.default_rng(1)

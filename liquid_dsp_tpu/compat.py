@@ -151,3 +151,4 @@ from .design.special import (is_prime as liquid_is_prime,          # noqa: E402,
                              totient as liquid_totient,
                              gcd as liquid_gcd,
                              factorial as liquid_factorialf)
+from .ops.nco import unwrap_phase as liquid_unwrap_phase       # noqa: E402,F401

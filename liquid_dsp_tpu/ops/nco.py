@@ -22,7 +22,8 @@ from jax import lax
 
 from ..core import Proc
 
-__all__ = ["nco", "mix_up", "mix_down", "nco_block_phases", "pll_step"]
+__all__ = ["nco", "mix_up", "mix_down", "nco_block_phases", "pll_step",
+           "unwrap_phase"]
 
 TWO_PI = 2.0 * jnp.pi
 
@@ -149,3 +150,18 @@ def pll_step(theta, dphi, phase_error, bandwidth: float = 0.1):
     dphi = dphi + alpha * phase_error
     theta = theta + beta * phase_error
     return theta, dphi
+
+
+def unwrap_phase(theta):
+    """Unwrap a phase array along the last axis so successive samples
+    never jump by more than pi (reference liquid_unwrap_phase,
+    src/nco/src/nco.utilities.c:34-43).  The reference walks the array
+    sequentially pulling each sample within pi of its corrected
+    predecessor; the closed form below — wrap the first differences
+    into (-pi, pi], then cumulative-sum from theta[0] — is identical
+    and vectorizes (one cumsum, no scan)."""
+    theta = jnp.asarray(theta)
+    d = jnp.diff(theta, axis=-1)
+    d = jnp.mod(d + jnp.pi, 2 * jnp.pi) - jnp.pi
+    return jnp.concatenate(
+        [theta[..., :1], theta[..., :1] + jnp.cumsum(d, axis=-1)], axis=-1)

@@ -518,3 +518,38 @@ class TestModularArithmetic:
         from liquid_dsp_tpu.design.special import factorial
         assert factorial(5) == 120.0
         assert abs(factorial(10) - 3628800.0) < 1e-3
+
+
+class TestUnwrapPhase:
+    def test_matches_reference_loop(self):
+        # reference liquid_unwrap_phase (nco.utilities.c:34-43) pulls
+        # each sample within pi of its corrected predecessor
+        from liquid_dsp_tpu.ops.nco import unwrap_phase
+        rng = np.random.default_rng(7)
+        th = np.cumsum(rng.uniform(-2.5, 2.5, 300)).astype(np.float32)
+        wrapped = np.mod(th + np.pi, 2 * np.pi) - np.pi
+        ref = wrapped.copy()
+        for i in range(1, len(ref)):
+            while ref[i] - ref[i - 1] > np.pi:
+                ref[i] -= 2 * np.pi
+            while ref[i] - ref[i - 1] < -np.pi:
+                ref[i] += 2 * np.pi
+        ours = np.asarray(unwrap_phase(wrapped))
+        assert np.abs(ours - ref).max() < 1e-4
+
+    def test_recovers_linear_ramp(self):
+        from liquid_dsp_tpu.ops.nco import unwrap_phase
+        th = (0.3 * np.arange(500)).astype(np.float32)
+        wrapped = np.mod(th + np.pi, 2 * np.pi) - np.pi
+        out = np.asarray(unwrap_phase(wrapped))
+        np.testing.assert_allclose(out, th - th[0] + out[0], atol=1e-3)
+
+    def test_batched(self):
+        from liquid_dsp_tpu.ops.nco import unwrap_phase
+        rng = np.random.default_rng(1)
+        th = np.cumsum(rng.uniform(-1, 1, (4, 100)), axis=-1
+                       ).astype(np.float32)
+        wrapped = np.mod(th + np.pi, 2 * np.pi) - np.pi
+        out = np.asarray(unwrap_phase(wrapped))
+        d = np.diff(out, axis=-1)
+        assert np.abs(d).max() <= np.pi + 1e-5

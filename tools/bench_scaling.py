@@ -63,7 +63,7 @@ def main():
         x = jnp.asarray((rng.standard_normal((batch, T)) +
                          1j * rng.standard_normal((batch, T))
                          ).astype(np.complex64))
-        carry = proc.init(batch_shape=(batch,))
+        carry = jax.jit(lambda: proc.init(batch_shape=(batch,)))()
         sharded = time_shard_apply(proc, mesh)
 
         @jax.jit

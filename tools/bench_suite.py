@@ -84,7 +84,10 @@ def main():
         try:
             proc = make_proc()
             xin = make_xin() if make_xin is not None else x()
-            carry = proc.init(batch_shape=xin.shape[:-1])
+            # JIT the carry construction: EAGER ops poison later transfers
+            # when the tunnel is in its strict state (PERF.md)
+            carry = jax.jit(
+                lambda p=proc, s=xin.shape[:-1]: p.init(batch_shape=s))()
             step = jax.jit(proc.apply)
             cases[name] = bench(step, proc.params, carry, xin)
         except Exception as e:

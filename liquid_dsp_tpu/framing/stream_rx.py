@@ -246,7 +246,11 @@ def _detect_refine(buf, last_end, dc: dict, threshold: float, P: int,
         keep = c & (p >= le)
         return jnp.where(keep, p + span, le), keep
 
-    _, keeps = lax.scan(_suppress, last_end, (cand, n0_seg))
+    # unroll=32: same keeps, 4x faster in isolation (the 3-op body is
+    # pure dispatch overhead per step); neutral inside the fused
+    # receiver program, kept because it can only shrink the jaxpr's
+    # sequential region
+    _, keeps = lax.scan(_suppress, last_end, (cand, n0_seg), unroll=32)
     cand = keeps
     n_cand = jnp.sum(cand)
     sel = jnp.nonzero(cand, size=P, fill_value=0)[0]    # first P, in order

@@ -404,16 +404,25 @@ def ofdm_detector_stream(block_len: int, params: OFDMParams,
                 "base": jnp.full(batch_shape, -hist, jnp.int32),
                 "last_end": jnp.full(batch_shape, -(1 << 30), jnp.int32)}
 
+    ones_m2 = np.ones(M2, np.float32)
+    ones_m = np.ones(M, np.float32)
+
     def _apply_1d(carry, x):
+        from ..ops.fir import fir_apply_matmul
         buf = jnp.concatenate([carry["buf"], x.astype(jnp.complex64)],
                               axis=-1)
         prod = buf[M2:] * jnp.conj(buf[:-M2])
-        c = jnp.cumsum(jnp.concatenate([jnp.zeros(1, prod.dtype), prod]))
-        Pm = c[M2:] - c[:-M2]
-        e = jnp.cumsum(jnp.concatenate(
-            [jnp.zeros(1, jnp.float32),
-             jnp.abs(buf).astype(jnp.float32) ** 2]))
-        R = e[M:] - e[:-M]
+        # windowed sums as banded-tap matmuls (ones taps): the cumsum
+        # formulation measured 227 Msps on TPU vs 5237 for the MXU
+        # banding (tools/exp_ofdm_detect.py); forward window of width W
+        # is the causal box sum shifted by W-1
+        pr, _ = fir_apply_matmul(
+            jnp.asarray(ones_m2), jnp.zeros((M2 - 1,), prod.dtype), prod)
+        Pm = pr[M2 - 1:]
+        en = jnp.abs(buf).astype(jnp.float32) ** 2
+        er, _ = fir_apply_matmul(
+            jnp.asarray(ones_m), jnp.zeros((M - 1,), jnp.float32), en)
+        R = er[M - 1:]
         Lm = n_chunk * CH
         metric = jnp.abs(Pm[:Lm]) / jnp.maximum(R[:Lm], 1e-12) * 2.0
         mc = metric.reshape(n_chunk, CH)

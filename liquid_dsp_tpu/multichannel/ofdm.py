@@ -206,12 +206,18 @@ def _sync_core(params: OFDMParams, n_syms: int, threshold: float):
         T = x.shape[0]
         t32 = jnp.arange(T, dtype=jnp.float32)
         # --- 1. Schmidl-Cox autocorrelation over the whole capture ---
+        from ..ops.fir import fir_apply_matmul
         prod = x[M2:] * jnp.conj(x[:-M2])
-        c = jnp.cumsum(jnp.concatenate([jnp.zeros(1, prod.dtype), prod]))
-        P = c[M2:] - c[:-M2]          # window-M/2 sum at each offset
-        e = jnp.cumsum(jnp.concatenate(
-            [jnp.zeros(1, jnp.float32), jnp.abs(x).astype(jnp.float32) ** 2]))
-        R = e[M:] - e[:-M]
+        # window sums as ones-tap banded matmuls — cumsum-and-difference
+        # is ~23x slower on TPU (tools/exp_ofdm_detect.py, PERF.md)
+        pr, _ = fir_apply_matmul(
+            jnp.ones(M2, jnp.float32), jnp.zeros((M2 - 1,), prod.dtype),
+            prod)
+        P = pr[M2 - 1:]               # window-M/2 sum at each offset
+        en = jnp.abs(x).astype(jnp.float32) ** 2
+        er, _ = fir_apply_matmul(
+            jnp.ones(M, jnp.float32), jnp.zeros((M - 1,), jnp.float32), en)
+        R = er[M - 1:]
         L = min(int(P.shape[0]), int(R.shape[0]))
         metric = jnp.abs(P[:L]) / jnp.maximum(R[:L], 1e-12) * 2.0
         from .. import debug

@@ -224,6 +224,22 @@ class Frame64Block(NamedTuple):
     symbols: jnp.ndarray      # [..., P, 600] corrected payload symbols
 
 
+def _stream_cfg() -> StreamRxConfig:
+    """The frame64 receiver geometry as a StreamRxConfig (shared with
+    tools/exp_rx_profile.py for stage-level timing)."""
+    return StreamRxConfig(
+        template=_detector_template(),
+        bank=_mf_bank(),
+        region_start=64 + 2 * _M,
+        region_len=630,
+        pilots=qpilot_pilots(600, 21),
+        pilot_spacing=21,
+        pilot_nfft=_PFFT,
+        # small slack for +-1 peak quantization
+        suppress_span=FRAME64_LEN - 8,
+        k=_K)
+
+
 def framesync64_stream(block_len: int, threshold: float = 0.5,
                        max_frames: int | None = None,
                        name: str = "framesync64_stream") -> Proc:
@@ -239,17 +255,7 @@ def framesync64_stream(block_len: int, threshold: float = 0.5,
     """
     T = int(block_len)
     P = max_frames if max_frames is not None else T // FRAME64_LEN + 2
-    cfg = StreamRxConfig(
-        template=_detector_template(),
-        bank=_mf_bank(),
-        region_start=64 + 2 * _M,
-        region_len=630,
-        pilots=qpilot_pilots(600, 21),
-        pilot_spacing=21,
-        pilot_nfft=_PFFT,
-        # small slack for +-1 peak quantization
-        suppress_span=FRAME64_LEN - 8,
-        k=_K)
+    cfg = _stream_cfg()
     core = preamble_stream(T, cfg, threshold=threshold, max_frames=P,
                            name=name)
     data_idx = np.nonzero(np.arange(630) % 21 != 0)[0].astype(np.int32)

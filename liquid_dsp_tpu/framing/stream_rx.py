@@ -57,6 +57,28 @@ _DET_HOP = _DET_NFFT // 2
 _RANGE_BINS = 2
 
 
+def cexp_ramp(dphi, phi, n: int, sign: float = -1.0):
+    """(cos, sin) float planes of e^{j*sign*(dphi*t + phi)}, t = 0..n-1,
+    batched over the leading axis of dphi/phi [P].
+
+    Factored by angle addition — t = b*C + a with C ~ sqrt(n), so only
+    C + ceil(n/C) transcendental pairs are evaluated per candidate
+    instead of n (the mix ramps dominated the receiver's VPU time; the
+    same trick as ops/kernels/pallas_chain.py's in-VMEM mix)."""
+    C = 1 << max(1, (int(np.ceil(np.sqrt(n))) - 1).bit_length())
+    nb = -(-n // C)
+    a = np.arange(C, dtype=np.float32)
+    b = np.arange(nb, dtype=np.float32) * C
+    pa = sign * dphi[:, None] * a[None, :]                    # [P, C]
+    pb = sign * (dphi[:, None] * b[None, :] + phi[:, None])   # [P, nb]
+    ca, sa = jnp.cos(pa), jnp.sin(pa)
+    cb, sb = jnp.cos(pb), jnp.sin(pb)
+    cr = cb[:, :, None] * ca[:, None, :] - sb[:, :, None] * sa[:, None, :]
+    ci = sb[:, :, None] * ca[:, None, :] + cb[:, :, None] * sa[:, None, :]
+    P = dphi.shape[0]
+    return (cr.reshape(P, nb * C)[:, :n], ci.reshape(P, nb * C)[:, :n])
+
+
 def quad_peak(ym1, y0, yp1):
     """Quadratic interpolation of a 3-point peak -> (frac offset, value)."""
     a = 0.5 * (yp1 + ym1) - y0
@@ -129,22 +151,23 @@ def mf_symbol_gather(buf, n0, off_s, dphi, phi, gamma, bank, b_idx,
     start = pad + n0 + off_s + k * start_sym - (Lb - 1)      # [P]
     spans = jax.vmap(
         lambda s: lax.dynamic_slice(bufp, (s,), (span,)))(start)
-    # mixer phase over the span, referenced to the template start
-    tt = ((start - pad - n0)[:, None]
-          + np.arange(span)[None, :]).astype(jnp.float32)
-    ph = dphi[:, None] * tt + phi[:, None]
-    vmix = spans * lax.complex(jnp.cos(ph), -jnp.sin(ph))
+    # mixer phase over the span, referenced to the template start; the
+    # per-candidate start offset folds into the phase term so the ramp
+    # is a shared arange (factored transcendentals, see cexp_ramp)
+    t0 = (start - pad - n0).astype(jnp.float32)
+    mr, mi = cexp_ramp(dphi, phi + dphi * t0, span)
+    vmix = spans * lax.complex(mr, mi)
     taps = jnp.asarray(bank)[b_idx]                          # [P, Lb]
     dn = ("NCH", "OIH", "NCH")
     P = taps.shape[0]
 
-    def dwconv(x):                                           # [P, span] f32
-        y = lax.conv_general_dilated(
-            x[None], taps[:, None, :], window_strides=(k,),
-            padding="VALID", dimension_numbers=dn, feature_group_count=P)
-        return y[0]                                          # [P, n_sym]
-
-    sym = lax.complex(dwconv(vmix.real), dwconv(vmix.imag))
+    # ONE grouped conv for both float planes (planes ride the batch
+    # dim) instead of two calls — fewer conv launches per receiver step
+    xp2 = jnp.stack([vmix.real, vmix.imag])                  # [2, P, span]
+    y2 = lax.conv_general_dilated(
+        xp2, taps[:, None, :], window_strides=(k,),
+        padding="VALID", dimension_numbers=dn, feature_group_count=P)
+    sym = lax.complex(y2[0], y2[1])                          # [P, n_sym]
     return sym * (0.5 / jnp.maximum(gamma, 1e-12))[:, None]
 
 
@@ -453,10 +476,8 @@ def preamble_stream(block_len: int, cfg: StreamRxConfig,
                          axis=-1)
         phi2 = jnp.angle(metric)
         g2 = jnp.abs(metric) / npil
-        i_all = np.arange(cfg.region_len)[None, :]
-        ph2 = dphi2[:, None] * i_all + phi2[:, None]
-        corr = lax.complex(jnp.cos(ph2), -jnp.sin(ph2)) \
-            / jnp.maximum(g2, 1e-12)[:, None]
+        c2r, c2i = cexp_ramp(dphi2, phi2, cfg.region_len)
+        corr = lax.complex(c2r, c2i) / jnp.maximum(g2, 1e-12)[:, None]
         region_syms = region_rx * corr
 
         from .. import debug

@@ -100,6 +100,13 @@ def main():
                           max_frames=T // FRAME64_LEN + 2)
     measure("A detect+refine only", det,
             lambda o: jnp.sum(o.rxy) + jnp.sum(o.dphi))
+    from liquid_dsp_tpu.framing import frame64 as f64
+    from liquid_dsp_tpu.framing.stream_rx import preamble_stream
+    pre = preamble_stream(T, f64._stream_cfg(),
+                          max_frames=T // FRAME64_LEN + 2)
+    measure("B preamble_stream (A+MF+pilot)", pre,
+            lambda o: jnp.sum(jnp.real(o.region_syms) ** 2) +
+            jnp.sum(o.rxy))
     full = framesync64_stream(T)
     measure("C full framesync64 stream", full,
             lambda o: jnp.sum(jnp.real(o.symbols) ** 2) + jnp.sum(o.rxy))

@@ -95,6 +95,16 @@ for _base, _factory in [
     for _sfx in ("rrrf", "crcf", "cccf"):
         globals()[f"{_base}_{_sfx}_create"] = _alias_types(_factory)
 
+from .ops.iir import (iirfilt_integrator, iirfilt_differentiator,  # noqa: E402
+                      iirfilt_dc_blocker, iirfilt_pll)
+from .ops.fir import firfilt_rect  # noqa: E402
+for _sfx in ("rrrf", "crcf", "cccf"):
+    globals()[f"iirfilt_{_sfx}_create_integrator"] = iirfilt_integrator
+    globals()[f"iirfilt_{_sfx}_create_differentiator"] = iirfilt_differentiator
+    globals()[f"iirfilt_{_sfx}_create_dc_blocker"] = iirfilt_dc_blocker
+    globals()[f"iirfilt_{_sfx}_create_pll"] = iirfilt_pll
+    globals()[f"firfilt_{_sfx}_create_rect"] = firfilt_rect
+
 nco_crcf_create = nco
 nco_crcf_mix_up = mix_up
 nco_crcf_mix_down = mix_down

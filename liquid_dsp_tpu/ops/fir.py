@@ -25,9 +25,18 @@ from jax import lax
 from ..core import LTI, Proc, planar_per_plane
 from .dotprod import conv1d
 
-__all__ = ["firfilt", "firdecim", "firinterp", "firpfb_execute", "firhilb",
+__all__ = ["firfilt", "firfilt_rect", "firdecim", "firinterp",
+           "firpfb_execute", "firhilb",
            "firhilb_interp", "firhilb_r2c", "firhilb_c2r",
            "autocorr", "fir_freqresponse", "fir_apply"]
+
+
+def firfilt_rect(n: int, name: str = "firfilt_rect") -> "Proc":
+    """Length-n moving-sum (rectangular) FIR filter (reference
+    firfilt_xxx_create_rect, src/filter/src/firfilt.c:174-195)."""
+    if not (1 <= n <= 1024):
+        raise ValueError("filter length must be in [1, 1024]")
+    return firfilt(np.ones(n, np.float32), name=name)
 
 
 def _np_taps(h, scale=1.0):

@@ -21,7 +21,9 @@ from jax import lax
 from ..core import Proc, planar_per_plane
 
 __all__ = ["iirfilt", "iirfilt_sos", "iir_apply_tf", "iir_apply_sos",
-           "iir_freqresponse", "iir_group_delay"]
+           "iir_freqresponse", "iir_group_delay",
+           "iirfilt_integrator", "iirfilt_differentiator",
+           "iirfilt_dc_blocker", "iirfilt_pll"]
 
 
 def _norm_ba(b, a):
@@ -192,3 +194,75 @@ def iir_group_delay(b, a, fc, df: float = 1e-4):
     h2 = iir_freqresponse(b, a, fc + df / 2)
     dphi = np.angle(h2 * np.conj(h1))
     return -dphi / (2 * np.pi * df)
+
+
+# ---------------------------------------------------------------------------
+# factory constructors (reference iirfilt.c:264-411)
+
+
+def _pintelon_sos(mags_z, args_z, mags_p, args_p, k):
+    """Digital zpk (magnitude/angle-in-degrees form, as published in
+    [Pintelon:1990]) -> SOS arrays via design.iirdes.zpk2sos."""
+    from ..design.iirdes import zpk2sos
+    z = np.asarray(mags_z) * np.exp(1j * np.deg2rad(np.asarray(args_z)))
+    p = np.asarray(mags_p) * np.exp(1j * np.deg2rad(np.asarray(args_p)))
+    return zpk2sos(z, p, k)
+
+
+def iirfilt_integrator(name: str = "iirfilt_integrator") -> Proc:
+    """8th-order digital integrator, [Pintelon:1990] Table II constants
+    (studied from reference iirfilt_xxx_create_integrator,
+    src/filter/src/iirfilt.c:264-310)."""
+    B, A = _pintelon_sos(
+        [1.175839, 3.371020, 3.371020, 4.549710, 4.549710,
+         5.223966, 5.223966, 5.443743],
+        [180.0, -125.1125, 125.1125, -80.96404, 80.96404,
+         -40.09347, 40.09347, 0.0],
+        [0.5805235, 0.2332021, 0.2332021, 0.1814755, 0.1814755,
+         0.1641457, 0.1641457, 1.0],
+        [180.0, -114.0968, 114.0968, -66.33969, 66.33969,
+         -21.89539, 21.89539, 0.0],
+        -1.89213380759321e-05)
+    return iirfilt_sos(B, A, name=name)
+
+
+def iirfilt_differentiator(name: str = "iirfilt_differentiator") -> Proc:
+    """8th-order digital differentiator, [Pintelon:1990] Table IV
+    constants (reference iirfilt.c:313-359)."""
+    B, A = _pintelon_sos(
+        [1.702575, 5.877385, 5.877385, 4.197421, 4.197421,
+         5.350284, 5.350284, 1.0],
+        [180.0, -221.4063, 221.4063, -144.5972, 144.5972,
+         -66.88802, 66.88802, 0.0],
+        [0.8476936, 0.2990781, 0.2990781, 0.2232427, 0.2232427,
+         0.1958670, 0.1958670, 0.1886088],
+        [180.0, -125.5188, 125.5188, -81.52326, 81.52326,
+         -40.51510, 40.51510, 0.0],
+        2.09049284907492e-05)
+    return iirfilt_sos(B, A, name=name)
+
+
+def iirfilt_dc_blocker(alpha: float,
+                       name: str = "iirfilt_dc_blocker") -> Proc:
+    """First-order DC-blocking filter H(z) = (1 - z^-1)/(1 - (1-a)z^-1)
+    (reference iirfilt.c:366-376)."""
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    b = np.array([1.0, -1.0], np.float32)
+    a = np.array([1.0, -1.0 + alpha], np.float32)
+    return iirfilt(b, a, name=name)
+
+
+def iirfilt_pll(w: float, zeta: float = 0.7071, K: float = 1000.0,
+                name: str = "iirfilt_pll") -> Proc:
+    """Phase-locked-loop loop filter: one active-lag second-order
+    section (reference iirfilt.c:382-411)."""
+    if not (0.0 < w < 1.0):
+        raise ValueError("bandwidth must be in (0, 1)")
+    if not (0.0 < zeta < 1.0):
+        raise ValueError("damping factor must be in (0, 1)")
+    if K <= 0.0:
+        raise ValueError("loop gain must be positive")
+    from ..design.iirdes import iirdes_pll_active_lag
+    b, a = iirdes_pll_active_lag(w, zeta, K)
+    return iirfilt_sos(b[None, :], a[None, :], name=name)

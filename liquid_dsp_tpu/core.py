@@ -129,6 +129,14 @@ class Proc:
         return y, carry
 
 
+def scan_unroll(n: int) -> int:
+    """Unroll factor for sequential time-recurrence scans: `n` on TPU
+    (unroll=16 measured 16x on the AGC recurrence — scan-step dispatch
+    dominates tiny bodies there, PERF.md), 1 elsewhere (CPU executes
+    scans cheaply and unrolled bodies quadruple suite compile time)."""
+    return n if jax.default_backend() == "tpu" else 1
+
+
 def planar_per_plane(apply: Callable, init: Callable):
     """(planar_apply, planar_init) for an op that is R-linear with REAL
     coefficients and an input-tail carry: filtering a complex stream is

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .block import unpack_bits, pack_bits
+from ..core import scan_unroll
 
 __all__ = ["CONV_SCHEMES", "conv_get_enc_msg_length", "conv_encode",
            "conv_decode", "PUNCTURE_MATRICES"]
@@ -214,7 +215,11 @@ def conv_decode(scheme: str, enc, dec_len: int, soft=None) -> np.ndarray:
         return new_pm, win_idx
 
     pm0 = jnp.full((ns,), NEG, jnp.float32).at[0].set(0.0)
-    pm, decisions = lax.scan(step, pm0, obs)  # decisions: [T, ns]
+    # unroll the ACS trellis loop when the state count is small (the
+    # scan-step overhead dominates there; v615's 16384 states would
+    # only bloat the program)
+    pm, decisions = lax.scan(step, pm0, obs,
+                             unroll=scan_unroll(8) if ns <= 256 else 1)
 
     # traceback from state 0 (flushed)
     def back(state, dec_t):
@@ -224,7 +229,7 @@ def conv_decode(scheme: str, enc, dec_len: int, soft=None) -> np.ndarray:
         return prev_state, bit
 
     state0 = jnp.asarray(0, jnp.int32)
-    _, bits_rev = lax.scan(back, state0, decisions, reverse=True)
+    _, bits_rev = lax.scan(back, state0, decisions, reverse=True, unroll=scan_unroll(8))
     bits = np.asarray(bits_rev).astype(np.uint8)
     payload = bits[: 8 * dec_len]
     return pack_bits(payload)[:dec_len]

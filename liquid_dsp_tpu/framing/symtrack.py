@@ -125,7 +125,7 @@ def symtrack_stream(ftype: str = "arkaiser", k: int = 2, m: int = 7,
     where the outputs are at the symsync slot rate with a validity mask
     (compact with the mask).  All stage states persist in the carry.
     """
-    from ..core import Proc
+    from ..core import Proc, scan_unroll
     ag = agc(bandwidth=agc_bw)
     ss = symsync(ftype, k, m, beta, bw=sync_bw)
     table = np.asarray(constellation(ms)).astype(np.complex64)
@@ -191,7 +191,7 @@ def symtrack_stream(ftype: str = "arkaiser", k: int = 2, m: int = 7,
                  ("theta", "dtheta", "eq_w", "eq_buf", "eq_x2", "eq_n")}
         st = jnp.moveaxis(sy, -1, 0)
         vt = jnp.moveaxis(sv, -1, 0)
-        pll_c, (yt, dt) = lax.scan(step, pll_c, (st, vt))
+        pll_c, (yt, dt) = lax.scan(step, pll_c, (st, vt), unroll=scan_unroll(8))
         out = (jnp.moveaxis(yt, 0, -1), jnp.moveaxis(dt, 0, -1), sv)
         return out, {"agc": agc_c, "ss": ss_c, **pll_c}
 

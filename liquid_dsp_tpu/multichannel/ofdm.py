@@ -445,7 +445,8 @@ def ofdm_detector_stream(block_len: int, params: OFDMParams,
             keep = cnd & (p >= le)
             return jnp.where(keep, p + span, le), keep
 
-        _, keeps = lax.scan(_suppress, carry["last_end"], (cand, pos))
+        _, keeps = lax.scan(_suppress, carry["last_end"], (cand, pos),
+                            unroll=32)
         cand = keeps
         n_cand = jnp.sum(cand)
         sel = jnp.nonzero(cand, size=P_, fill_value=0)[0]

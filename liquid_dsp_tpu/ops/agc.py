@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core import Proc
+from ..core import Proc, scan_unroll
 
 __all__ = ["agc", "agc_scan", "rssi_from_carry"]
 
@@ -40,7 +40,8 @@ def agc_scan(alpha, carry, x, locked: bool = False):
 
     # scan over the LAST axis: move time to the front
     xt = jnp.moveaxis(x, -1, 0)
-    (g, y2p), yt = lax.scan(step, (carry["g"], carry["y2_prime"]), xt)
+    (g, y2p), yt = lax.scan(step, (carry["g"], carry["y2_prime"]), xt,
+                            unroll=scan_unroll(16))
     from .. import debug
     debug.tap("agc.gain", g)          # converged gain per block
     return jnp.moveaxis(yt, 0, -1), {"g": g, "y2_prime": y2p}
@@ -85,7 +86,8 @@ def agc(bandwidth: float = AGC_DEFAULT_BW, locked: bool = False,
                 g = jnp.minimum(g, 1e6)
             return (g, y2p), g_out
 
-        (g, y2p), gt = lax.scan(step, (carry["g"], carry["y2_prime"]), p)
+        (g, y2p), gt = lax.scan(step, (carry["g"], carry["y2_prime"]), p,
+                                unroll=scan_unroll(16))
         s = jnp.moveaxis(gt, 0, -1)
         return (r * s, i * s), {"g": g, "y2_prime": y2p}
 

@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import Proc
+from ..core import Proc, scan_unroll
 from .fir import fir_apply
 from ..utils.random import jax_crandn
 
@@ -71,7 +71,7 @@ def channel(snr_db: float | None = None, noise_floor_db: float = -60.0,
                 return s, s
 
             sh, seq = jax.lax.scan(step, carry["sh_state"],
-                                   jnp.moveaxis(w, -1, 0))
+                                   jnp.moveaxis(w, -1, 0), unroll=scan_unroll(16))
             g_db = shadowing_std * jnp.moveaxis(seq, 0, -1)
             y = y * (10.0 ** (g_db / 20.0)).astype(y.dtype)
             new_carry["sh_state"] = sh

@@ -23,7 +23,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from ..core import Proc
+from ..core import Proc, scan_unroll
 
 __all__ = ["eqlms_init_weights", "eqlms_run", "eqlms", "eqrls_run", "eqrls"]
 
@@ -80,9 +80,9 @@ def eqlms_run(w0, mu: float, carry, x, d=None,
     xt = jnp.moveaxis(x, -1, 0)
     if d is not None:
         dt = jnp.moveaxis(d, -1, 0)
-        carry, yt = lax.scan(step, carry, (xt, dt))
+        carry, yt = lax.scan(step, carry, (xt, dt), unroll=scan_unroll(8))
     else:
-        carry, yt = lax.scan(step, carry, xt)
+        carry, yt = lax.scan(step, carry, xt, unroll=scan_unroll(8))
     return jnp.moveaxis(yt, 0, -1), carry
 
 
@@ -146,7 +146,7 @@ def eqrls_run(lam: float, delta: float, carry, x, d):
 
     xt = jnp.moveaxis(x, -1, 0)
     dt = jnp.moveaxis(d, -1, 0)
-    carry, yt = lax.scan(step, carry, (xt, dt))
+    carry, yt = lax.scan(step, carry, (xt, dt), unroll=scan_unroll(8))
     return jnp.moveaxis(yt, 0, -1), carry
 
 

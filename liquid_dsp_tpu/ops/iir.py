@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core import Proc, planar_per_plane
+from ..core import Proc, planar_per_plane, scan_unroll
 
 __all__ = ["iirfilt", "iirfilt_sos", "iir_apply_tf", "iir_apply_sos",
            "iir_freqresponse", "iir_group_delay",
@@ -52,7 +52,8 @@ def iir_apply_tf(b, a, carry, x):
         return s_new, y
 
     xt = jnp.moveaxis(x, -1, 0)
-    s, yt = lax.scan(step, carry, xt)
+    # unroll=scan_unroll(16): 16x measured on TPU (PERF.md scan-unroll sweep)
+    s, yt = lax.scan(step, carry, xt, unroll=scan_unroll(16))
     return jnp.moveaxis(yt, 0, -1), s
 
 
@@ -73,7 +74,7 @@ def iir_apply_sos(B, A, carry, x):
         return jnp.stack(new_s, axis=-2), y
 
     xt = jnp.moveaxis(x, -1, 0)
-    s, yt = lax.scan(step, carry, xt)
+    s, yt = lax.scan(step, carry, xt, unroll=scan_unroll(16))
     return jnp.moveaxis(yt, 0, -1), s
 
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core import Proc
+from ..core import Proc, scan_unroll
 from ..design.firdes import firdes_prototype
 
 __all__ = ["symsync", "symsync_run", "symsync_banks",
@@ -133,7 +133,7 @@ def symsync_run(mf_bank, dmf_bank, carry, x, k: int, k_out: int = 1,
         return state, (outs, valid)
 
     xt = jnp.moveaxis(x, -1, 0)
-    carry, (ys, vs) = lax.scan(step, carry, xt)
+    carry, (ys, vs) = lax.scan(step, carry, xt, unroll=scan_unroll(8))
     # [T, ..., max_out] -> [..., T*max_out]
     ys = jnp.moveaxis(ys, 0, -2).reshape(x.shape[:-1] + (-1,))
     vs = jnp.moveaxis(vs, 0, -2).reshape(x.shape[:-1] + (-1,))

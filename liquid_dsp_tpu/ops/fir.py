@@ -436,10 +436,14 @@ def autocorr(window_size: int, delay: int, name: str = "autocorr") -> Proc:
         T = x.shape[-1]
         # r[t] = sum_i x[t-i]*conj(x[t-i-d]), i = 0..W-1; t indexes x
         prod = xp[..., d:] * jnp.conj(xp[..., : xp.shape[-1] - d])
-        # windowed sum over trailing W products ending at each output time
-        ones = jnp.ones((W,), dtype=prod.real.dtype)
-        r = conv1d(prod, ones)
-        r = r[..., -T:]
+        # windowed sum over trailing W products ending at each output
+        # time, as a ones-tap banded matmul (box sums via cumsum or a
+        # feature-dim-1 conv are far off the MXU path — CLAUDE.md rule,
+        # tools/exp_ofdm_detect.py)
+        pr, _ = fir_apply_matmul(
+            jnp.ones((W,), jnp.float32),
+            jnp.zeros(prod.shape[:-1] + (W - 1,), prod.dtype), prod)
+        r = pr[..., W - 1:]
         return r, xp[..., xp.shape[-1] - hist:]
 
     return Proc(params={}, init=init, apply=apply, rate=(1, 1), name=name)

@@ -122,7 +122,7 @@ class StreamRxBlock(NamedTuple):
 
 
 def mf_symbol_gather(buf, n0, off_s, dphi, phi, gamma, bank, b_idx,
-                     n_sym, *, start_sym=0, k=2):
+                     n_sym, *, start_sym=0, k=2, win=None):
     """Batched mix + polyphase matched filter + k:1 symbol sampling.
 
     buf [T?] complex, candidate-batched n0/off_s/dphi/phi/gamma/b_idx
@@ -140,21 +140,43 @@ def mf_symbol_gather(buf, n0, off_s, dphi, phi, gamma, bank, b_idx,
     """
     Lb = int(bank.shape[1])
     span = k * (n_sym - 1) + Lb
-    # pad so the earliest tap (Lb-1 before the first frame sample, off_s
-    # can be -1) stays in range: dynamic_slice clamps, and a clamp would
-    # silently shift the window; padding preserves the zero-fill
-    # semantics of the previous gather for frames at the buffer edge.
     pad = Lb
-    end_pad = k * start_sym + span      # worst case for any n0 in range
-    bufp = jnp.concatenate([jnp.zeros(pad, buf.dtype), buf,
-                            jnp.zeros(end_pad, buf.dtype)])
-    start = pad + n0 + off_s + k * start_sym - (Lb - 1)      # [P]
-    spans = jax.vmap(
-        lambda s: lax.dynamic_slice(bufp, (s,), (span,)))(start)
+    # padded-coordinate span start: pad + (n0 - (Lb-1) + off_s +
+    # k*start_sym) = n0 + off_s + k*start_sym + 1, i.e. offset
+    # off_s + k*start_sym + 1 inside a window whose padded origin is n0
+    if win is not None and start_sym == 0:
+        # reuse the union window _detect_refine already sliced (its
+        # padded origin is n0 with front_pad = Lb): select between the
+        # two static sub-spans by the +-1-sample timing offset — no
+        # second while-loop extraction (tools/profile_device.py)
+        assert win.shape[-1] >= span + 1, "union window too short"
+        sel = (off_s == 0)[:, None, None]
+        spans2 = jnp.where(sel, win[:, :, 1:span + 1], win[:, :, :span])
+        spans = lax.complex(spans2[:, 0], spans2[:, 1])
+        t0 = (off_s - (Lb - 1)).astype(jnp.float32)
+    else:
+        # stand-alone path (e.g. flexframe payload regions at
+        # start_sym > 0): pad so the earliest tap (Lb-1 before the
+        # first frame sample, off_s can be -1) stays in range —
+        # dynamic_slice clamps, and a clamp would silently shift the
+        # window; zero padding preserves edge semantics.
+        end_pad = k * start_sym + span   # worst case for any n0
+        bufp = jnp.concatenate([jnp.zeros(pad, buf.dtype), buf,
+                                jnp.zeros(end_pad, buf.dtype)])
+        start = pad + n0 + off_s + k * start_sym - (Lb - 1)  # [P]
+        # stack the float planes BEFORE slicing: a vmapped
+        # dynamic_slice lowers to a sequential while loop on TPU (one
+        # iteration per candidate per plane); slicing [2, span] from
+        # the stacked planes halves the loop count — 3.2x measured
+        # (tools/exp_extract_device.py, device-time profile)
+        bufp2 = jnp.stack([jnp.real(bufp), jnp.imag(bufp)])
+        spans2 = jax.vmap(
+            lambda s: lax.dynamic_slice(bufp2, (0, s), (2, span)))(start)
+        spans = lax.complex(spans2[:, 0], spans2[:, 1])
+        t0 = (start - pad - n0).astype(jnp.float32)
     # mixer phase over the span, referenced to the template start; the
     # per-candidate start offset folds into the phase term so the ramp
     # is a shared arange (factored transcendentals, see cexp_ramp)
-    t0 = (start - pad - n0).astype(jnp.float32)
     mr, mi = cexp_ramp(dphi, phi + dphi * t0, span)
     vmix = spans * lax.complex(mr, mi)
     taps = jnp.asarray(bank)[b_idx]                          # [P, Lb]
@@ -207,7 +229,8 @@ def _detect_consts(template: np.ndarray) -> dict:
 
 
 def _detect_refine(buf, last_end, dc: dict, threshold: float, P: int,
-                   T: int, starts: np.ndarray, span: int):
+                   T: int, starts: np.ndarray, span: int,
+                   front_pad: int = 0, win_len: int | None = None):
     """Detect-everywhere + per-candidate refinement over one buffer.
 
     buf [H+T] complex; last_end: suppression watermark (buffer coords).
@@ -215,6 +238,14 @@ def _detect_refine(buf, last_end, dc: dict, threshold: float, P: int,
     (cand, n0_seg) masks the caller folds into its next watermark.
     Identical math to qdetector_cccf seek+align (reference
     qdetector_cccf.c:373-441), batched over segments and candidates.
+
+    front_pad/win_len: when set, ONE [2, win_len] stacked-plane window
+    per candidate is sliced starting `front_pad` samples before n0 (zero
+    padded), covering both the align window and the matched-filter span
+    — the per-candidate dynamic_slice lowers to a sequential while loop
+    on TPU, so each extra loop is ~330 us per receiver step
+    (tools/profile_device.py); the window is returned as "win" for
+    mf_symbol_gather to reuse.
     """
     n_seg = len(starts)
     s_len, s2_sum = dc["s_len"], dc["s2_sum"]
@@ -284,9 +315,20 @@ def _detect_refine(buf, last_end, dc: dict, threshold: float, P: int,
 
     # ---- per-candidate refinement (qdetector align, batched) ----
     # contiguous windows: dynamic_slice, not a computed-index gather
-    # (n0 < T and hist >= NFFT, so no clamp can occur)
-    xa = jax.vmap(lambda st: lax.dynamic_slice(
-        buf, (st,), (_DET_NFFT,)))(n0)                  # [P, NFFT]
+    # (n0 < T and hist >= NFFT, so no clamp can occur); planes stacked
+    # before the slice — see mf_symbol_gather
+    U = int(win_len) if win_len is not None else _DET_NFFT
+    fp = int(front_pad)
+    buf2 = jnp.stack([jnp.real(buf), jnp.imag(buf)])
+    if fp or U > _DET_NFFT:
+        # zero padding preserves edge semantics (a clamped slice would
+        # silently shift the window); end pad sized so n0 = T-1 fits
+        need_end = max(0, (T - 1 - fp + U) - buf2.shape[-1])
+        buf2 = jnp.pad(buf2, ((0, 0), (fp, need_end)))
+    win = jax.vmap(lambda st: lax.dynamic_slice(
+        buf2, (0, st), (2, U)))(n0)                     # [P, 2, U]
+    xa = lax.complex(win[:, 0, fp:fp + _DET_NFFT],
+                     win[:, 1, fp:fp + _DET_NFFT])
     Xa = jnp.fft.fft(xa, axis=-1)
     Ra = jnp.fft.ifft(Xa * jnp.conj(So)[off_i], axis=-1) * _DET_NFFT
     tau, g_pk = quad_peak(jnp.sqrt(jnp.abs(Ra[:, -1])),
@@ -309,7 +351,7 @@ def _detect_refine(buf, last_end, dc: dict, threshold: float, P: int,
     phi = jnp.angle(jnp.take_along_axis(W, i0[:, None], axis=-1)[:, 0])
     return {"valid": valid, "n_cand": n_cand, "n0": n0, "off_i": off_i,
             "peak": peak, "tau": tau, "gamma": gamma, "dphi": dphi,
-            "phi": phi, "cand": cand, "n0_seg": n0_seg}
+            "phi": phi, "cand": cand, "n0_seg": n0_seg, "win": win}
 
 
 def _advance_watermark(carry, det, span: int, T: int):
@@ -424,6 +466,9 @@ def preamble_stream(block_len: int, cfg: StreamRxConfig,
     n_seg = (hist + T - _DET_NFFT) // _DET_HOP + 1
     starts = (np.arange(n_seg) * _DET_HOP).astype(np.int32)
     span = int(cfg.suppress_span)
+    Lb = int(cfg.bank.shape[1])
+    mf_span = cfg.k * (n_sym_tot - 1) + Lb
+    win_len = max(Lb + _DET_NFFT, mf_span + 1)
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return {"buf": jnp.zeros(batch_shape + (hist,), jnp.complex64),
@@ -440,7 +485,7 @@ def preamble_stream(block_len: int, cfg: StreamRxConfig,
         pilots = lax.complex(jnp.asarray(C["pil_re"]),
                              jnp.asarray(C["pil_im"]))
         det = _detect_refine(buf, carry["last_end"], dc, threshold, P, T,
-                             starts, span)
+                             starts, span, front_pad=Lb, win_len=win_len)
         valid, n0, peak = det["valid"], det["n0"], det["peak"]
         tau, gamma = det["tau"], det["gamma"]
         dphi, phi = det["dphi"], det["phi"]
@@ -453,7 +498,7 @@ def preamble_stream(block_len: int, cfg: StreamRxConfig,
         off_s = jnp.where(tau > 0, 0, -1).astype(jnp.int32)
         sym = mf_symbol_gather(buf, n0, off_s, dphi, phi, gamma,
                                jnp.asarray(C["bank"]), b_idx, n_sym_tot,
-                               k=cfg.k)
+                               k=cfg.k, win=det["win"])
         region_rx = sym[:, cfg.region_start:]               # [P, region_len]
 
         # ---- pilot sync (qpilotsync_execute, batched) ----

@@ -141,13 +141,24 @@ def planar_main(batch, T):
         # (CLAUDE.md).
         params = jax.tree.map(np.asarray, proc.params)
 
+        # K blocks chained INSIDE one jit (carry flows block to block,
+        # exactly StreamRunner semantics): per-dispatch overhead on the
+        # tunnel is hundreds of us while the kernel's device time is
+        # ~43 us per 16x131072 block (tools/profile_device.py), so
+        # host-looped trials under-reported the chain by ~4-7x.  The
+        # carry (filter tails + NCO phase) makes every iteration
+        # distinct; the checksum accumulates nonlinearly over every
+        # output so nothing dead-code-eliminates.
+        K = 16 if jax.default_backend() != "cpu" else 1
+
         @jax.jit
         def step(c, r, i):
-            (yr, yi), c2 = proc.apply(params, c, (r, i))
-            # checksum must touch EVERY output nonlinearly: y is not a
-            # jit output here, and a partial or linear reduction lets
-            # XLA dead-code-eliminate the actual filtering
-            chk = jnp.sum(yr * yr + yi * yi)
+            def body(cc, _):
+                c_in, acc = cc
+                (yr, yi), c2 = proc.apply(params, c_in, (r, i))
+                return (c2, acc + jnp.sum(yr * yr + yi * yi)), None
+            (c2, chk), _ = jax.lax.scan(
+                body, (c, jnp.float32(0)), None, length=K)
             return c2, chk
 
         c, chk = step(carry0, xr, xi)
@@ -161,7 +172,7 @@ def planar_main(batch, T):
             float(np.asarray(chk))  # value readback: proves completion
             return time.perf_counter() - t0
 
-        return timed_throughput(run_trials, batch * T) / 1e6
+        return timed_throughput(run_trials, K * batch * T) / 1e6
 
     # candidate executions of the SAME public chain (all output-
     # equivalent, tests/test_pallas_chain.py): XLA planar, and the

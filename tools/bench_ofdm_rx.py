@@ -66,12 +66,23 @@ def main():
     xi = jnp.asarray(x.imag.copy())
     carry0 = jax.jit(lambda: proc.init(batch_shape=(batch,)))()
 
+    # K blocks chained inside one jit (carry flows block to block,
+    # StreamRunner's execution shape): per-dispatch tunnel overhead
+    # otherwise adds ~60 us to a ~100 us device step (bench.py headline
+    # note, tools/profile_device.py)
+    K = 8 if jax.default_backend() != "cpu" else 1
+
     @jax.jit
     def step(c, r, i):
-        out, c2 = proc.apply((), c, jax.lax.complex(r, i))
-        valid, idx, cfo, peak = out
-        chk = jnp.sum(peak) + jnp.sum(cfo) + jnp.sum(idx)
-        return c2, chk, jnp.sum(valid)
+        def body(cc, _):
+            c_in, acc, nv = cc
+            out, c2 = proc.apply((), c_in, jax.lax.complex(r, i))
+            valid, idx, cfo, peak = out
+            acc = acc + jnp.sum(peak) + jnp.sum(cfo) + jnp.sum(idx)
+            return (c2, acc, jnp.sum(valid)), None
+        (c2, chk, nv), _ = jax.lax.scan(
+            body, (c, jnp.float32(0), jnp.int32(0)), None, length=K)
+        return c2, chk, nv
 
     c, chk, nfr = step(carry0, xr, xi)
     float(np.asarray(chk))
@@ -91,7 +102,7 @@ def main():
         pathlib.Path(__file__).resolve().parent.parent / "bench.py")
     bm = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bm)
-    msps = bm.timed_throughput(run_trials, batch * T) / 1e6
+    msps = bm.timed_throughput(run_trials, K * batch * T) / 1e6
 
     print(json.dumps({"metric": "ofdm_detector_stream",
                       "msps": round(msps, 2), "batch": batch, "block": T,

@@ -142,3 +142,74 @@ def more():
                      ("unrolled-BP", f_unrolled_bp)]:
         rows = profile(lambda: fn(bufr, bufi, n0), iters=5, top=3)
         print(f"{name:16s} {rows[0][1]/5:9.1f} us/iter")
+
+
+def pallas_variant():
+    """Pallas DMA gather: per-(b,p) async copy of [2, U] windows."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import functools
+
+    B, P, span = 16, 24, 1536
+    H = 1536 + 32768
+    U = span
+    rng = np.random.default_rng(0)
+    bufr = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    bufi = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    n0 = jnp.asarray(rng.integers(0, 32768, (B, P)).astype(np.int32))
+
+    def kern(starts_ref, buf_ref, out_ref, sem0, sem1):
+        b = pl.program_id(0)
+        p = pl.program_id(1)
+        s = starts_ref[b * P + p]
+        cp0 = pltpu.make_async_copy(
+            buf_ref.at[b, 0, pl.ds(s, U)], out_ref.at[0, 0, 0], sem0)
+        cp1 = pltpu.make_async_copy(
+            buf_ref.at[b, 1, pl.ds(s, U)], out_ref.at[0, 0, 1], sem1)
+        cp0.start()
+        cp1.start()
+        cp0.wait()
+        cp1.wait()
+
+    @jax.jit
+    def f_pallas(buf_r, buf_i, starts):
+        bs = jnp.stack([buf_r, buf_i], axis=1)           # [B, 2, H]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, P),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((1, 1, 2, U), lambda b, p, _: (b, p, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.SemaphoreType.DMA,
+                            pltpu.SemaphoreType.DMA],
+        )
+        out = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, P, 2, U), jnp.float32),
+        )(starts.reshape(-1), bs)
+        return jnp.sum(out[:, :, 0] * 1.000001) + \
+            jnp.sum(out[:, :, 1] * 0.999999)
+
+    @jax.jit
+    def f_stacked(buf_r, buf_i, starts):
+        bs = jnp.stack([buf_r, buf_i], axis=1)
+        def one(b2, s1):
+            return jax.vmap(lambda s: lax.dynamic_slice(
+                b2, (0, s), (2, U)))(s1)
+        out = jax.vmap(one)(bs, starts)
+        return jnp.sum(out[:, :, 0] * 1.000001) + \
+            jnp.sum(out[:, :, 1] * 0.999999)
+
+    a = float(np.asarray(f_stacked(bufr, bufi, n0)))
+    try:
+        b = float(np.asarray(f_pallas(bufr, bufi, n0)))
+        print("checksums", a, b)
+    except Exception as e:
+        print("pallas failed:", type(e).__name__, str(e)[:300])
+        return
+    for name, fn in [("stacked", f_stacked), ("pallas-dma", f_pallas)]:
+        rows = profile(lambda: fn(bufr, bufi, n0), iters=5, top=3)
+        print(f"{name:12s} {rows[0][1]/5:9.1f} us/iter")

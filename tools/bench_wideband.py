@@ -78,13 +78,23 @@ def main():
     ana = firpfbch2_analyzer(M)
     rx = framesync64_stream(Tc)
 
+    # K blocks chained inside one jit (carries flow block to block,
+    # StreamRunner's execution shape) to amortize per-dispatch tunnel
+    # overhead — see bench.py headline note / tools/profile_device.py
+    K = 8 if jax.default_backend() != "cpu" else 1
+
     @jax.jit
     def step(ca, cr, xr, xi):
-        x = jax.lax.complex(xr, xi)
-        streams, ca2 = ana.apply(ana.params, ca, x)      # [B, M, Tc]
-        out, cr2 = rx.apply((), cr, streams)
-        chk = (jnp.sum(out.valid) +
-               jnp.sum(jnp.where(out.valid, out.rxy, 0.0)))
+        def body(cc, _):
+            ca_in, cr_in, acc = cc
+            x = jax.lax.complex(xr, xi)
+            streams, ca2 = ana.apply(ana.params, ca_in, x)   # [B, M, Tc]
+            out, cr2 = rx.apply((), cr_in, streams)
+            acc = acc + (jnp.sum(out.valid) +
+                         jnp.sum(jnp.where(out.valid, out.rxy, 0.0)))
+            return (ca2, cr2, acc), None
+        (ca2, cr2, chk), _ = jax.lax.scan(
+            body, (ca, cr, jnp.float32(0)), None, length=K)
         return ca2, cr2, chk
 
     carry_a = jax.jit(lambda: ana.init(batch_shape=(B,)))()
@@ -106,7 +116,7 @@ def main():
         float(np.asarray(chk))
         return time.perf_counter() - t0
 
-    msps = bm.timed_throughput(run, B * Tw) / 1e6
+    msps = bm.timed_throughput(run, K * B * Tw) / 1e6
     print(json.dumps({"metric": "wideband_scanner_64ch",
                       "wideband_msps": round(msps, 1),
                       "channel_msps": round(2 * msps, 1),

@@ -325,8 +325,17 @@ def _detect_refine(buf, last_end, dc: dict, threshold: float, P: int,
         # silently shift the window); end pad sized so n0 = T-1 fits
         need_end = max(0, (T - 1 - fp + U) - buf2.shape[-1])
         buf2 = jnp.pad(buf2, ((0, 0), (fp, need_end)))
-    win = jax.vmap(lambda st: lax.dynamic_slice(
-        buf2, (0, st), (2, U)))(n0)                     # [P, 2, U]
+    # extract only the VALID candidate slots: a vmapped dynamic_slice
+    # unrolls to P sequential loop iterations regardless of occupancy,
+    # and extraction dominated the receiver's device time
+    # (tools/profile_device.py).  The dynamic-trip fori_loop runs
+    # n_cand iterations (batched rows run to the batch maximum);
+    # untouched slots stay zero and every consumer masks on `valid`.
+    def _fill(i, acc):
+        w = lax.dynamic_slice(buf2, (0, n0[i]), (2, U))
+        return lax.dynamic_update_slice(acc, w[None], (i, 0, 0))
+    win = lax.fori_loop(0, jnp.minimum(n_cand, P), _fill,
+                        jnp.zeros((P, 2, U), jnp.float32))  # [P, 2, U]
     xa = lax.complex(win[:, 0, fp:fp + _DET_NFFT],
                      win[:, 1, fp:fp + _DET_NFFT])
     Xa = jnp.fft.fft(xa, axis=-1)

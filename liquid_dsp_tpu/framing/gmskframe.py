@@ -98,7 +98,11 @@ def _template(k, m, bt):
         bits = np.concatenate([_preamble_bits(),
                                np.zeros(2 * m, np.uint8)])
         y, _ = mod(jnp.asarray(bits.astype(np.int32)), batch_shape=())
-        _TEMPLATES[key] = np.asarray(y).astype(np.complex64)
+        # read the planes back separately: complex device->host
+        # transfers are UNIMPLEMENTED on the axon tunnel (PERF.md)
+        yr = np.asarray(jnp.real(y))
+        yi = np.asarray(jnp.imag(y))
+        _TEMPLATES[key] = (yr + 1j * yi).astype(np.complex64)
     return _TEMPLATES[key]
 
 

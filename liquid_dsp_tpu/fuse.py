@@ -165,14 +165,22 @@ def kernel_fuse(proc: Proc) -> Proc:
         flat = r.ndim == 1
         if flat:
             r, i = r[None], i[None]
+        # bfloat16 planes pass straight through to the kernel (halves
+        # HBM traffic, exact for 8-bit captures — pallas_chain
+        # docstring); output matches the input dtype so a chained
+        # pipeline keeps the narrow layout.  Arithmetic and the carry
+        # stay float32 either way.
         yr, yi = mix_fir_decim(
             r, i, carry["tr"], carry["ti"], carry["theta"],
             ramp_c, ramp_s, band, L=L, down=down, sgn=sgn, dphi=dphi,
-            interpret=_jax.default_backend() == "cpu")
+            interpret=_jax.default_backend() == "cpu",
+            out_dtype=r.dtype)
         theta = jnp.mod(carry["theta"] + np.float32(
             np.mod(dphi * r.shape[-1], 2 * np.pi)) + np.pi,
             2 * np.pi) - np.pi
-        new_carry = {"tr": r[:, -SUB:], "ti": i[:, -SUB:], "theta": theta}
+        new_carry = {"tr": r[:, -SUB:].astype(jnp.float32),
+                     "ti": i[:, -SUB:].astype(jnp.float32),
+                     "theta": theta}
         if flat:
             yr, yi = yr[0], yi[0]
         return (yr, yi), new_carry

@@ -90,16 +90,21 @@ def _kernel(ci_ref, si_ref, xr_ref, xi_ref,
     pad = WK - SUB - halo
     B = xr_ref.shape[0]
     first = i == 0
+    out_dtype = or_ref.dtype
 
     # TPU grids execute sequentially, so VMEM scratch (hr/hi) carries
     # the inter-tile filter halo — the previous tile is NOT re-read
-    # from HBM (that halved this kernel's input traffic).
+    # from HBM (that halved this kernel's input traffic).  Input planes
+    # may be bfloat16 (halves HBM read traffic; exact for 8-bit SDR
+    # captures — see mix_fir_decim docstring): the cast to f32 happens
+    # in VMEM, all arithmetic stays f32.
     def wbuf(cur_ref, scratch_ref, carry_ref):
+        cur = cur_ref[:].astype(jnp.float32)
         tail = jnp.where(first, carry_ref[:, SUB - halo:],
                          scratch_ref[:, SUB - halo:])
         w = jnp.concatenate(
-            [tail, cur_ref[:], jnp.zeros((B, pad), jnp.float32)], axis=-1)
-        scratch_ref[:] = cur_ref[:, tile - SUB:]   # next tile's halo
+            [tail, cur, jnp.zeros((B, pad), jnp.float32)], axis=-1)
+        scratch_ref[:] = cur[:, tile - SUB:]       # next tile's halo
         return w
 
     wr = wbuf(xr_ref, hr_ref, cr_ref)
@@ -124,8 +129,8 @@ def _kernel(ci_ref, si_ref, xr_ref, xi_ref,
             [m[:, k * SUB: k * SUB + WK] for k in range(nsub)], axis=0)
         return jnp.dot(W, band_ref[:], preferred_element_type=jnp.float32)
 
-    yr = fir(mr)                       # [B*nsub, SUB//down]
-    yi = fir(mi)
+    yr = fir(mr).astype(out_dtype)     # [B*nsub, SUB//down]
+    yi = fir(mi).astype(out_dtype)
     no = SUB // down
     for k in range(nsub):
         or_ref[:, k * no:(k + 1) * no] = yr[k * B:(k + 1) * B]
@@ -144,19 +149,30 @@ def _pick_nsub(T: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("L", "down", "sgn", "dphi", "interpret"))
+                   static_argnames=("L", "down", "sgn", "dphi", "interpret",
+                                    "out_dtype"))
 def mix_fir_decim(xr, xi, carry_r, carry_i, theta, ramp_c, ramp_s, band,
-                  *, L, down, sgn, dphi, interpret=False):
+                  *, L, down, sgn, dphi, interpret=False,
+                  out_dtype=jnp.float32):
     """One streaming block through the fused kernel.
 
-    xr/xi [B, T] float32 input planes; carry_[ri] [B, SUB]: the last SUB
-    pre-mix input samples of the previous block (zeros initially);
-    theta: scalar NCO phase at the first sample; ramp_c/s
-    [1, SUB*NSUB_MAX+SUB]: cos/sin of dphi*(k - (L-1)) (make_ramp);
-    band [WK, SUB//down] from make_band.
+    xr/xi [B, T] float32 OR bfloat16 input planes; carry_[ri] [B, SUB]
+    float32: the last SUB pre-mix input samples of the previous block
+    (zeros initially); theta: scalar NCO phase at the first sample;
+    ramp_c/s [1, SUB*NSUB_MAX+SUB]: cos/sin of dphi*(k - (L-1))
+    (make_ramp); band [WK, SUB//down] from make_band.
 
-    Returns (yr, yi) [B, T//down].  The caller advances theta by
-    dphi*T (wrapped) and keeps x[..., -SUB:] as the next carry.
+    bfloat16 planes halve the kernel's HBM read traffic (the binding
+    constraint, PERF.md) and are EXACT for 8-bit IQ captures: cu8
+    sample levels k - 127.5 are half-integers of magnitude <= 127.5,
+    which bf16's 8 significand bits represent without rounding, so the
+    dominant SDR capture format loses nothing.  All arithmetic (mix,
+    MXU accumulation) stays float32 in VMEM; only the HBM layout
+    narrows.  out_dtype=jnp.bfloat16 additionally halves the write
+    traffic (output then carries bf16 quantization, ~-48 dB).
+
+    Returns (yr, yi) [B, T//down] out_dtype.  The caller advances theta
+    by dphi*T (wrapped) and keeps x[..., -SUB:] as the next carry.
     """
     B, T = xr.shape
     nsub = _pick_nsub(T)
@@ -183,8 +199,8 @@ def mix_fir_decim(xr, xi, carry_r, carry_i, theta, ramp_c, ramp_s, band,
     ramp_len = ramp_c.shape[-1]
     return pl.pallas_call(
         kern,
-        out_shape=(jax.ShapeDtypeStruct((B, T // down), jnp.float32),
-                   jax.ShapeDtypeStruct((B, T // down), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((B, T // down), out_dtype),
+                   jax.ShapeDtypeStruct((B, T // down), out_dtype)),
         grid=(nt,),
         in_specs=[
             spec_smem, spec_smem,

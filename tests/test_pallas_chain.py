@@ -77,6 +77,50 @@ def test_kernel_complex_entry_point():
     assert np.iscomplexobj(np.asarray(y))
 
 
+def test_kernel_bf16_planes_streaming():
+    # bfloat16 input/output planes: same kernel, HBM layout narrowed
+    # (arithmetic stays f32 in VMEM).  Error budget: bf16 quantization
+    # of input and output, ~2^-8 relative.
+    fused = _headline()
+    k = kernel_fuse(fused)
+    p = planar(k)
+    rng = np.random.default_rng(3)
+    B, T, nblk = 8, 2048, 3
+    blocks = [(rng.standard_normal((B, T)) +
+               1j * rng.standard_normal((B, T))).astype(np.complex64)
+              for _ in range(nblk)]
+    y_ref = _run_planar(fused, blocks, (B,))
+    carry = p.init(batch_shape=(B,))
+    outs = []
+    for xb in blocks:
+        r = jnp.asarray(xb.real.copy()).astype(jnp.bfloat16)
+        i = jnp.asarray(xb.imag.copy()).astype(jnp.bfloat16)
+        (yr, yi), carry = p.apply((), carry, (r, i))
+        assert yr.dtype == jnp.bfloat16 and yi.dtype == jnp.bfloat16
+        outs.append(np.asarray(yr.astype(jnp.float32)) +
+                    1j * np.asarray(yi.astype(jnp.float32)))
+    y_k = np.concatenate(outs, axis=-1)
+    assert y_k.shape == y_ref.shape
+    rms = np.sqrt(np.mean(np.abs(y_ref) ** 2))
+    assert np.abs(y_k - y_ref).max() / rms < 3e-2
+
+
+def test_kernel_bf16_exact_for_8bit_captures():
+    # cu8 sample levels (k - 127.5)/127.5 must survive the f32->bf16
+    # cast without rounding (the claim behind the bf16 fast path)
+    k = np.arange(256, dtype=np.float64)
+    lv = ((k - 127.5) / 127.5).astype(np.float32)
+    as_bf = jnp.asarray(lv).astype(jnp.bfloat16).astype(jnp.float32)
+    # levels are half-integers scaled by 1/127.5: bf16's 8 significand
+    # bits hold k - 127.5 exactly; the /127.5 rounds once in f32 and
+    # that SAME f32 value must round-trip bf16 unchanged
+    exact = np.asarray(jnp.asarray((k - 127.5).astype(np.float32))
+                       .astype(jnp.bfloat16).astype(jnp.float32))
+    assert np.array_equal(exact, (k - 127.5).astype(np.float32))
+    # and the normalized form is within one bf16 ulp of the f32 level
+    assert np.abs(np.asarray(as_bf) - lv).max() <= 2.0 ** -8
+
+
 def test_kernel_fuse_no_match_is_identity():
     p = chain(nco(dphi=0.125, direction="down", table=True),
               firfilt(firdes_kaiser(64, 0.2, 60.0)))

@@ -9,11 +9,15 @@ Reference analogs (studied, not copied):
   * asgram — src/fft/src/asgram.c (ASCII spectrogram)
 
 TPU-first design: XLA's native FFT covers power-of-two sizes at
-speed-of-light; every other size is lowered to a power-of-two FFT via
-Bluestein's chirp-z identity (numerically equivalent to the reference's
-mixed-radix/Rader plans within float32 tolerance — the *plan selection*
-semantics are replicated, not the butterfly code).  All transforms operate
-over the LAST axis and broadcast leading batch axes.
+speed-of-light; other sizes pick the fastest TPU formulation
+(numerically equivalent to the reference's codelet/mixed-radix/Rader
+plans within float32 tolerance — the *plan selection* semantics are
+replicated, not the butterfly code): composite n with odd factor <= 2048
+runs the four-step mixed-radix split (odd-factor DFT as ONE MXU matmul
+x 2^m XLA FFT, ~2x Bluestein); small odd/prime n runs the matmul DFT
+outright; everything else falls back to Bluestein's chirp-z identity.
+All transforms operate over the LAST axis and broadcast leading batch
+axes.
 """
 from __future__ import annotations
 
@@ -67,6 +71,74 @@ def _bluestein(x, sign: int):
     return y * w
 
 
+_DFT_MAX = 2048    # largest odd factor handled by the matmul DFT:
+                   # measured 14.0 Gsps at n=2043 vs Bluestein's ~2.1
+                   # (crossover ~n=8000); bounds the cached matrix at
+                   # 8*n^2 = 33 MB
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_matrix(n: int, sign: int) -> np.ndarray:
+    """[n, n] DFT matrix M[k, j] = exp(sign*2j*pi*k*j/n), host complex64
+    (numpy closure constants are the axon-safe form, CLAUDE.md)."""
+    k = np.arange(n, dtype=np.float64)
+    # k*j mod n keeps the argument small for float accuracy
+    kj = np.outer(k, k) % n
+    return np.exp(sign * 2j * np.pi * kj / n).astype(np.complex64)
+
+
+def _dft_matmul(x, sign: int):
+    """Direct DFT as ONE MXU matmul — the TPU analog of the reference's
+    DFT codelets (src/fft/src/fft_dft.c:95: one dotprod per output row);
+    for odd n <= _DFT_MAX this beats Bluestein's two padded 2^m FFTs."""
+    M = _dft_matrix(x.shape[-1], sign)
+    return jnp.einsum("...j,kj->...k", x, M)
+
+
+@functools.lru_cache(maxsize=None)
+def _ct_consts(n: int, sign: int):
+    """Four-step Cooley-Tukey constants for n = n1 (odd) * n2 (2^m):
+    twiddle tw[k1, j2] = exp(sign*2j*pi*k1*j2/n)."""
+    n2 = n & (-n)
+    n1 = n // n2
+    k1 = np.arange(n1, dtype=np.float64)
+    j2 = np.arange(n2, dtype=np.float64)
+    kj = np.outer(k1, j2) % n
+    tw = np.exp(sign * 2j * np.pi * kj / n).astype(np.complex64)
+    return n1, n2, tw
+
+
+def _cooley_tukey(x, sign: int):
+    """Mixed-radix four-step FFT (reference analog: the recursive
+    mixed-radix plan, src/fft/src/fft_mixed_radix.c:128): split
+    n = n1 (odd, matmul DFT on the MXU) x n2 (2^m, XLA FFT).
+    With j = j1*n2 + j2 and k = k2*n1 + k1:
+      X[k2*n1 + k1] = FFT_n2{ tw[k1, j2] * DFT_n1{ x[j1*n2 + j2] } }.
+    ~2x Bluestein on composite sizes (PERF.md sweeps)."""
+    n = x.shape[-1]
+    n1, n2, tw = _ct_consts(n, sign)
+    A = x.reshape(x.shape[:-1] + (n1, n2))
+    M1 = _dft_matrix(n1, sign)
+    B = jnp.einsum("...jn,kj->...kn", A, M1)       # DFT over j1
+    C = B * tw
+    D = jnp.fft.fft(C) if sign < 0 else jnp.fft.ifft(C) * n2
+    return jnp.swapaxes(D, -1, -2).reshape(x.shape[:-1] + (n,))
+
+
+def _fft_any(x, sign: int):
+    """Method chooser for non-pow2 sizes (the plan-selection analog of
+    src/fft/src/fft_utilities.c:34-68: codelets / mixed-radix / Rader ->
+    matmul DFT / four-step CT / Bluestein)."""
+    n = x.shape[-1]
+    n2 = n & (-n)
+    n1 = n // n2
+    if n2 > 1 and n1 <= _DFT_MAX:
+        return _cooley_tukey(x, sign)
+    if n <= _DFT_MAX:
+        return _dft_matmul(x, sign)
+    return _bluestein(x, sign)
+
+
 def fft(x, n: int | None = None):
     """Forward DFT over the last axis, unnormalized:
     y[k] = sum_t x[t] exp(-j 2 pi k t / N).  Any length N."""
@@ -82,7 +154,7 @@ def fft(x, n: int | None = None):
     size = x.shape[-1]
     if _is_pow2(size):
         return jnp.fft.fft(x)
-    return _bluestein(x, FFT_FORWARD)
+    return _fft_any(x, FFT_FORWARD)
 
 
 def ifft(x, n: int | None = None, normalize: bool = False):
@@ -102,14 +174,16 @@ def ifft(x, n: int | None = None, normalize: bool = False):
     if _is_pow2(size):
         y = jnp.fft.ifft(x) * size
     else:
-        y = _bluestein(x, FFT_BACKWARD)
+        y = _fft_any(x, FFT_BACKWARD)
     return y / size if normalize else y
 
 
 def fft_plan(n: int, direction: int = FFT_FORWARD) -> Callable:
     """FFTW-style plan: returns a jit-friendly callable specialized to size n
     (the analog of fft_create_plan/fft_execute, fft_common.c:109/285).
-    The 'method chooser' here is: pow2 -> XLA native; else Bluestein."""
+    Method chooser: pow2 -> XLA native; composite with odd factor
+    <= 2048 -> four-step mixed-radix (matmul DFT x XLA FFT); odd/prime
+    n <= 2048 -> matmul DFT; else Bluestein."""
     if direction == FFT_FORWARD:
         return lambda x: fft(x, n)
     return lambda x: ifft(x, n)

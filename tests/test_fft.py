@@ -46,6 +46,24 @@ def test_fft_batched():
     assert_close(y, np.fft.fft(x, axis=-1), tol=1e-3, msg="batched fft 48")
 
 
+# one size per method-chooser branch (ops/fft.py _fft_any): four-step
+# mixed-radix (odd factor <= 2048 x 2^m), matmul DFT (odd n <= 2048),
+# Bluestein (larger); forward vs numpy + unnormalized-backward round trip
+@pytest.mark.parametrize("n", [96, 384, 1200, 638,     # CT
+                               127, 509, 1021, 2043,   # matmul DFT
+                               4099, 6138])            # Bluestein
+def test_fft_method_chooser_vs_numpy(n):
+    rng = np.random.default_rng(n)
+    x = (rng.standard_normal((3, n)) +
+         1j * rng.standard_normal((3, n))).astype(np.complex64)
+    y = fft(jnp.asarray(x))
+    ref = np.fft.fft(x, axis=-1)
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(y) - ref).max() / scale < 2e-4 * np.sqrt(n)
+    xr = ifft(y, normalize=True)
+    assert np.abs(np.asarray(xr) - x).max() < 1e-4 * np.sqrt(n)
+
+
 class TestSpgram:
     def test_tone_psd_peak(self):
         from liquid_dsp_tpu.ops.fft import spgram, spgram_estimate

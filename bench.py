@@ -195,10 +195,12 @@ def planar_main(batch, T):
         # pallas_chain.py docstring) but measured and reported so the
         # per-round artifact carries the narrow-layout number too
         # (PERF.md: 87.3 vs 61.7 Gsps, 1.41x, beats the f32 HBM
-        # roofline).
+        # roofline).  Narrow OUTPUT is an explicit opt-in
+        # (out_dtype="input"); the default kernel_fuse writes f32.
         try:
             extra["pallas-kernel-bf16io"] = measure(
-                planar(kproc), in_dtype=jnp.bfloat16)
+                planar(kernel_fuse(fused, out_dtype="input")),
+                in_dtype=jnp.bfloat16)
         except Exception:
             pass
     best = max(results, key=results.get)

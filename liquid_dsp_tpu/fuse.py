@@ -116,7 +116,7 @@ def fused_fir(meta: LTI, name: str = "fused_fir") -> Proc:
                 planar_apply=planar_apply, planar_init=planar_init)
 
 
-def kernel_fuse(proc: Proc) -> Proc:
+def kernel_fuse(proc: Proc, out_dtype=None) -> Proc:
     """Collapse a (mixer -> fused-FIR) pair into ONE Pallas TPU kernel.
 
     Pattern-matches a chain whose flattened stages are exactly
@@ -127,6 +127,14 @@ def kernel_fuse(proc: Proc) -> Proc:
     instead of ~36 — the inter-tile halo rides in VMEM scratch, so each
     input plane is read once).  Anything that doesn't match is returned
     unchanged, so `kernel_fuse(fuse(p))` is always safe.
+
+    ``out_dtype`` controls output narrowing — an EXPLICIT opt-in,
+    decoupled from the lossless narrow-read optimization (bf16 input
+    planes are exact for 8-bit IQ captures; a bf16 WRITE quantizes the
+    result ~-48 dB): None (default) emits float32 regardless of input
+    dtype; ``"input"`` follows the input planes' dtype (narrow
+    end-to-end pipelines); an explicit dtype forces that.  Arithmetic
+    and the carry are float32 in all cases.
 
     Constraints at run time: block length a multiple of 2048, batch a
     multiple of 8, batch_shape of rank 1 (or scalar), phase shared
@@ -166,15 +174,17 @@ def kernel_fuse(proc: Proc) -> Proc:
         if flat:
             r, i = r[None], i[None]
         # bfloat16 planes pass straight through to the kernel (halves
-        # HBM traffic, exact for 8-bit captures — pallas_chain
-        # docstring); output matches the input dtype so a chained
-        # pipeline keeps the narrow layout.  Arithmetic and the carry
-        # stay float32 either way.
+        # HBM read traffic, exact for 8-bit captures — pallas_chain
+        # docstring); the OUTPUT dtype is the explicit out_dtype policy
+        # from kernel_fuse (float32 unless the caller opted into
+        # narrowing).  Arithmetic and the carry stay float32 either way.
+        od = (r.dtype if out_dtype == "input"
+              else jnp.float32 if out_dtype is None else out_dtype)
         yr, yi = mix_fir_decim(
             r, i, carry["tr"], carry["ti"], carry["theta"],
             ramp_c, ramp_s, band, L=L, down=down, sgn=sgn, dphi=dphi,
             interpret=_jax.default_backend() == "cpu",
-            out_dtype=r.dtype)
+            out_dtype=od)
         theta = jnp.mod(carry["theta"] + np.float32(
             np.mod(dphi * r.shape[-1], 2 * np.pi)) + np.pi,
             2 * np.pi) - np.pi

@@ -42,7 +42,7 @@ def _is_pow2(n: int) -> bool:
     return n > 0 and (n & (n - 1)) == 0
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _bluestein_consts(n: int, sign: int):
     """Host-precomputed chirp and padded chirp spectrum for Bluestein."""
     m = 1
@@ -75,9 +75,14 @@ _DFT_MAX = 2048    # largest odd factor handled by the matmul DFT:
                    # measured 14.0 Gsps at n=2043 vs Bluestein's ~2.1
                    # (crossover ~n=8000); bounds the cached matrix at
                    # 8*n^2 = 33 MB
+_CT_MAX = 1 << 22  # largest TOTAL n for the four-step split: the
+                   # twiddle is n complex64 entries (8n bytes), so this
+                   # caps it at 32 MB — beyond it Bluestein's O(1)-sized
+                   # constants win on memory (its padded FFT work is on
+                   # device, not a cached host constant)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _dft_matrix(n: int, sign: int) -> np.ndarray:
     """[n, n] DFT matrix M[k, j] = exp(sign*2j*pi*k*j/n), host complex64
     (numpy closure constants are the axon-safe form, CLAUDE.md)."""
@@ -90,12 +95,15 @@ def _dft_matrix(n: int, sign: int) -> np.ndarray:
 def _dft_matmul(x, sign: int):
     """Direct DFT as ONE MXU matmul — the TPU analog of the reference's
     DFT codelets (src/fft/src/fft_dft.c:95: one dotprod per output row);
-    for odd n <= _DFT_MAX this beats Bluestein's two padded 2^m FFTs."""
+    for odd n <= _DFT_MAX this beats Bluestein's two padded 2^m FFTs.
+    Precision HIGHEST: TPU matmuls default to one-pass bf16 (~2^-8
+    relative), far below the float32-tolerance contract of an FFT."""
     M = _dft_matrix(x.shape[-1], sign)
-    return jnp.einsum("...j,kj->...k", x, M)
+    return jnp.einsum("...j,kj->...k", x, M,
+                      precision=lax.Precision.HIGHEST)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _ct_consts(n: int, sign: int):
     """Four-step Cooley-Tukey constants for n = n1 (odd) * n2 (2^m):
     twiddle tw[k1, j2] = exp(sign*2j*pi*k1*j2/n)."""
@@ -119,7 +127,8 @@ def _cooley_tukey(x, sign: int):
     n1, n2, tw = _ct_consts(n, sign)
     A = x.reshape(x.shape[:-1] + (n1, n2))
     M1 = _dft_matrix(n1, sign)
-    B = jnp.einsum("...jn,kj->...kn", A, M1)       # DFT over j1
+    B = jnp.einsum("...jn,kj->...kn", A, M1,       # DFT over j1
+                   precision=lax.Precision.HIGHEST)
     C = B * tw
     D = jnp.fft.fft(C) if sign < 0 else jnp.fft.ifft(C) * n2
     return jnp.swapaxes(D, -1, -2).reshape(x.shape[:-1] + (n,))
@@ -132,7 +141,7 @@ def _fft_any(x, sign: int):
     n = x.shape[-1]
     n2 = n & (-n)
     n1 = n // n2
-    if n2 > 1 and n1 <= _DFT_MAX:
+    if n2 > 1 and n1 <= _DFT_MAX and n <= _CT_MAX:
         return _cooley_tukey(x, sign)
     if n <= _DFT_MAX:
         return _dft_matmul(x, sign)

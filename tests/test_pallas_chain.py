@@ -80,9 +80,10 @@ def test_kernel_complex_entry_point():
 def test_kernel_bf16_planes_streaming():
     # bfloat16 input/output planes: same kernel, HBM layout narrowed
     # (arithmetic stays f32 in VMEM).  Error budget: bf16 quantization
-    # of input and output, ~2^-8 relative.
+    # of input and output, ~2^-8 relative.  Output narrowing is an
+    # EXPLICIT opt-in (out_dtype="input"); the default writes f32.
     fused = _headline()
-    k = kernel_fuse(fused)
+    k = kernel_fuse(fused, out_dtype="input")
     p = planar(k)
     rng = np.random.default_rng(3)
     B, T, nblk = 8, 2048, 3
@@ -103,6 +104,15 @@ def test_kernel_bf16_planes_streaming():
     assert y_k.shape == y_ref.shape
     rms = np.sqrt(np.mean(np.abs(y_ref) ** 2))
     assert np.abs(y_k - y_ref).max() / rms < 3e-2
+
+    # default policy: bf16 INPUT does not silently narrow the output —
+    # kernel_fuse without out_dtype emits float32 planes
+    pd = planar(kernel_fuse(fused))
+    cd = pd.init(batch_shape=(B,))
+    r = jnp.asarray(blocks[0].real.copy()).astype(jnp.bfloat16)
+    i = jnp.asarray(blocks[0].imag.copy()).astype(jnp.bfloat16)
+    (yr, yi), _ = pd.apply((), cd, (r, i))
+    assert yr.dtype == jnp.float32 and yi.dtype == jnp.float32
 
 
 def test_kernel_bf16_exact_for_8bit_captures():

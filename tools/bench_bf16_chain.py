@@ -29,7 +29,10 @@ def main(batch=16, T=131072):
     from bench import build_chain, timed_throughput
     from liquid_dsp_tpu import kernel_fuse, planar
 
-    kproc = planar(kernel_fuse(build_chain()))
+    # out_dtype="input": this tool measures the fully-narrow layout
+    # (bf16 read AND write) — an explicit opt-in, kernel_fuse default
+    # keeps f32 output.
+    kproc = planar(kernel_fuse(build_chain(), out_dtype="input"))
     rng = np.random.default_rng(0)
     xr32 = rng.standard_normal((batch, T)).astype(np.float32)
     xi32 = rng.standard_normal((batch, T)).astype(np.float32)

@@ -10,8 +10,10 @@ Mirrors the reference's benchmark machinery (BASELINE.md rows):
     constant (rows*N ~ 2^22).  Reported as effective MAC/s.
   * FFT size sweep over radix-2 / composite / prime sizes — reference
     src/fft/bench/fft_runbench.c + bench/fftbench.c.  Batched 1-D
-    transforms through the public fft_plan (XLA for 2^m, Bluestein for
-    arbitrary N), batch sized so each case moves ~2^22 samples.
+    transforms through the public fft_plan (method chooser: XLA for 2^m,
+    four-step mixed-radix matmul-DFT x XLA-FFT for composite N with odd
+    factor <= 2048, matmul DFT for small odd N, Bluestein beyond), batch
+    sized so each case moves ~2^22 samples.
 
 Methodology identical to bench.py: checksum chained through K in-jit
 iterations, host value readback in the timed region, two-point
@@ -82,7 +84,7 @@ def fft_sweep():
     rng = np.random.default_rng(1)
     K = 8
     # radix-2, composite (2^a*b), prime — the reference's three method
-    # families (plan chooser: XLA for 2^m, Bluestein otherwise)
+    # families (chooser: XLA / four-step CT / matmul DFT / Bluestein)
     sizes = [64, 256, 1024, 4096,      # radix-2
              96, 384, 1200,            # composite
              127, 509, 1021]           # prime

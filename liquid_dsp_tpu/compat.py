@@ -162,3 +162,88 @@ from .design.special import (is_prime as liquid_is_prime,          # noqa: E402,
                              gcd as liquid_gcd,
                              factorial as liquid_factorialf)
 from .ops.nco import unwrap_phase as liquid_unwrap_phase       # noqa: E402,F401
+
+# scheme-name helpers (reference liquid_getopt_str2* / liquid_print_*:
+# the reference maps strings to enums because its API is enum-keyed;
+# this API is string-keyed, so these validate and echo the canonical
+# scheme name, raising on unknown input like the reference's *_UNKNOWN)
+from .fec.crc import CRC_SCHEMES                     # noqa: E402
+from .fec.dispatch import FEC_SCHEMES                # noqa: E402
+from .modem.linear import MODEM_SCHEMES              # noqa: E402
+
+
+def _str2scheme(name: str, table, kind: str) -> str:
+    s = str(name).lower()
+    if s not in table:
+        raise ValueError(f"unknown {kind} scheme {name!r}")
+    return s
+
+
+def liquid_getopt_str2crc(name: str) -> str:
+    return _str2scheme(name, CRC_SCHEMES, "crc")
+
+
+def liquid_getopt_str2fec(name: str) -> str:
+    return _str2scheme(name, FEC_SCHEMES, "fec")
+
+
+def liquid_getopt_str2mod(name: str) -> str:
+    return _str2scheme(name, MODEM_SCHEMES, "modulation")
+
+
+_FIRFILT_TYPES = ("unknown", "kaiser", "pm", "rcos", "fexp", "fsech",
+                  "farcsech", "arkaiser", "rkaiser", "rrcos", "hm3",
+                  "gmsktx", "gmskrx", "rfexp", "rfsech", "rfarcsech")
+
+
+def liquid_getopt_str2firfilt(name: str) -> str:
+    """Filter prototype names accepted by firdes_prototype (reference
+    liquid_getopt_str2firfilt, src/filter/src/firdes.c:594)."""
+    s = str(name).lower()
+    if s not in _FIRFILT_TYPES:
+        raise ValueError(f"unknown firfilt prototype {name!r}")
+    return s
+
+
+def liquid_print_crc_schemes():
+    print("  ".join(CRC_SCHEMES))
+
+
+def liquid_print_fec_schemes():
+    print("  ".join(FEC_SCHEMES))
+
+
+def liquid_print_modulation_schemes():
+    print("  ".join(MODEM_SCHEMES))
+
+
+# math / sequence / random additions (round 3 parity batch)
+from .design.special import (lowergamma as liquid_lowergammaf,  # noqa: E402,F401
+                             uppergamma as liquid_uppergammaf,
+                             lnlowergamma as liquid_lnlowergammaf,
+                             lnuppergamma as liquid_lnuppergammaf,
+                             nchoosek as liquid_nchoosek,
+                             marcumq1 as liquid_MarcumQ1f)
+from .ops.nco import unwrap_phase2 as liquid_unwrap_phase2  # noqa: E402,F401
+from .utils.sequence import msequence_create_genpoly        # noqa: E402,F401
+from .utils.optim import (rosenbrock as liquid_rosenbrock,  # noqa: E402,F401
+                          invgauss as liquid_invgauss,
+                          multimodal as liquid_multimodal,
+                          spiral as liquid_spiral)
+from .utils.bits import (count_bit_errors,                  # noqa: E402,F401
+                          count_bit_errors_array)
+from .utils.random import (unscramble_data_soft,            # noqa: E402,F401
+                           randf, randf_pdf, randf_cdf, randnf_cdf,
+                           randexpf_cdf, randweibf_cdf, randgammaf_pdf,
+                           randgammaf_cdf, randnakmf_pdf, randnakmf_cdf,
+                           randricekf_pdf, randricekf_cdf)
+from .design.iirdes import iirdes_isstable                  # noqa: E402,F401
+from .modem.cpm import fsk_frequency_error                  # noqa: E402,F401
+
+# N/A-by-design notes:
+#  * framesync64_set_csma_callbacks — declared in the reference header
+#    (include/liquid.h:3598) but implemented NOWHERE in its sources
+#    (vestigial API); no analog needed.
+#  * gmskdem_set_eq_bw — compiled out in the reference
+#    (GMSKDEM_USE_EQUALIZER disabled, gmskdem.c:179-193 warns and
+#    ignores); chain eqlms explicitly here instead.

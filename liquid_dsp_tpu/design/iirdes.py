@@ -26,6 +26,7 @@ __all__ = [
     "ellip_prototype", "bessel_prototype",
     "iirdes", "iirdes_sos", "bilinear_zpk", "zpk2tf", "zpk2sos",
     "iirdes_pll_active_lag", "iirdes_pll_active_pi",
+    "iirdes_isstable",
 ]
 
 
@@ -358,3 +359,15 @@ def iirdes_pll_active_pi(w: float, zeta: float, K: float):
     b = np.array([2 * K * (1 + t2 / 2), 4 * K, 2 * K * (1 - t2 / 2)])
     a = np.array([t1 / 2, -t1, t1 / 2])
     return b, a
+
+
+def iirdes_isstable(b, a) -> bool:
+    """True when every pole (root of the denominator) lies strictly
+    inside the unit circle (reference iirdes.c:669-703
+    iirdes_isstable: Bairstow root-finding on the flipped denominator;
+    numpy's companion-matrix roots are the equivalent here)."""
+    a = np.asarray(a, np.float64)
+    if a.size < 2:
+        raise ValueError("filter order too low")
+    roots = np.roots(a)
+    return bool(np.all(np.abs(roots) < 1.0))

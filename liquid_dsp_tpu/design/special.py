@@ -16,7 +16,8 @@ __all__ = [
     "lngamma", "gamma", "lnbesseli", "besseli", "besseli0", "besselj",
     "besselj0", "sinc", "qfunction", "nextpow2", "is_prime", "factor",
     "unique_factor", "totient", "gcd", "modpow", "primitive_root_prime",
-    "factorial",
+    "factorial", "lnlowergamma", "lowergamma", "lnuppergamma",
+    "uppergamma", "nchoosek", "marcumq1",
 ]
 
 
@@ -26,6 +27,82 @@ def lngamma(z):
 
 def gamma(z):
     return np.vectorize(math.gamma)(np.asarray(z, dtype=np.float64))
+
+
+def lnlowergamma(z, alpha):
+    """log of the lower incomplete gamma function ln(gamma(z, alpha))
+    (reference src/math/src/math.gamma.c liquid_lnlowergammaf): series
+    gamma(z,a) = a^z Gamma(z) e^-a sum_k a^k / Gamma(z+k+1)."""
+    z = np.asarray(z, dtype=np.float64)
+    alpha = np.asarray(alpha, dtype=np.float64)
+
+    def _one(zz, aa):
+        if aa <= 0.0:
+            return -np.inf
+        la = math.log(aa)
+        s = 0.0
+        tmax = -np.inf
+        tprev = -np.inf
+        for k in range(1024):
+            t = k * la - math.lgamma(zz + k + 1.0)
+            s += math.exp(t)
+            tmax = max(tmax, t)
+            if k > 50 and tprev > t and (tmax - t) > 30.0:
+                break
+            tprev = t
+        return zz * la + math.lgamma(zz) - aa + math.log(s)
+
+    return np.vectorize(_one)(z, alpha)
+
+
+def lowergamma(z, alpha):
+    """gamma(z, alpha), lower incomplete (reference liquid_lowergammaf)."""
+    return np.exp(lnlowergamma(z, alpha))
+
+
+def lnuppergamma(z, alpha):
+    """log Gamma(z, alpha), upper incomplete (liquid_lnuppergammaf)."""
+    return np.log(np.maximum(gamma(z) - lowergamma(z, alpha), 1e-300))
+
+
+def uppergamma(z, alpha):
+    """Gamma(z, alpha), upper incomplete (liquid_uppergammaf)."""
+    return np.exp(lnuppergamma(z, alpha))
+
+
+def nchoosek(n: int, k: int) -> float:
+    """Binomial coefficient (reference liquid_nchoosek, math.c: exact
+    products for small n, lgamma identity beyond)."""
+    if k > n:
+        raise ValueError("k cannot exceed n")
+    if k == 0 or k == n:
+        return 1.0
+    if n > 12:
+        return float(round(math.exp(math.lgamma(n + 1.0) -
+                                    math.lgamma(n - k + 1.0) -
+                                    math.lgamma(k + 1.0))))
+    return float(math.comb(n, k))
+
+
+def marcumq1(alpha, beta, iterations: int = 64):
+    """Marcum Q_1(alpha, beta) via the Bessel series
+    Q_1(a,b) = exp(-(a^2+b^2)/2) sum_k (a/b)^k I_k(ab)
+    (reference liquid_MarcumQ1f, src/math/src/math.c:95-123)."""
+    alpha = np.asarray(alpha, dtype=np.float64)
+    beta = np.asarray(beta, dtype=np.float64)
+    # series in LOG space: term_k = k*ln(a/b) + ln I_k(ab); the
+    # reference accumulates linearly in float32 (math.c:95-123), which
+    # overflows for a >> b — the log form is the same sum, stable
+    t0 = -0.5 * (alpha * alpha + beta * beta)
+    with np.errstate(divide="ignore"):
+        ln_ab_ratio = np.log(alpha) - np.log(beta)
+    a_mul_b = alpha * beta
+    terms = np.stack(
+        [(k * ln_ab_ratio if k else np.zeros_like(ln_ab_ratio))
+         + lnbesseli(float(k), a_mul_b) for k in range(iterations)], axis=0)
+    tmax = np.max(terms, axis=0)
+    y = np.exp(tmax + np.log(np.sum(np.exp(terms - tmax), axis=0)) + t0)
+    return np.clip(y, 0.0, 1.0)
 
 
 def lnbesseli(nu: float, z, iterations: int = 64):

@@ -122,6 +122,39 @@ def fsk_demodulator(m: int, k: int, bandwidth: float = 0.25,
                 rate=(1, k), name=name)
 
 
+def fsk_frequency_error(y, m: int, k: int, bandwidth: float = 0.25):
+    """Per-symbol frequency error estimate from the demod spectrum's
+    peak-bin derivative (|V[b+1]| - |V[b-1]|) / |V[b]|.
+
+    Reference analog: fskdem_get_frequency_error (fskdem.c:224-238) —
+    NOTE the reference as shipped takes cabsf() of the bin INDEX, a
+    bug; this implements the commented intent (derivative of the FFT
+    magnitude around the winning tone bin, zero when the tone is
+    centered).  Returns (symbols, ferr), both [..., N]."""
+    M = 1 << m
+    M2 = 0.5 * (M - 1)
+    K = fsk_fft_size(m, k, bandwidth)
+    freqs = (np.arange(M) - M2) * bandwidth / M2
+    idx = np.round(freqs * K)
+    demod_map = jnp.asarray(
+        (np.where(idx < 0, idx + K, idx) % K).astype(np.int32))
+    T = y.shape[-1]
+    if T % k:
+        raise ValueError(f"block length {T} not a multiple of k={k}")
+    blocks = y.reshape(y.shape[:-1] + (T // k, k))
+    spec = jnp.fft.fft(blocks, n=K, axis=-1)
+    mag = jnp.abs(spec)
+    tone_mags = jnp.take(mag, demod_map, axis=-1)
+    syms = jnp.argmax(tone_mags, axis=-1)
+    peak_bin = jnp.take(demod_map, syms)
+    v0 = jnp.take_along_axis(mag, peak_bin[..., None], axis=-1)[..., 0]
+    vm = jnp.take_along_axis(mag, ((peak_bin - 1) % K)[..., None],
+                             axis=-1)[..., 0]
+    vp = jnp.take_along_axis(mag, ((peak_bin + 1) % K)[..., None],
+                             axis=-1)[..., 0]
+    return syms, (vp - vm) / jnp.maximum(v0, 1e-12)
+
+
 # ---------------------------------------------------------------------------
 # GMSK
 

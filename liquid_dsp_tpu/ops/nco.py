@@ -23,7 +23,7 @@ from jax import lax
 from ..core import Proc
 
 __all__ = ["nco", "mix_up", "mix_down", "nco_block_phases", "pll_step",
-           "unwrap_phase"]
+           "unwrap_phase", "unwrap_phase2"]
 
 TWO_PI = 2.0 * jnp.pi
 
@@ -165,3 +165,22 @@ def unwrap_phase(theta):
     d = jnp.mod(d + jnp.pi, 2 * jnp.pi) - jnp.pi
     return jnp.concatenate(
         [theta[..., :1], theta[..., :1] + jnp.cumsum(d, axis=-1)], axis=-1)
+
+
+def unwrap_phase2(theta):
+    """Bias-aware phase unwrap (reference liquid_unwrap_phase2,
+    src/nco/src/nco.utilities.c:45-70): estimate the mean first
+    difference dphi over the raw array, then pull each difference into
+    (-pi + dphi, pi + dphi] — phase ramps steeper than pi/sample unwrap
+    correctly.  Closed form of the reference's sequential walk: the
+    per-step 2*pi correction count is floor((d - dphi + pi)/2*pi) of
+    the RAW difference (each correction shifts the next comparison by
+    exactly its own multiple of 2*pi), so one floor + one cumsum."""
+    theta = jnp.asarray(theta)
+    d = jnp.diff(theta, axis=-1)
+    n = theta.shape[-1]
+    dphi = (theta[..., -1] - theta[..., 0])[..., None] / (n - 1)
+    k = jnp.floor((d - dphi + jnp.pi) / (2 * jnp.pi))
+    return jnp.concatenate(
+        [theta[..., :1],
+         theta[..., 1:] - 2 * jnp.pi * jnp.cumsum(k, axis=-1)], axis=-1)

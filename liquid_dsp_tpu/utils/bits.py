@@ -13,6 +13,7 @@ __all__ = ["repack_bytes", "pack_array", "unpack_array",
            "unpack_soft_bits", "count_ones", "count_ones_mod2",
            "msb_index", "lbshift", "rbshift", "lbcircshift", "rbcircshift",
            "bdotprod", "count_leading_zeros", "print_bitstring",
+           "count_bit_errors", "count_bit_errors_array",
            "reverse_byte", "reverse_uint16", "reverse_uint24",
            "reverse_uint32", "lshift", "rshift", "lcircshift",
            "rcircshift"]
@@ -198,3 +199,19 @@ def lcircshift(src, n: int) -> np.ndarray:
 def rcircshift(src, n: int) -> np.ndarray:
     """Byte-level right circular shift (reference liquid_rcircshift)."""
     return np.roll(np.asarray(src, np.uint8), int(n))
+
+
+def count_bit_errors(a: int, b: int) -> int:
+    """Hamming distance between two words (reference
+    src/utility/src/utility.c count_bit_errors)."""
+    return count_ones(a ^ b)
+
+
+def count_bit_errors_array(a, b) -> int:
+    """Total bit errors between two byte arrays (reference
+    count_bit_errors_array)."""
+    a = np.asarray(a, np.uint8)
+    b = np.asarray(b, np.uint8)
+    if a.shape != b.shape:
+        raise ValueError("arrays must have the same shape")
+    return int(np.unpackbits(a ^ b).sum())

@@ -173,3 +173,16 @@ class SMatrix:
 
     def vmul(self, x) -> np.ndarray:
         return self.todense() @ np.asarray(x)
+
+    def mulf(self, other: "SMatrix") -> np.ndarray:
+        """Multiply treating entries as 0/1 masks over FLOAT values
+        (reference smatrixb_mulf: boolean structure, float arithmetic)."""
+        if self.n != other.m:
+            raise ValueError("smatrix dimension mismatch")
+        return (self.todense().astype(np.float32) @
+                other.todense().astype(np.float32))
+
+    def vmulf(self, x) -> np.ndarray:
+        """Boolean-structure x float-vector product (reference
+        smatrixb_vmulf)."""
+        return self.todense().astype(np.float32) @ np.asarray(x, np.float32)

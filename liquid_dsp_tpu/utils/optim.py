@@ -15,7 +15,59 @@ from typing import Callable
 import numpy as np
 
 __all__ = ["gradsearch", "qnsearch", "gasearch", "Chromosome",
-           "gasearch_chromosome"]
+           "gasearch_chromosome", "rosenbrock", "invgauss", "multimodal",
+           "spiral"]
+
+
+# --- standard test objective functions (reference src/optim/src/
+#     utilities.c:34-140; used by the reference's optim autotests) ---
+
+
+def rosenbrock(v) -> float:
+    """n-D Rosenbrock, minimum at v = (1,...,1) (utilities.c:34-51)."""
+    v = np.asarray(v, np.float64)
+    if v.size == 0:
+        raise ValueError("input vector length cannot be zero")
+    if v.size == 1:
+        return float((1.0 - v[0]) ** 2)
+    return float(np.sum((1 - v[:-1]) ** 2 + 100 * (v[1:] - v[:-1] ** 2) ** 2))
+
+
+def invgauss(v) -> float:
+    """n-D inverted Gaussian, minimum at v = (1,...,1); variance grows
+    1.5x per dimension (utilities.c:57-78)."""
+    v = np.asarray(v, np.float64)
+    if v.size == 0:
+        raise ValueError("input vector length cannot be zero")
+    sigma = 1.5 ** np.arange(v.size)
+    t = np.sum((v - 1.0) ** 2 / sigma ** 2)
+    return float(1.0 - np.exp(-t))
+
+
+def multimodal(v) -> float:
+    """n-D multimodal cosine-bump field, global minimum at the origin
+    (utilities.c:83-105)."""
+    v = np.asarray(v, np.float64)
+    if v.size == 0:
+        raise ValueError("input vector length cannot be zero")
+    t0 = np.prod(0.5 + 0.5 * np.cos(2 * np.pi * v))
+    t1 = np.sum(v * v / 16.0)
+    return float(1.0 - t0 * np.exp(-t1))
+
+
+def spiral(v) -> float:
+    """n-D spiral valley, minimum at the origin (utilities.c:110-140)."""
+    v = np.asarray(v, np.float64)
+    if v.size == 0:
+        raise ValueError("input vector length cannot be zero")
+    if v.size == 1:
+        return float(v[0] ** 2)
+    r = np.hypot(v[0], v[1])
+    delta = np.arctan2(v[1], v[0]) - 10.0 * r
+    delta = (delta + np.pi) % (2 * np.pi) - np.pi
+    delta /= np.pi
+    u = 1.0 - delta * delta * np.exp(-r * r / 10.0)
+    return float(u + np.sum(v[2:] ** 2))
 
 
 def _numgrad(u: Callable, x: np.ndarray, dx: float) -> np.ndarray:

@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["MSEQUENCE_DEFAULT_POLY", "msequence_bits", "msequence_symbols",
-           "bsequence_create_ccodes",
+           "bsequence_create_ccodes", "msequence_create_genpoly",
            "MSequence", "bsequence_correlate"]
 
 # default generator polynomials / initial states per m
@@ -75,6 +75,26 @@ class MSequence:
         for _ in range(bps):
             s = (s << 1) | self.advance()
         return s
+
+    def get_state(self) -> int:
+        """Internal shift-register state (reference
+        msequence_get_state, msequence.c:229)."""
+        return self.v
+
+    def set_state(self, v: int):
+        """Overwrite the shift register (reference msequence_set_state,
+        msequence.c:235; state 0 locks the LFSR at zero, as there)."""
+        self.v = v & self.n
+
+
+def msequence_create_genpoly(g: int) -> MSequence:
+    """Create an m-sequence from its full generator polynomial
+    (reference msequence_create_genpoly, msequence.c:102-118): the
+    polynomial's MSB sets m, the initial state is 1."""
+    t = g.bit_length()          # msb_index
+    if t < 2:
+        raise ValueError(f"invalid generator polynomial: {g:#x}")
+    return MSequence(t - 1, g=g, a=1)
 
 
 def msequence_bits(m: int, n: int | None = None, g: int | None = None,

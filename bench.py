@@ -281,7 +281,12 @@ def main(cpu_fallback: bool = False, planes_only: bool = False,
 
     proc = build_chain(fused=False)
 
-    batch, T = 16, 1 << 17  # 2M complex samples per step
+    # r3 shape sweep (PERF.md): batch drives the fused kernel's matmul
+    # M dimension (B*nsub rows); 64x262144 measured 86.6 Gsps vs 70.3
+    # at 16x131072 (+23%) on the same methodology.  B=256 exceeds the
+    # 16 MB scoped-VMEM limit (B*tile input blocks); 64 is the sweet
+    # spot with headroom.
+    batch, T = 64, 1 << 18  # 16.8M complex samples per step
     rng = np.random.default_rng(0)
     mode = "planes" if planes_only else "planar" if planar_only else "complex"
     if mode == "complex":

@@ -22,7 +22,7 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
-def main(batch=16, T=131072):
+def main(batch=64, T=262144):
     import jax
     import jax.numpy as jnp
 

@@ -46,29 +46,47 @@ def main():
     print(f"backend: {jax.devices()[0].platform}", file=sys.stderr)
     rng = np.random.default_rng(0)
 
-    # --- HBM: y = a*x + y over a 128 MiB array (read x, read y, write y:
-    # 3 arrays x 4 B per element per iteration) ---
-    N = 1 << 25                       # 32M f32 = 128 MiB
-    x = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+    # --- HBM: y = a*x + y (read x, read y, write y: 3 arrays x 4 B per
+    # element per iteration), K iterations chained INSIDE one jit (a
+    # host-looped step pays per-dispatch tunnel overhead per iteration,
+    # which the two-point calibration cannot cancel).  Achievable rate
+    # is strongly LAYOUT-dependent on this chip (r3 sweep: 395-972 GB/s
+    # across 1-D/2-D shapes and sizes), so sweep representative shapes
+    # and take the MAX as the achievable streaming rate — the roofline
+    # denominator — and report the spread alongside. ---
+    K = 16 if jax.default_backend() != "cpu" else 2
+    rates = {}
+    for shape, tag in (((1 << 25,), "1d-128MiB"),
+                       ((64, 1 << 18), "2d-64MiB"),
+                       ((64, 1 << 19), "2d-128MiB")):
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
 
-    @jax.jit
-    def saxpy_step(y, chk):
-        y = 1.0001 * x + y
-        return y, chk + y[0] + y[-1]
+        @jax.jit
+        def saxpy_step(y, chk, x=x):
+            def body(c, _):
+                y_, acc = c
+                y_ = 1.0001 * x + y_
+                return (y_, acc + y_.ravel()[0] + y_.ravel()[-1]), None
+            (y2, chk2), _ = jax.lax.scan(body, (y, chk), None, length=K)
+            return y2, chk2
 
-    y0 = jnp.zeros(N, jnp.float32)
-    y, chk = saxpy_step(y0, jnp.float32(0))
-    float(np.asarray(chk))
-
-    def run_saxpy(n):
-        t0 = time.perf_counter()
-        y, chk = y0, jnp.float32(0)
-        for _ in range(n):
-            y, chk = saxpy_step(y, chk)
+        y0 = jnp.zeros(shape, jnp.float32)
+        y, chk = saxpy_step(y0, jnp.float32(0))
         float(np.asarray(chk))
-        return time.perf_counter() - t0
 
-    gbs = _timed(run_saxpy, 3 * 4 * N) / 1e9
+        def run_saxpy(n, step=saxpy_step, y0=y0):
+            t0 = time.perf_counter()
+            y, chk = y0, jnp.float32(0)
+            for _ in range(n):
+                y, chk = step(y, chk)
+            float(np.asarray(chk))
+            return time.perf_counter() - t0
+
+        n_el = int(np.prod(shape))
+        rates[tag] = _timed(run_saxpy, 3 * 4 * n_el * K) / 1e9
+    gbs = max(rates.values())
+    print(f"saxpy by layout: " + ", ".join(
+        f"{t}={v:.0f}" for t, v in rates.items()), file=sys.stderr)
 
     # --- MXU: chained 4096^3 matmul (2*M*N*K flops per trial) ---
     M = 4096

@@ -287,7 +287,8 @@ class Framesync64:
     stays on device in the jitted Proc."""
 
     def __init__(self, callback: Optional[Callable] = None,
-                 block_len: int = 4096, threshold: float = 0.5):
+                 block_len: int = 4096, threshold: float = 0.5,
+                 device_fec: bool = True):
         self.callback = callback
         self.block_len = int(block_len)
         self._proc = framesync64_stream(self.block_len, threshold)
@@ -296,6 +297,16 @@ class Framesync64:
         self._pending = np.zeros(0, np.complex64)
         self.frames: list = []       # decoded results (also returned)
         self.num_frames_detected = 0
+        # device_fec: soft Golay decode as a batched MXU matmul over all
+        # candidate slots (fec/device.py) — the reference's soft
+        # criterion, strictly stronger than hard decode under noise.
+        # False falls back to per-frame host hard decode.
+        self._device_fec = device_fec
+        if device_fec:
+            from ..fec.device import qpacket_soft_decoder
+            dev, self._fec_finish = qpacket_soft_decoder(
+                72, "crc24", "none", "golay2412", "qpsk")
+            self._fec_jit = jax.jit(dev)
 
     def execute(self, x):
         """Consume samples; fire the callback per decoded frame.  Any
@@ -320,12 +331,20 @@ class Framesync64:
     def _drain(self, out: Frame64Block):
         o = jax.tree_util.tree_map(np.asarray, out)
         res = []
+        if self._device_fec and o.valid.any():
+            # ONE batched device decode over every candidate slot (the
+            # invalid ones are garbage-in, masked out below)
+            dec_all, ok_all = self._fec_finish(
+                np.asarray(self._fec_jit(jnp.asarray(o.symbols))))
         for p in range(len(o.valid)):
             if not o.valid[p]:
                 continue
             self.num_frames_detected += 1
-            payload_bytes, ok = qpacketmodem_decode(
-                o.symbols[p], 72, "crc24", "none", "golay2412", "qpsk")
+            if self._device_fec:
+                payload_bytes, ok = dec_all[p], ok_all[p]
+            else:
+                payload_bytes, ok = qpacketmodem_decode(
+                    o.symbols[p], 72, "crc24", "none", "golay2412", "qpsk")
             stats = {"rxy": float(o.rxy[p]),
                      "evm_db": float(o.evm_db[p]),
                      "rssi_db": float(20 * np.log10(max(o.gamma[p], 1e-12))),

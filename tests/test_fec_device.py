@@ -1,0 +1,125 @@
+"""Device-resident soft block-FEC decode (fec/device.py): jittable
+LLR -> deinterleave-gather -> codebook-matmul -> argmax pipeline,
+equivalent to the host soft path and wired into Framesync64."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from liquid_dsp_tpu.fec.device import qpacket_soft_decoder, block_codebook
+from liquid_dsp_tpu.framing.qpacket import (qpacketmodem_encode,
+                                            qpacketmodem_decode,
+                                            qpacketmodem_decode_soft)
+
+
+def _noisy(syms, snr_db, rng):
+    nstd = 10 ** (-snr_db / 20)
+    n = (rng.standard_normal(syms.shape) +
+         1j * rng.standard_normal(syms.shape))
+    return (syms + nstd / np.sqrt(2) * n).astype(np.complex64)
+
+
+class TestQpacketSoftDecoder:
+    def test_matches_host_soft_path_golay(self):
+        rng = np.random.default_rng(1)
+        dev, fin = qpacket_soft_decoder(72, "crc24", "none", "golay2412",
+                                        "qpsk")
+        jdev = jax.jit(dev)
+        for snr_db in (20.0, 8.0, 6.0):
+            for _ in range(6):
+                payload = rng.integers(0, 256, 72, dtype=np.uint8)
+                noisy = _noisy(np.asarray(qpacketmodem_encode(payload)),
+                               snr_db, rng)
+                dec, ok = fin(np.asarray(jdev(jnp.asarray(noisy))))
+                sb, sok = qpacketmodem_decode_soft(noisy, 72)
+                assert bool(ok) == bool(sok)
+                if ok:
+                    assert np.array_equal(dec, payload)
+                    assert np.array_equal(dec, sb)
+
+    def test_soft_beats_hard_under_noise(self):
+        # the device path is the soft criterion: at moderate SNR it must
+        # decode at least every frame the hard path decodes
+        rng = np.random.default_rng(2)
+        dev, fin = qpacket_soft_decoder(72, "crc24", "none", "golay2412",
+                                        "qpsk")
+        jdev = jax.jit(dev)
+        wins = ties = 0
+        for _ in range(24):
+            payload = rng.integers(0, 256, 72, dtype=np.uint8)
+            noisy = _noisy(np.asarray(qpacketmodem_encode(payload)), 6.0, rng)
+            _, ok = fin(np.asarray(jdev(jnp.asarray(noisy))))
+            _, hok = qpacketmodem_decode(noisy, 72)
+            assert bool(ok) >= bool(hok)
+            wins += bool(ok) and not bool(hok)
+            ties += bool(ok) == bool(hok)
+        assert wins + ties == 24
+
+    def test_batched_slots_and_channels(self):
+        rng = np.random.default_rng(3)
+        dev, fin = qpacket_soft_decoder(72, "crc24", "none", "golay2412",
+                                        "qpsk")
+        pls = [rng.integers(0, 256, 72, dtype=np.uint8) for _ in range(6)]
+        S = np.stack([np.asarray(qpacketmodem_encode(p))
+                      for p in pls]).reshape(3, 2, 600).astype(np.complex64)
+        dec, ok = fin(np.asarray(jax.jit(dev)(jnp.asarray(S))))
+        assert dec.shape == (3, 2, 72) and ok.shape == (3, 2)
+        assert ok.all()
+        for i, p in enumerate(pls):
+            assert np.array_equal(dec.reshape(6, 72)[i], p)
+
+    def test_hamming128_config(self):
+        rng = np.random.default_rng(4)
+        dev, fin = qpacket_soft_decoder(40, "crc32", "none", "hamming128",
+                                        "qpsk")
+        jdev = jax.jit(dev)
+        for _ in range(4):
+            payload = rng.integers(0, 256, 40, dtype=np.uint8)
+            syms = np.asarray(qpacketmodem_encode(
+                payload, "crc32", "none", "hamming128", "qpsk"))
+            noisy = _noisy(syms, 14.0, rng)
+            dec, ok = fin(np.asarray(jdev(jnp.asarray(noisy))))
+            sb, sok = qpacketmodem_decode_soft(
+                noisy, 40, "crc32", "none", "hamming128", "qpsk")
+            assert bool(ok) == bool(sok)
+            if ok:
+                assert np.array_equal(dec, payload)
+
+    def test_rejects_unsupported(self):
+        with pytest.raises(ValueError):
+            qpacket_soft_decoder(72, "crc24", "rep3", "golay2412")
+        with pytest.raises(ValueError):
+            qpacket_soft_decoder(72, "crc24", "none", "v27")
+
+    def test_codebook_shape(self):
+        bip, n, k = block_codebook("golay2412")
+        assert bip.shape == (24, 4096) and (np.abs(bip) == 1).all()
+
+
+class TestFramesync64DeviceFec:
+    def test_stream_decodes_with_device_fec(self):
+        from liquid_dsp_tpu.framing.frame64 import Framesync64, framegen64
+
+        rng = np.random.default_rng(5)
+        frames = []
+        stream = [np.zeros(700, np.complex64)]
+        for _ in range(3):
+            hdr = rng.integers(0, 256, 8, dtype=np.uint8)
+            pay = rng.integers(0, 256, 64, dtype=np.uint8)
+            frames.append((hdr, pay))
+            stream.append(np.asarray(framegen64(hdr, pay)))
+            stream.append(np.zeros(rng.integers(300, 900), np.complex64))
+        x = np.concatenate(stream)
+        x = (x + 0.02 * (rng.standard_normal(len(x)) +
+                         1j * rng.standard_normal(len(x)))).astype(np.complex64)
+
+        for device_fec in (True, False):
+            fs = Framesync64(block_len=4096, device_fec=device_fec)
+            fs.execute(x)
+            fs.flush()
+            assert len(fs.frames) == 3, device_fec
+            for (hdr, pay), f in zip(frames, fs.frames):
+                got_hdr, hdr_ok, got_pay, pay_ok, stats = f
+                assert hdr_ok and pay_ok
+                assert np.array_equal(got_hdr, hdr)
+                assert np.array_equal(got_pay, pay)

@@ -104,6 +104,10 @@ def qpacket_soft_decoder(payload_len: int, crc: str = "crc24",
                          "(frame64/flexframe default payload shape)")
     if fec1 not in _GCOLS:
         raise ValueError(f"outer scheme {fec1!r} is not a block code")
+    if _GCOLS[fec1][1] > 16:
+        # hamming3126's 31 x 2^26 codebook does not fit anywhere useful
+        raise ValueError(f"{fec1!r} codebook too large for the matmul "
+                         "decoder (k > 16)")
     dec_len = payload_len + crc_sizeof_key(crc)
     enc_len = fec_get_enc_msg_length(fec1, dec_len)
     assert enc_len == packetizer_compute_enc_msg_len(
@@ -127,7 +131,8 @@ def qpacket_soft_decoder(payload_len: int, crc: str = "crc24",
             pad = [(0, 0)] * (flat.ndim - 1) + [(0, need - flat.shape[-1])]
             flat = jnp.pad(flat, pad)
         deint = flat[..., :need][..., jnp.asarray(perm)]
-        cw = deint.reshape(deint.shape[:-1] + (ncw, n))
+        # 8*enc_len may exceed ncw*n by the final byte's pad bits
+        cw = deint[..., :ncw * n].reshape(deint.shape[:-1] + (ncw, n))
         scores = jnp.einsum("...cn,nm->...cm", cw, jnp.asarray(bip),
                             precision=lax.Precision.HIGHEST)
         return jnp.argmax(scores, axis=-1).astype(jnp.int32)

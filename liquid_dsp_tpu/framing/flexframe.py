@@ -311,6 +311,21 @@ class FlexFrameSync:
         self._armed_until = -(1 << 60)
         self.frames: list = []
         self.num_frames_detected = 0
+        self._dev_fec_cache: dict = {}
+
+    def _device_decoder(self, n_payload, crc, fec0, fec1, ms):
+        """Cached device soft decoder for a qualifying payload config
+        (fec0 none + block outer code, fec/device.py); None otherwise."""
+        key = (n_payload, crc, fec0, fec1, ms)
+        if key not in self._dev_fec_cache:
+            try:
+                from ..fec.device import qpacket_soft_decoder
+                dfn, fin = qpacket_soft_decoder(n_payload, crc, fec0,
+                                                fec1, ms)
+                self._dev_fec_cache[key] = (jax.jit(dfn), fin)
+            except ValueError:
+                self._dev_fec_cache[key] = None
+        return self._dev_fec_cache[key]
 
     def execute(self, x):
         """Consume samples; fire the callback per decoded frame.  Any
@@ -407,8 +422,18 @@ class FlexFrameSync:
             self._cands.pop(0)
             self.num_frames_detected += 1
             p_rx = self._gather_payload(c, p_sym_len, end_abs)
-            payload, ok = qpacketmodem_decode(p_rx, n_payload, crc, fec0,
-                                              fec1, ms)
+            dev = self._device_decoder(n_payload, crc, fec0, fec1, ms)
+            if dev is not None:
+                # soft block decode ON DEVICE (fec/device.py): LLR +
+                # deinterleave-gather + codebook matmul; host keeps only
+                # byte packing + CRC.  Strictly stronger than hard
+                # decode under noise (the reference's soft criterion).
+                dfn, fin = dev
+                payload_full, ok = fin(np.asarray(dfn(jnp.asarray(p_rx))))
+                payload, ok = payload_full[:n_payload], bool(ok)
+            else:
+                payload, ok = qpacketmodem_decode(p_rx, n_payload, crc,
+                                                  fec0, fec1, ms)
             self._armed_until = c["n0"] + _K * (self._n_first + p_sym_len) - 8
             frame = (hdr[:FLEXFRAME_H_USER].copy(), True, payload, bool(ok),
                      self._stats(c, n_payload, ms, p_rx))

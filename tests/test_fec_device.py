@@ -85,11 +85,26 @@ class TestQpacketSoftDecoder:
             if ok:
                 assert np.array_equal(dec, payload)
 
+    def test_hamming128_odd_declen_padbits(self):
+        # dec_len odd -> 8*enc_len exceeds ncw*n by 4 pad bits; the
+        # codeword reshape must slice them off
+        rng = np.random.default_rng(7)
+        dev, fin = qpacket_soft_decoder(41, "crc16", "none", "hamming128",
+                                        "qpsk")
+        payload = rng.integers(0, 256, 41, dtype=np.uint8)
+        syms = np.asarray(qpacketmodem_encode(
+            payload, "crc16", "none", "hamming128", "qpsk"))
+        dec, ok = fin(np.asarray(jax.jit(dev)(jnp.asarray(
+            _noisy(syms, 18.0, rng)))))
+        assert bool(ok) and np.array_equal(dec, payload)
+
     def test_rejects_unsupported(self):
         with pytest.raises(ValueError):
             qpacket_soft_decoder(72, "crc24", "rep3", "golay2412")
         with pytest.raises(ValueError):
             qpacket_soft_decoder(72, "crc24", "none", "v27")
+        with pytest.raises(ValueError):
+            qpacket_soft_decoder(72, "crc24", "none", "hamming3126")
 
     def test_codebook_shape(self):
         bip, n, k = block_codebook("golay2412")

@@ -220,6 +220,22 @@ class OFDMFlexFrameSync:
         self._armed_until = -(1 << 60)
         self.frames: list = []
         self.num_frames_detected = 0
+        self._dev_fec_cache: dict = {}
+
+    def _device_decoder(self, n_payload, crc, fec0, fec1, ms):
+        """Cached device soft decoder for a qualifying payload config
+        (fec0 none + block outer code, fec/device.py); None otherwise."""
+        key = (n_payload, crc, fec0, fec1, ms)
+        if key not in self._dev_fec_cache:
+            try:
+                import jax
+                from ..fec.device import qpacket_soft_decoder
+                dfn, fin = qpacket_soft_decoder(n_payload, crc, fec0,
+                                                fec1, ms)
+                self._dev_fec_cache[key] = (jax.jit(dfn), fin)
+            except ValueError:
+                self._dev_fec_cache[key] = None
+        return self._dev_fec_cache[key]
 
     # -- sample ingestion ----------------------------------------------
     def execute(self, x):
@@ -333,11 +349,21 @@ class OFDMFlexFrameSync:
             _, data, perr, cfo_out = self._demod(c, bucket)
             real = self._nh + npd
             p_stream = data[self._nh: real].reshape(-1)[:p_syms]
-            p_enc_len = packetizer_compute_enc_msg_len(n_payload, crc,
-                                                       fec0, fec1)
-            p_enc = _bytes_from_syms(p_stream, ms, p_enc_len)
-            payload, ok = packetizer_decode(p_enc, n_payload, crc, fec0,
-                                            fec1)
+            dev = self._device_decoder(n_payload, crc, fec0, fec1, ms)
+            if dev is not None:
+                # equalized subcarrier symbols straight into the device
+                # soft decoder (fec/device.py): LLR + deinterleave
+                # gather + codebook matmul; host keeps byte pack + CRC
+                dfn, fin = dev
+                payload_full, ok = fin(np.asarray(dfn(
+                    jnp.asarray(p_stream.astype(np.complex64)))))
+                payload, ok = payload_full[:n_payload], bool(ok)
+            else:
+                p_enc_len = packetizer_compute_enc_msg_len(n_payload, crc,
+                                                           fec0, fec1)
+                p_enc = _bytes_from_syms(p_stream, ms, p_enc_len)
+                payload, ok = packetizer_decode(p_enc, n_payload, crc,
+                                                fec0, fec1)
             self._armed_until = c["d0"] + (3 + real) * Msym - 8
             st = self._stats(c, n_payload, ms)
             st["cfo"] = cfo_out

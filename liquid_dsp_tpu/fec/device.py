@@ -47,7 +47,8 @@ from .packetizer import packetizer_compute_enc_msg_len
 from .interleave import deinterleave_soft
 from .dispatch import fec_get_enc_msg_length
 
-__all__ = ["qpacket_soft_decoder", "block_codebook"]
+__all__ = ["qpacket_soft_decoder", "packetizer_soft_decoder",
+           "block_codebook"]
 
 
 @functools.lru_cache(maxsize=16)
@@ -85,20 +86,17 @@ def _golay_pack(msgs: np.ndarray, dec_len: int) -> np.ndarray:
     return out
 
 
-def qpacket_soft_decoder(payload_len: int, crc: str = "crc24",
-                         fec0: str = "none", fec1: str = "golay2412",
-                         ms: str = "qpsk"):
-    """Build (device_fn, finish) for a qpacketmodem configuration whose
-    outer code is a block scheme and inner code is none (the frame64 /
-    default flexframe payload shape).
+def packetizer_soft_decoder(payload_len: int, crc: str = "crc24",
+                            fec0: str = "none", fec1: str = "golay2412"):
+    """Build (device_fn, finish) for a PACKETIZER configuration whose
+    outer code is a block scheme and inner code is none.
 
-    device_fn(symbols [..., nsym_mod] complex) -> msgs [..., ncw] int32
-      — fully jittable, batches over leading axes (channels, slots).
+    device_fn(llr [..., >= 8*enc_len] float, positive = bit 1) ->
+      msgs [..., ncw] int32 — fully jittable; callers that demodulate
+      their own soft bits (GMSK phase-derivative MF) feed them here.
     finish(msgs numpy [..., ncw]) -> (payload [..., payload_len] uint8,
       crc_ok [...] bool) — host byte packing + CRC.
     """
-    from ..modem.linear import constellation, bits_per_symbol
-
     if fec0 != "none":
         raise ValueError("device decoder supports fec0='none' "
                          "(frame64/flexframe default payload shape)")
@@ -119,14 +117,10 @@ def qpacket_soft_decoder(payload_len: int, crc: str = "crc24",
     else:
         ncw = -(-(8 * dec_len) // k)
     perm = _deint_perm(enc_len)              # [8*enc_len] int32, static
-    table = np.asarray(constellation(ms))
-    bps = bits_per_symbol(ms)
     need = 8 * enc_len
 
-    def device_fn(symbols):
-        from ..modem.linear import demodulate_soft
-        llr = demodulate_soft(jnp.asarray(table), symbols)  # [.., T, bps]
-        flat = llr.reshape(llr.shape[:-2] + (-1,))
+    def device_fn(llr):
+        flat = jnp.asarray(llr)
         if flat.shape[-1] < need:
             pad = [(0, 0)] * (flat.ndim - 1) + [(0, need - flat.shape[-1])]
             flat = jnp.pad(flat, pad)
@@ -156,5 +150,31 @@ def qpacket_soft_decoder(payload_len: int, crc: str = "crc24",
                 key = (key << 8) | int(b)
             ok[r] = crc_validate_message(crc, flat[r, :payload_len], key)
         return payload, ok.reshape(buf.shape[:-1])
+
+    return device_fn, finish
+
+
+def qpacket_soft_decoder(payload_len: int, crc: str = "crc24",
+                         fec0: str = "none", fec1: str = "golay2412",
+                         ms: str = "qpsk"):
+    """Build (device_fn, finish) for a qpacketmodem configuration whose
+    outer code is a block scheme and inner code is none (the frame64 /
+    default flexframe payload shape): the packetizer decoder above with
+    the modem's exact max-log soft demodulator in front.
+
+    device_fn(symbols [..., nsym_mod] complex) -> msgs [..., ncw] int32
+      — fully jittable, batches over leading axes (channels, slots).
+    finish(msgs numpy [..., ncw]) -> (payload [..., payload_len] uint8,
+      crc_ok [...] bool) — host byte packing + CRC.
+    """
+    from ..modem.linear import constellation
+
+    llr_fn, finish = packetizer_soft_decoder(payload_len, crc, fec0, fec1)
+    table = np.asarray(constellation(ms))
+
+    def device_fn(symbols):
+        from ..modem.linear import demodulate_soft
+        llr = demodulate_soft(jnp.asarray(table), symbols)  # [.., T, bps]
+        return llr_fn(llr.reshape(llr.shape[:-2] + (-1,)))
 
     return device_fn, finish

@@ -172,15 +172,16 @@ from typing import Callable
 from .stream_rx import detector_stream, STREAM_HIST
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _gmsk_demod_span(n_bits: int, k: int, m: int, bt: float,
-                     win, dphi, phi):
+                     soft: bool, win, dphi, phi):
     """Mix a raw window starting at the frame start and demodulate
-    n_bits GMSK bits (identical math to the one-shot path)."""
+    n_bits GMSK bits (identical math to the one-shot path); soft=True
+    returns the pre-slice matched-filter metrics (positive = bit 1)."""
     t = jnp.arange(win.shape[-1], dtype=jnp.float32)
     ph = dphi * t + phi
     xa = win * lax.complex(jnp.cos(ph), -jnp.sin(ph))
-    dem = gmsk_demodulator(k, m, bt)
+    dem = gmsk_demodulator(k, m, bt, soft=soft)
     bits, _ = dem.apply(dem.params, dem.init(batch_shape=()), xa)
     return bits[2 * m: 2 * m + n_bits]      # drop the demod delay
 
@@ -219,6 +220,23 @@ class GMSKFrameSync:
         self._armed_until = -(1 << 60)
         self.frames: list = []
         self.num_frames_detected = 0
+        self._dev_fec_cache: dict = {}
+
+    def _device_decoder(self, n_payload, crc, fec0, fec1):
+        """Cached device soft decoder for a qualifying payload config
+        (fec0 none + block outer code, fec/device.py); None otherwise.
+        GMSK feeds raw matched-filter metrics, so this uses the
+        LLR-input packetizer variant (no modem stage)."""
+        key = (n_payload, crc, fec0, fec1)
+        if key not in self._dev_fec_cache:
+            try:
+                from ..fec.device import packetizer_soft_decoder
+                dfn, fin = packetizer_soft_decoder(n_payload, crc, fec0,
+                                                   fec1)
+                self._dev_fec_cache[key] = (jax.jit(dfn), fin)
+            except ValueError:
+                self._dev_fec_cache[key] = None
+        return self._dev_fec_cache[key]
 
     # -- sample ingestion ----------------------------------------------
     def execute(self, x):
@@ -255,7 +273,7 @@ class GMSKFrameSync:
                 "phi": float(o.phi[p]), "hdr": None})
         self._cands.sort(key=lambda c: c["n0"])
 
-    def _demod_bits(self, c, n_bits: int) -> np.ndarray:
+    def _demod_bits(self, c, n_bits: int, soft: bool = False) -> np.ndarray:
         """Demodulate frame bits [0, n_bits) for a candidate from the
         raw ring (bucketed static shapes: one compile per bucket)."""
         k, m = self._k, self._m
@@ -266,7 +284,7 @@ class GMSKFrameSync:
         s0, s1 = max(i0, 0), min(i0 + n_win, len(self._ring))
         if s1 > s0:
             win[s0 - i0: s1 - i0] = self._ring[s0:s1]
-        bits = _gmsk_demod_span(bucket, k, m, self._bt,
+        bits = _gmsk_demod_span(bucket, k, m, self._bt, soft,
                                 jnp.asarray(win),
                                 jnp.float32(c["dphi"]),
                                 jnp.float32(c["phi"]))
@@ -326,11 +344,22 @@ class GMSKFrameSync:
                 break
             self._cands.pop(0)
             self.num_frames_detected += 1
-            bits = self._demod_bits(c, total_bits)
-            p_enc = pack_bits(
-                bits[63 + self._h_bits: total_bits])[:p_enc_len]
-            payload, ok = packetizer_decode(p_enc, n_payload, crc, fec0,
-                                            fec1)
+            dev = self._device_decoder(n_payload, crc, fec0, fec1)
+            if dev is not None:
+                # soft path: the GMSK matched-filter metrics feed the
+                # device block decoder directly (fec/device.py) — the
+                # payload is not scrambled, so no LLR sign-flip needed
+                soft = self._demod_bits(c, total_bits, soft=True)
+                dfn, fin = dev
+                p_llr = soft[63 + self._h_bits: total_bits]
+                payload_full, ok = fin(np.asarray(dfn(jnp.asarray(p_llr))))
+                payload, ok = payload_full[:n_payload], bool(ok)
+            else:
+                bits = self._demod_bits(c, total_bits)
+                p_enc = pack_bits(
+                    bits[63 + self._h_bits: total_bits])[:p_enc_len]
+                payload, ok = packetizer_decode(p_enc, n_payload, crc,
+                                                fec0, fec1)
             self._armed_until = c["n0"] + k * total_bits - 8
             frame = (hdr[:GMSKFRAME_H_USER].copy(), True, payload,
                      bool(ok), self._stats(c, n_payload))

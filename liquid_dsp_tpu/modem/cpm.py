@@ -192,10 +192,13 @@ def gmsk_modulator(k: int = 2, m: int = 3, bt: float = 0.3,
 
 
 def gmsk_demodulator(k: int = 2, m: int = 3, bt: float = 0.3,
-                     name: str = "gmskdem") -> Proc:
+                     soft: bool = False, name: str = "gmskdem") -> Proc:
     """GMSK demodulator: samples [..., N*k] -> bits [..., N]
     (reference gmskdem.c:196-247: phase derivative, matched filter,
-    k:1 decimation, sign slice)."""
+    k:1 decimation, sign slice).  ``soft=True`` returns the pre-slice
+    matched-filter output instead (float, positive = bit 1) — the
+    per-bit soft metric that feeds the device block-FEC decoder
+    (fec/device.py); sign-of-soft equals the hard bits exactly."""
     hr = firdes_gmskrx(k, m, bt).astype(np.float32)
     hr = hr / np.sum(np.abs(hr))  # bounded output scale
     hr = jnp.asarray(hr)
@@ -210,9 +213,9 @@ def gmsk_demodulator(k: int = 2, m: int = 3, bt: float = 0.3,
                                axis=-1)
         phi = jnp.angle(jnp.conj(prev) * x + 1e-20)
         d, tail = fir_apply(params["hr"], carry["tail"], phi)
-        bits = (d[..., ::k] > 0).astype(jnp.int32)
+        out = d[..., ::k] if soft else (d[..., ::k] > 0).astype(jnp.int32)
         new_carry = {"x_prime": x[..., -1], "tail": tail}
-        return bits, new_carry
+        return out, new_carry
 
     return Proc(params={"hr": hr}, init=init, apply=apply, rate=(1, k),
                 name=name)

@@ -37,16 +37,23 @@ def _tree_select(pred, a, b):
         lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-def _local_apply(proc: Proc, params, carry, x_local, axis: str, n_shards: int):
+def _local_apply(proc: Proc, params, carry, x_local, axis: str, n_shards: int,
+                 no_collectives: bool = False):
     """Apply one proc on a time-shard, resolving its carry locally.
 
     Returns (y_local, carry') with carry' computed identically on every
     device (replicated), so the next block step starts consistent.
+
+    no_collectives=True replaces the ppermute/psum exchange with local
+    stand-ins of identical shape — output is WRONG at shard boundaries;
+    it exists only so tools/bench_scaling.py can time the same per-shard
+    compute without the collectives and isolate communication overhead.
     """
     if proc.children is not None:
         new_carries = []
         for p, pp, c in zip(proc.children, params, carry):
-            x_local, c2 = _local_apply(p, pp, c, x_local, axis, n_shards)
+            x_local, c2 = _local_apply(p, pp, c, x_local, axis, n_shards,
+                                       no_collectives)
             new_carries.append(c2)
         return x_local, tuple(new_carries)
 
@@ -61,6 +68,13 @@ def _local_apply(proc: Proc, params, carry, x_local, axis: str, n_shards: int):
             raise ValueError(
                 f"halo {h} exceeds local block {T_local}; use longer blocks")
         tail = x_local[..., T_local - h:]
+        if no_collectives:
+            # measurement-only: same shapes/compute, no communication
+            left = tail
+            carry_in = _tree_select(idx == 0, carry.astype(x_local.dtype),
+                                    left)
+            y, _ = proc.apply(params, carry_in, x_local)
+            return y, left
         perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
         left = lax.ppermute(tail, axis, perm)
         # device 0's "left" is the wrap-around from the LAST device — which
@@ -85,7 +99,8 @@ def _local_apply(proc: Proc, params, carry, x_local, axis: str, n_shards: int):
 
 
 def time_shard_apply(proc: Proc, mesh: Mesh, time_axis: str = "t",
-                     channel_axis: Optional[str] = "ch"):
+                     channel_axis: Optional[str] = "ch",
+                     no_collectives: bool = False):
     """Build a jitted sharded step: (carry, x_global) -> (y_global, carry').
 
     x_global: [..., T]; its last axis is sharded over `time_axis`, leading
@@ -96,7 +111,8 @@ def time_shard_apply(proc: Proc, mesh: Mesh, time_axis: str = "t",
     n_shards = mesh.shape[time_axis]
 
     def step(carry, x):
-        return _local_apply(proc, proc.params, carry, x, time_axis, n_shards)
+        return _local_apply(proc, proc.params, carry, x, time_axis, n_shards,
+                            no_collectives)
 
     def x_spec(x):
         names = [None] * (x.ndim - 1) + [time_axis]

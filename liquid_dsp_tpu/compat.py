@@ -191,9 +191,11 @@ def liquid_getopt_str2mod(name: str) -> str:
     return _str2scheme(name, MODEM_SCHEMES, "modulation")
 
 
-_FIRFILT_TYPES = ("unknown", "kaiser", "pm", "rcos", "fexp", "fsech",
+_FIRFILT_TYPES = ("kaiser", "pm", "rcos", "fexp", "fsech",
                   "farcsech", "arkaiser", "rkaiser", "rrcos", "hm3",
                   "gmsktx", "gmskrx", "rfexp", "rfsech", "rfarcsech")
+# note: "unknown" is the reference's ERROR sentinel (LIQUID_FIRFILT_
+# UNKNOWN), not a valid prototype — it is deliberately not listed
 
 
 def liquid_getopt_str2firfilt(name: str) -> str:

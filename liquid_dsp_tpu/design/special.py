@@ -40,17 +40,25 @@ def lnlowergamma(z, alpha):
         if aa <= 0.0:
             return -np.inf
         la = math.log(aa)
-        s = 0.0
+        # accumulate the series in LOG space (running logsumexp): the
+        # terms reach exp(~aa), which overflows linear float64 for
+        # alpha >~ 710 well inside the CDF callers' domains
+        ls = -np.inf
         tmax = -np.inf
         tprev = -np.inf
-        for k in range(1024):
+        for k in range(4096):
             t = k * la - math.lgamma(zz + k + 1.0)
-            s += math.exp(t)
+            if ls == -np.inf:
+                ls = t
+            elif t > ls:
+                ls = t + math.log1p(math.exp(ls - t))
+            else:
+                ls = ls + math.log1p(math.exp(t - ls))
             tmax = max(tmax, t)
-            if k > 50 and tprev > t and (tmax - t) > 30.0:
+            if k > 50 and tprev > t and (tmax - t) > 40.0:
                 break
             tprev = t
-        return zz * la + math.lgamma(zz) - aa + math.log(s)
+        return zz * la + math.lgamma(zz) - aa + ls
 
     return np.vectorize(_one)(z, alpha)
 
@@ -71,16 +79,13 @@ def uppergamma(z, alpha):
 
 
 def nchoosek(n: int, k: int) -> float:
-    """Binomial coefficient (reference liquid_nchoosek, math.c: exact
-    products for small n, lgamma identity beyond)."""
+    """Binomial coefficient (reference liquid_nchoosek, math.c).  The
+    reference switches to a rounded-lgamma identity for n > 12, which
+    is off by one ULP-of-exp for many (n, k) (e.g. C(48,23)); python's
+    exact math.comb has no such failure, so it is used throughout —
+    tolerance-based parity, strictly more accurate."""
     if k > n:
         raise ValueError("k cannot exceed n")
-    if k == 0 or k == n:
-        return 1.0
-    if n > 12:
-        return float(round(math.exp(math.lgamma(n + 1.0) -
-                                    math.lgamma(n - k + 1.0) -
-                                    math.lgamma(k + 1.0))))
     return float(math.comb(n, k))
 
 
@@ -94,15 +99,17 @@ def marcumq1(alpha, beta, iterations: int = 64):
     # reference accumulates linearly in float32 (math.c:95-123), which
     # overflows for a >> b — the log form is the same sum, stable
     t0 = -0.5 * (alpha * alpha + beta * beta)
+    beta_safe = np.where(beta > 0, beta, 1.0)
     with np.errstate(divide="ignore"):
-        ln_ab_ratio = np.log(alpha) - np.log(beta)
-    a_mul_b = alpha * beta
+        ln_ab_ratio = np.log(alpha) - np.log(beta_safe)
+    a_mul_b = alpha * beta_safe
     terms = np.stack(
         [(k * ln_ab_ratio if k else np.zeros_like(ln_ab_ratio))
          + lnbesseli(float(k), a_mul_b) for k in range(iterations)], axis=0)
     tmax = np.max(terms, axis=0)
     y = np.exp(tmax + np.log(np.sum(np.exp(terms - tmax), axis=0)) + t0)
-    return np.clip(y, 0.0, 1.0)
+    # Q1(a, 0) = 1 exactly (integral over an empty lower tail)
+    return np.where(beta <= 0, 1.0, np.clip(y, 0.0, 1.0))
 
 
 def lnbesseli(nu: float, z, iterations: int = 64):

@@ -52,10 +52,27 @@ class TestGammaFamily:
             nchoosek(3, 5)
 
     def test_marcumq1_limits(self):
-        # Q1(a, b->0) -> 1; Q1(0+, b) = exp(-b^2/2)
+        # Q1(a, b->0) -> 1 (incl. EXACTLY b=0); Q1(0+, b) = exp(-b^2/2)
         assert float(marcumq1(1.0, 1e-6)) == pytest.approx(1.0, abs=1e-5)
+        assert float(marcumq1(1.0, 0.0)) == 1.0
         assert float(marcumq1(1e-9, 2.0)) == pytest.approx(
             math.exp(-2.0), rel=1e-5)
+
+    def test_large_alpha_no_overflow(self):
+        # the series terms reach exp(alpha): linear accumulation
+        # overflowed for alpha >~ 710 (review finding); CDFs must
+        # saturate to 1 instead of raising
+        from liquid_dsp_tpu.utils.random import (randgammaf_cdf,
+                                                 randnakmf_cdf)
+        assert float(randgammaf_cdf(800.0, 2.0, 1.0)) == pytest.approx(1.0)
+        assert float(randnakmf_cdf(30.0, 1.0, 1.0)) == pytest.approx(1.0)
+        assert float(lowergamma(2.0, 1000.0)) == pytest.approx(1.0)
+
+    def test_nchoosek_exact_large(self):
+        # the reference's rounded-lgamma branch is off by one for many
+        # (n, k); ours must stay exact (review finding: C(48,23))
+        assert nchoosek(48, 23) == float(math.comb(48, 23))
+        assert nchoosek(67, 30) == float(math.comb(67, 30))
 
 
 class TestDistributionCdfs:
@@ -333,6 +350,9 @@ class TestSchemeHelpers:
         assert liquid.liquid_getopt_str2crc("crc32") == "crc32"
         assert liquid.liquid_getopt_str2mod("qam16") == "qam16"
         assert liquid.liquid_getopt_str2firfilt("arkaiser") == "arkaiser"
+        with pytest.raises(ValueError):
+            # the reference's error sentinel, not a valid prototype
+            liquid.liquid_getopt_str2firfilt("unknown")
         for fn in (liquid.liquid_getopt_str2fec, liquid.liquid_getopt_str2crc,
                    liquid.liquid_getopt_str2mod,
                    liquid.liquid_getopt_str2firfilt):

@@ -132,6 +132,7 @@ def firpfbch_synthesizer(M: int, m: int = 4, as_db: float = 60.0, h=None,
 
 
 def firpfbch2_analyzer(M: int, m: int = 4, as_db: float = 60.0,
+                       precision=None,
                        name: str = "firpfbch2_analyzer") -> Proc:
     """Oversampled analysis channelizer, sample-exact with the reference
     (firpfbch2.c:244-282): M/2-sample hops, alternating window/filter
@@ -141,67 +142,106 @@ def firpfbch2_analyzer(M: int, m: int = 4, as_db: float = 60.0,
     Input [..., T] (T % M == 0, i.e. an even number of hops) -> output
     [..., M, 2*T//M].
 
-    Vectorized form: window j's sample stream is u_j[n] =
-    x[n*M + M/2-1-(j mod M/2) + (j>=M/2)*M/2]; its filtered stream with
-    branch taps g_k[nu] = h[k + nu*M] is one grouped convolution; each
-    hop then gathers the right (branch, time) entry per FFT bin — even
-    hops use k=j, odd hops k=(j-M/2) mod M with a one-hop lag for the
-    opposite window half.
+    TPU-fused form (r3): window j's sample stream is u_j[n] =
+    x[n*M + M/2-1-(j mod M/2) + (j>=M/2)*M/2]; even hops filter it with
+    branch taps k=j (opposite window half lagged one hop), odd hops
+    with k=(j-M/2) mod M; each hop then takes an M-point IFFT across j.
+    Both the per-branch filter (contraction length p=2m — far too small
+    for the MXU alone) and the IDFT fuse into ONE matrix per hop type:
+
+        X[t, b] = sum_{d, j} w[t, d, j] * A[(d, j), b],
+        A_even[(d, j), b] = G[j, p-d-(j>=M/2)] * W[j, b] / M,
+        A_odd [(d, j), b] = G[(j-M/2) mod M, p-d] * W[j, b] / M,
+
+    with w the (p+1)-frame sliding window over u — a [(p+1)M, M]
+    MXU matmul per hop type (measured 1.7x the grouped-einsum + FFT
+    formulation at float32 precision, 5.3x at the default bf16 matmul
+    pass; PERF.md "Channelizer").  `precision` pins the matmul
+    precision: default HIGHEST (true float32, the golden tolerance is
+    2e-4 and DEFAULT's one-pass-bf16 error of 2.4e-3 on chip would
+    exceed it); lax.Precision.HIGH measures 1.3e-5 on chip at 1.4x the
+    HIGHEST throughput for tolerance-flexible pipelines.
+
+    The planar path (planar.py) runs the same four real matmuls on
+    (re, im) planes directly.
     """
+    from jax import lax
+
     if M % 2:
         raise ValueError("firpfbch2 requires an even number of channels")
+    if precision is None:
+        precision = lax.Precision.HIGHEST
     M2 = M // 2
+    p = 2 * m
     # analyzer prototype has twice the synthesizer bandwidth
     # (reference firpfbch2.c create_kaiser: fc = 1/M for the analyzer)
     h = firdes_kaiser(2 * M * m + 1, 1.0 / M, as_db)
     h = (h * M / np.sum(h)).astype(np.float32)
     # branch taps g[k, nu] = h[k + nu*M], k = 0..M-1, nu = 0..2m-1
-    G = np.stack([h[k + np.arange(2 * m) * M] for k in range(M)])
-    Gj = jnp.asarray(G)
+    G = np.stack([h[k + np.arange(p) * M] for k in range(M)])
+    jj = np.arange(M)
+    samp = (M2 - 1 - (jj % M2)) + (jj >= M2) * M2    # index within frame
+    k_odd = (jj - M2) % M
+    W = np.exp(2j * np.pi * np.outer(jj, jj) / M) / M     # IFFT matrix
+    A_even = np.zeros((p + 1, M, M), np.complex64)
+    A_odd = np.zeros((p + 1, M, M), np.complex64)
+    for j in range(M):
+        for q in range(p):
+            A_even[p - q - (1 if j >= M2 else 0), j, :] += G[j, q] * W[j, :]
+            A_odd[p - q, j, :] += G[k_odd[j], q] * W[j, :]
+    Ae = A_even.reshape((p + 1) * M, M)
+    Ao = A_odd.reshape((p + 1) * M, M)
+    Aer, Aei = Ae.real.copy(), Ae.imag.copy()
+    Aor, Aoi = Ao.real.copy(), Ao.imag.copy()
 
     def init(batch_shape=(), dtype=jnp.complex64):
-        # 2m history frames (one more than the filter needs, to supply the
-        # one-hop-lagged even stream across block boundaries)
-        return jnp.zeros(batch_shape + (2 * m, M), dtype)
+        # p history frames: the newest p frames of u (supplies both the
+        # filter memory and the one-hop lag across block boundaries)
+        return jnp.zeros(batch_shape + (p, M), dtype)
+
+    def _core(r, i, cr, ci):
+        T = r.shape[-1]
+        if T % M:
+            raise ValueError(f"firpfbch2 analyzer block length {T} must "
+                             f"be a multiple of M={M} (even hop count)")
+        L = T // M
+        lead = r.shape[:-1]
+        ur = r.reshape(lead + (L, M))[..., samp]
+        ui = i.reshape(lead + (L, M))[..., samp]
+        upr = jnp.concatenate([cr, ur], axis=-2)          # [.., L+p, M]
+        upi = jnp.concatenate([ci, ui], axis=-2)
+        idx = np.arange(L)[:, None] + np.arange(p + 1)[None, :]
+        wr = upr[..., idx, :].reshape(lead + (L, (p + 1) * M))
+        wi = upi[..., idx, :].reshape(lead + (L, (p + 1) * M))
+        mm = lambda a, b: jnp.matmul(a, jnp.asarray(b), precision=precision)
+        Xer = mm(wr, Aer) - mm(wi, Aei)
+        Xei = mm(wr, Aei) + mm(wi, Aer)
+        Xor = mm(wr, Aor) - mm(wi, Aoi)
+        Xoi = mm(wr, Aoi) + mm(wi, Aor)
+        Yr = jnp.stack([Xer, Xor], axis=-2).reshape(lead + (2 * L, M))
+        Yi = jnp.stack([Xei, Xoi], axis=-2).reshape(lead + (2 * L, M))
+        return (jnp.moveaxis(Yr, -1, -2), jnp.moveaxis(Yi, -1, -2),
+                upr[..., -p:, :], upi[..., -p:, :])
 
     def apply(params, carry, x):
-        T = x.shape[-1]
-        if T % M:
-            raise ValueError(f"firpfbch2 analyzer block length {T} must be "
-                             f"a multiple of M={M} (even hop count)")
-        L = T // M
-        G_ = params["G"]
-        # u[..., n, j]: sample for window j at full-rate frame n
-        xf = x.reshape(x.shape[:-1] + (L, M))
-        jj = np.arange(M)
-        samp = (M2 - 1 - (jj % M2)) + (jj >= M2) * M2    # index within frame
-        u = xf[..., samp]                                 # [..., L, M]
-        # two filtered versions: even-hop taps k=j, odd-hop k=(j-M2)%M
-        k_even = jj
-        k_odd = (jj - M2) % M
-        hist = carry.astype(x.dtype)
-        # filter over [hist(2m) | u] -> L+1 outputs; index 0 = "frame -1"
-        ue_all, _ = _branch_filter(jnp.take(G_, jnp.asarray(k_even), axis=0),
-                                   hist[..., :-1, :],
-                                   jnp.concatenate([hist[..., -1:, :], u],
-                                                   axis=-2))
-        ue = ue_all[..., 1:, :]
-        ue_lag = ue_all[..., :-1, :]
-        uo, _ = _branch_filter(jnp.take(G_, jnp.asarray(k_odd), axis=0),
-                               hist[..., 1:, :], u)
-        # (odd stream needs only the last 2m-1 history frames)
-        # assemble per hop t: X_j(t)
-        #  t = 2n   : j <  M2 -> ue[n, j];   j >= M2 -> ue[n-1, j]
-        #  t = 2n+1 : all j   -> uo[n, j]
-        X_even = jnp.where(jnp.asarray(jj < M2), ue, ue_lag)
-        X_odd = uo
-        X = jnp.stack([X_even, X_odd], axis=-2)   # [..., L, 2, M]
-        X = X.reshape(X.shape[:-3] + (2 * L, M))
-        Y = jnp.fft.ifft(X, axis=-1)              # (1/M falls out of np ifft)
-        new_carry = jnp.concatenate([hist, u], axis=-2)[..., -2 * m:, :]
-        return jnp.moveaxis(Y, -1, -2).astype(jnp.complex64), new_carry
+        c = carry.astype(jnp.complex64)
+        Yr, Yi, cr2, ci2 = _core(jnp.real(x), jnp.imag(x),
+                                 jnp.real(c), jnp.imag(c))
+        return (lax.complex(Yr, Yi).astype(jnp.complex64),
+                lax.complex(cr2, ci2).astype(jnp.complex64))
 
-    return Proc(params={"G": Gj}, init=init, apply=apply,
+    def planar_init(batch_shape=(), dtype=jnp.float32):
+        z = jnp.zeros(batch_shape + (p, M), jnp.float32)
+        return (z, z)
+
+    def planar_apply(params, carry, x):
+        (r, i), (cr, ci) = x, carry
+        Yr, Yi, cr2, ci2 = _core(r, i, cr.astype(r.dtype),
+                                 ci.astype(i.dtype))
+        return (Yr, Yi), (cr2, ci2)
+
+    return Proc(params=(), init=init, apply=apply,
+                planar_init=planar_init, planar_apply=planar_apply,
                 rate=(2, 1), name=name)
 
 

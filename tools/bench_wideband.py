@@ -75,7 +75,11 @@ def main():
     wide_np = np.load(cap)            # [B, Tw]
     cap.unlink()
 
-    ana = firpfbch2_analyzer(M)
+    # HIGH matmul precision: 1.3e-5 on-chip error (golden tolerance is
+    # 2e-4) at 1.4x the HIGHEST-precision throughput — right tradeoff
+    # for a detection front-end (channelizer.py docstring)
+    import jax.lax as _lax
+    ana = firpfbch2_analyzer(M, precision=_lax.Precision.HIGH)
     rx = framesync64_stream(Tc)
 
     # K blocks chained inside one jit (carries flow block to block,

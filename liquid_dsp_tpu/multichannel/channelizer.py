@@ -65,6 +65,7 @@ def _branch_filter(Hb, carry, u):
 
 
 def firpfbch_analyzer(M: int, m: int = 4, as_db: float = 60.0, h=None,
+                      precision=None,
                       name: str = "firpfbch_analyzer") -> Proc:
     """M-channel maximally-decimated analysis bank, sample-exact with the
     reference (firpfbch.c _analyzer_execute/_run:346-405).
@@ -72,32 +73,73 @@ def firpfbch_analyzer(M: int, m: int = 4, as_db: float = 60.0, h=None,
     Input [..., T] (T % M == 0) -> output [..., M, T//M].
     Structure: window i's stream u_i[l] = x[l*M + M-1-i], branch-filtered
     by taps h[i + n*M]; bin (M-1-i) of a forward FFT across branches.
-    """
+
+    TPU-fused form (r3, same algebra as firpfbch2_analyzer): the
+    p-tap branch filter and the M-point FFT compose into ONE [pM, M]
+    matrix A[(d, c), b] = Hb[c, p-1-d] * exp(-2j*pi*(M-1-c)*b/M), so a
+    block is four real [L, pM] x [pM, M] MXU matmuls on (re, im)
+    planes.  `precision` as in firpfbch2_analyzer (default HIGHEST)."""
+    from jax import lax
+
     if h is None:
         h = firpfbch_kaiser_taps(M, m, as_db)
     h = np.asarray(h)
+    if precision is None:
+        precision = lax.Precision.HIGHEST
     p = len(h) // M  # taps per branch (reference p = 2m)
-    Hb = jnp.asarray(_branch_taps(h, M, p))
+    Hb = _branch_taps(h, M, p)                       # [M, p] numpy
+    cc = np.arange(M)
+    bb = np.arange(M)
+    F = np.exp(-2j * np.pi * np.outer((M - 1 - cc), bb) / M)
+    A = np.zeros((p, M, M), np.complex64)
+    for c in range(M):
+        for q in range(p):
+            A[p - 1 - q, c, :] = Hb[c, q] * F[c, :]
+    A = A.reshape(p * M, M)
+    Ar, Ai = A.real.copy(), A.imag.copy()
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return jnp.zeros(batch_shape + (p - 1, M), dtype)
 
-    def apply(params, carry, x):
-        T = x.shape[-1]
+    def _core(r, i, cr, ci):
+        T = r.shape[-1]
         if T % M:
             raise ValueError(f"analyzer block length {T} not a multiple "
                              f"of M={M}")
         L = T // M
-        xf = x.reshape(x.shape[:-1] + (L, M))
-        u = xf[..., ::-1]     # u_i[l] = x[lM + M-1-i]
-        v, new_carry = _branch_filter(params["Hb"],
-                                      carry.astype(x.dtype), u)
-        # X[M-1-i] = v_i, forward FFT across bins (firpfbch.c:401-405)
-        X = v[..., ::-1]
-        Y = jnp.fft.fft(X, axis=-1)
-        return jnp.moveaxis(Y, -1, -2).astype(jnp.complex64), new_carry
+        lead = r.shape[:-1]
+        ur = r.reshape(lead + (L, M))[..., ::-1]     # u_i[l] = x[lM+M-1-i]
+        ui = i.reshape(lead + (L, M))[..., ::-1]
+        upr = jnp.concatenate([cr, ur], axis=-2)     # [.., L+p-1, M]
+        upi = jnp.concatenate([ci, ui], axis=-2)
+        idx = np.arange(L)[:, None] + np.arange(p)[None, :]
+        wr = upr[..., idx, :].reshape(lead + (L, p * M))
+        wi = upi[..., idx, :].reshape(lead + (L, p * M))
+        mm = lambda a, b: jnp.matmul(a, jnp.asarray(b), precision=precision)
+        Yr = mm(wr, Ar) - mm(wi, Ai)
+        Yi = mm(wr, Ai) + mm(wi, Ar)
+        return (jnp.moveaxis(Yr, -1, -2), jnp.moveaxis(Yi, -1, -2),
+                upr[..., -(p - 1):, :], upi[..., -(p - 1):, :])
 
-    return Proc(params={"Hb": Hb}, init=init, apply=apply,
+    def apply(params, carry, x):
+        c = carry.astype(jnp.complex64)
+        Yr, Yi, cr2, ci2 = _core(jnp.real(x), jnp.imag(x),
+                                 jnp.real(c), jnp.imag(c))
+        return (lax.complex(Yr, Yi).astype(jnp.complex64),
+                lax.complex(cr2, ci2).astype(jnp.complex64))
+
+    def planar_init(batch_shape=(), dtype=jnp.float32):
+        z = jnp.zeros(batch_shape + (p - 1, M), jnp.float32)
+        return (z, z)
+
+    def planar_apply(params, carry, x):
+        (r, i), (cr, ci) = x, carry
+        Yr, Yi, cr2, ci2 = _core(r, i, cr.astype(r.dtype),
+                                 ci.astype(i.dtype))
+        return (Yr, Yi), (cr2, ci2)
+
+    return Proc(params=(), init=init, apply=apply,
+                planar_init=planar_init, planar_apply=planar_apply,
                 rate=(1, 1), name=name)
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -114,10 +115,20 @@ def time_shard_apply(proc: Proc, mesh: Mesh, time_axis: str = "t",
         return _local_apply(proc, proc.params, carry, x, time_axis, n_shards,
                             no_collectives)
 
+    # channel_axis may be a TUPLE of mesh axis names — the hierarchical
+    # (dcn, ici) layout of SURVEY §5: the leading batch/channel dim is
+    # data-parallel over the product of those axes (e.g. hosts x chips),
+    # while the time axis halo-exchanges over its own (intra-ICI) axis.
+    ch_axes = (channel_axis if isinstance(channel_axis, (tuple, list))
+               else (channel_axis,)) if channel_axis is not None else ()
+    ch_axes = tuple(a for a in ch_axes if a in mesh.shape)
+    ch_name = (ch_axes if len(ch_axes) > 1 else
+               ch_axes[0] if ch_axes else None)
+
     def x_spec(x):
         names = [None] * (x.ndim - 1) + [time_axis]
-        if channel_axis is not None and channel_axis in mesh.shape and x.ndim > 1:
-            names[0] = channel_axis
+        if ch_name is not None and x.ndim > 1:
+            names[0] = ch_name
         return P(*names)
 
     def carry_spec(carry, ch_sharded: bool):
@@ -125,13 +136,13 @@ def time_shard_apply(proc: Proc, mesh: Mesh, time_axis: str = "t",
         # channel axis alongside the data, replicate over time.
         def leaf_spec(leaf):
             if ch_sharded and jnp.ndim(leaf) >= 1:
-                return P(channel_axis, *([None] * (jnp.ndim(leaf) - 1)))
+                return P(ch_name, *([None] * (jnp.ndim(leaf) - 1)))
             return P()
         return jax.tree_util.tree_map(leaf_spec, carry)
 
     def run(carry, x):
-        ch_sharded = (channel_axis is not None and channel_axis in mesh.shape
-                      and mesh.shape[channel_axis] > 1 and x.ndim > 1)
+        ch_sharded = (ch_name is not None and x.ndim > 1 and
+                      int(np.prod([mesh.shape[a] for a in ch_axes])) > 1)
         cspec = carry_spec(carry, ch_sharded)
         sm = shard_map(
             step, mesh=mesh,

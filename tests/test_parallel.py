@@ -98,6 +98,31 @@ def test_channel_and_time_sharded():
 
 
 # ---------------------------------------------------------------------------
+def test_hierarchical_dcn_ici_mesh():
+    """3-axis (dcn, ch, t) mesh — SURVEY §5's (host/dcn, chip/ici,
+    channel) layout: channels data-parallel over hosts x chips, time
+    halo-exchanged over its own axis.  Output must equal 1-device."""
+    import jax
+    from jax.sharding import Mesh
+    from liquid_dsp_tpu.parallel.stream import time_shard_apply
+    from liquid_dsp_tpu.design.firdes import firdes_kaiser
+    from liquid_dsp_tpu.ops.fir import firfilt
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("dcn", "ch", "t"))
+    proc = firfilt(firdes_kaiser(33, 0.2, 60.0))
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((4, 1024)) +
+         1j * rng.standard_normal((4, 1024))).astype(np.complex64)
+    carry = proc.init(batch_shape=(4,))
+    fn = jax.jit(time_shard_apply(proc, mesh,
+                                  channel_axis=("dcn", "ch")))
+    y_sh, _ = fn(carry, jnp.asarray(x))
+    y_1, _ = proc.apply(proc.params, carry, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_1),
+                               atol=1e-5)
+
+
 # channel-axis data parallelism (SURVEY.md §2.12: channelizer DP axis)
 
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -44,26 +44,6 @@ def _branch_taps(h: np.ndarray, M: int, p: int):
     return np.stack([h[r + np.arange(p) * M] for r in range(M)])  # [M, p]
 
 
-def _branch_filter(Hb, carry, u):
-    """Filter each branch along the frame axis.
-
-    u: [..., L, M]  (frame-major), Hb: [M, p], carry: [..., p-1, M].
-    Returns (v [..., L, M], carry').
-    """
-    M, p = Hb.shape
-    if p > 1:
-        up = jnp.concatenate([carry, u], axis=-2)   # [..., L+p-1, M]
-    else:
-        up = u
-    L = u.shape[-2]
-    # v[l, r] = sum_q Hb[r, q] * up[l + (p-1) - q, r]
-    idx = jnp.arange(L)[:, None] + (p - 1 - jnp.arange(p))[None, :]
-    win = jnp.take(up, idx, axis=-2)                # [..., L, p, M]
-    v = jnp.einsum("...lpm,mp->...lm", win, Hb.astype(u.dtype))
-    new_carry = up[..., up.shape[-2] - (p - 1):, :] if p > 1 else carry
-    return v, new_carry
-
-
 def firpfbch_analyzer(M: int, m: int = 4, as_db: float = 60.0, h=None,
                       precision=None,
                       name: str = "firpfbch_analyzer") -> Proc:
@@ -144,32 +124,73 @@ def firpfbch_analyzer(M: int, m: int = 4, as_db: float = 60.0, h=None,
 
 
 def firpfbch_synthesizer(M: int, m: int = 4, as_db: float = 60.0, h=None,
+                         precision=None,
                          name: str = "firpfbch_synth") -> Proc:
     """M-channel synthesis bank, sample-exact with the reference
     (firpfbch.c _synthesizer_execute:314-331): unnormalized inverse FFT
     across channels, then per-branch filtering.
 
     Input [..., M, L] -> output [..., L*M].
-    """
+
+    TPU-fused form (r3, mirror of firpfbch_analyzer): the unnormalized
+    IDFT and the p-tap branch filter compose into ONE [pM, M] matrix
+    S[(d, j), r] = Hb[r, p-1-d] * exp(2j*pi*j*r/M) over p-frame windows
+    of the channel-symbol stream.  `precision` as in the analyzer
+    (default HIGHEST)."""
+    from jax import lax
+
     if h is None:
         h = firpfbch_kaiser_taps(M, m, as_db)
     h = np.asarray(h)
+    if precision is None:
+        precision = lax.Precision.HIGHEST
     p = len(h) // M
-    Hb = jnp.asarray(_branch_taps(h, M, p))
+    Hb = _branch_taps(h, M, p)
+    jj = np.arange(M)
+    W = np.exp(2j * np.pi * np.outer(jj, jj) / M)     # M * ifft
+    S = np.zeros((p, M, M), np.complex64)
+    for r in range(M):
+        for q in range(p):
+            S[p - 1 - q, :, r] += Hb[r, q] * W[:, r]
+    S = S.reshape(p * M, M)
+    Sr, Si = S.real.copy(), S.imag.copy()
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return jnp.zeros(batch_shape + (p - 1, M), dtype)
 
-    def apply(params, carry, X):
-        L = X.shape[-1]
-        Xf = jnp.moveaxis(X, -2, -1)            # [..., L, M]
-        w = jnp.fft.ifft(Xf, axis=-1) * M       # unnormalized backward FFT
-        v, new_carry = _branch_filter(params["Hb"],
-                                      carry.astype(w.dtype), w)
-        y = v.reshape(v.shape[:-2] + (L * M,))
-        return y.astype(jnp.complex64), new_carry
+    def _core(Xr, Xi, cr, ci):
+        L = Xr.shape[-1]
+        lead = Xr.shape[:-2]
+        ur = jnp.concatenate([cr, jnp.moveaxis(Xr, -2, -1)], axis=-2)
+        ui = jnp.concatenate([ci, jnp.moveaxis(Xi, -2, -1)], axis=-2)
+        idx = np.arange(L)[:, None] + np.arange(p)[None, :]
+        wr = ur[..., idx, :].reshape(lead + (L, p * M))
+        wi = ui[..., idx, :].reshape(lead + (L, p * M))
+        mm = lambda a, b: jnp.matmul(a, jnp.asarray(b), precision=precision)
+        Yr = mm(wr, Sr) - mm(wi, Si)
+        Yi = mm(wr, Si) + mm(wi, Sr)
+        return (Yr.reshape(lead + (L * M,)), Yi.reshape(lead + (L * M,)),
+                ur[..., -(p - 1):, :], ui[..., -(p - 1):, :])
 
-    return Proc(params={"Hb": Hb}, init=init, apply=apply,
+    def apply(params, carry, X):
+        c = carry.astype(jnp.complex64)
+        Yr, Yi, cr2, ci2 = _core(jnp.real(X), jnp.imag(X),
+                                 jnp.real(c), jnp.imag(c))
+        return (lax.complex(Yr, Yi).astype(jnp.complex64),
+                lax.complex(cr2, ci2).astype(jnp.complex64))
+
+    def planar_init(batch_shape=(), dtype=jnp.float32):
+        z = jnp.zeros(batch_shape + (p - 1, M), jnp.float32)
+        return (z, z)
+
+    def planar_apply(params, carry, x):
+        (Xr, Xi), (cr, ci) = x, carry
+        Yr, Yi, cr2, ci2 = _core(Xr, Xi, cr.astype(Xr.dtype),
+                                 ci.astype(Xr.dtype))
+        return (Yr, Yi), (cr2, ci2)
+
+    return Proc(params=(), init=init, apply=apply,
+                planar_init=planar_init, planar_apply=planar_apply,
                 rate=(1, 1), name=name)
 
 
@@ -288,6 +309,7 @@ def firpfbch2_analyzer(M: int, m: int = 4, as_db: float = 60.0,
 
 
 def firpfbch2_synthesizer(M: int, m: int = 4, as_db: float = 60.0,
+                          precision=None,
                           name: str = "firpfbch2_synth") -> Proc:
     """Oversampled synthesis channelizer, sample-exact with the reference
     (firpfbch2.c:287-337): per hop, IFFT of the M channel inputs scaled
@@ -295,59 +317,101 @@ def firpfbch2_synthesizer(M: int, m: int = 4, as_db: float = 60.0,
     sample sums two sub-filter dot products across the banks.
 
     Input [..., M, nf] (nf even) -> output [..., nf*M/2].
-    """
+
+    TPU-fused form (r3, mirror of the analyzer fusion): the per-hop
+    IDFT and the two alternating-bank branch filters compose into four
+    [(p+1)M, M/2] matrices over (p+1)-frame windows of the even-hop and
+    odd-hop channel-symbol streams:
+
+      y_even[n, i] = sum_{q,c} G[i, q]    W2[c, i]    Xe[n-q,   c]
+                   + sum_{q,c} G[i+M2, q] W2[c, i]    Xo[n-1-q, c]
+      y_odd [n, i] = sum_{q,c} G[i, q]    W2[c, i+M2] Xo[n-q,   c]
+                   + sum_{q,c} G[i+M2, q] W2[c, i+M2] Xe[n-q,   c]
+
+    with W2[c, j] = exp(2j*pi*c*j/M)/2 (the M/2-scaled IDFT).  The
+    carry holds the last p raw frames of each hop-parity stream.
+    `precision` as in firpfbch2_analyzer (default HIGHEST)."""
+    from jax import lax
+
     if M % 2:
         raise ValueError("firpfbch2 requires an even number of channels")
+    if precision is None:
+        precision = lax.Precision.HIGHEST
     M2 = M // 2
+    p = 2 * m
     h = firdes_kaiser(2 * M * m + 1, 0.5 / M, as_db)
     h = (h * M / np.sum(h)).astype(np.float32)
-    G = np.stack([h[k + np.arange(2 * m) * M] for k in range(M)])
-    Gj = jnp.asarray(G)
+    G = np.stack([h[k + np.arange(p) * M] for k in range(M)])
+    cc = np.arange(M)
+    W2 = np.exp(2j * np.pi * np.outer(cc, cc) / M) / 2.0
+    Ae = np.zeros((p + 1, M, M2), np.complex64)   # Xe -> y_even
+    Be = np.zeros((p + 1, M, M2), np.complex64)   # Xo -> y_even (lagged)
+    Ao = np.zeros((p + 1, M, M2), np.complex64)   # Xo -> y_odd
+    Bo = np.zeros((p + 1, M, M2), np.complex64)   # Xe -> y_odd
+    for i in range(M2):
+        for q in range(p):
+            Ae[p - q, :, i] += G[i, q] * W2[:, i]
+            Be[p - 1 - q, :, i] += G[i + M2, q] * W2[:, i]
+            Ao[p - q, :, i] += G[i, q] * W2[:, i + M2]
+            Bo[p - q, :, i] += G[i + M2, q] * W2[:, i + M2]
+    mats = [A.reshape((p + 1) * M, M2) for A in (Ae, Be, Ao, Bo)]
+    (Aer, Aei), (Ber, Bei), (Aor, Aoi), (Bor, Boi) = [
+        (A.real.copy(), A.imag.copy()) for A in mats]
 
     def init(batch_shape=(), dtype=jnp.complex64):
-        return {"w1": jnp.zeros(batch_shape + (2 * m - 1, M), dtype),
-                "w0": jnp.zeros(batch_shape + (2 * m, M), dtype)}
+        z = jnp.zeros(batch_shape + (p, M), dtype)
+        return {"e": z, "o": z}
 
-    def apply(params, carry, Xin):
-        nf = Xin.shape[-1]
+    def _core(Xr, Xi, cer, cei, cor, coi):
+        nf = Xr.shape[-1]
         if nf % 2:
             raise ValueError("firpfbch2 synthesizer needs an even number "
                              "of frames per block")
         L = nf // 2
-        G_ = params["G"]
-        Xf = jnp.moveaxis(Xin, -2, -1)                # [..., nf, M]
-        w = jnp.fft.ifft(Xf, axis=-1) * M2            # ifft*(1/M)*M*M2/M
-        # even hops (flag=0) push into w1; odd hops into w0
-        w1_in = w[..., 0::2, :]                        # [..., L, M]
-        w0_in = w[..., 1::2, :]
-        jj = np.arange(M)
-        # filtered streams: A[k stream over w1_j], B over w0_j; the taps
-        # needed per (hop parity, output index):
-        #  even t=2n: y_i = dp[i]@w1[i](n)      + dp[i+M2]@w0[i](n-1)
-        #  odd  t   : y_i = dp[i]@w0[i+M2](n)   + dp[i+M2]@w1[i+M2](n)
-        A_lo, c1 = _branch_filter(jnp.take(G_, jnp.asarray(jj), axis=0),
-                                  carry["w1"].astype(w.dtype), w1_in)
-        hist0 = carry["w0"].astype(w.dtype)
-        B_all, _ = _branch_filter(
-            jnp.take(G_, jnp.asarray((jj + M2) % M), axis=0),
-            hist0[..., :-1, :],
-            jnp.concatenate([hist0[..., -1:, :], w0_in], axis=-2))
-        B_hi = B_all[..., 1:, :]
-        B_lag = B_all[..., :-1, :]
-        c0 = jnp.concatenate([hist0, w0_in], axis=-2)[..., -2 * m:, :]
-        # A_lo[n, j] = g_j * w1_j; B_hi[n, j] = g_{(j+M2)%M} * w0_j
-        i = np.arange(M2)
-        # even outputs: dp[i]@w1[i] = A_lo[n, i];
-        #               dp[i+M2]@w0[i] lagged one hop -> B_lag[n, i]
-        y_even = A_lo[..., :, i] + B_lag[..., :, i]               # [..., L, M2]
-        # odd outputs: dp[i]@w0[i+M2]: taps i on w0_{i+M2}; B streams have
-        # taps (j+M2)%M on w0_j -> j = i+M2 gives taps i  ✓ -> B_hi[n, i+M2]
-        #              dp[i+M2]@w1[i+M2] = need taps i+M2 on w1_{i+M2}:
-        # A streams have taps j on w1_j -> j = i+M2  ✓ -> A_lo[n, i+M2]
-        y_odd = B_hi[..., :, i + M2] + A_lo[..., :, i + M2]
-        y = jnp.stack([y_even, y_odd], axis=-2)        # [..., L, 2, M2]
-        y = y.reshape(y.shape[:-3] + (nf * M2,))
-        return y.astype(jnp.complex64), {"w1": c1, "w0": c0}
+        lead = Xr.shape[:-2]
+        Xfr = jnp.moveaxis(Xr, -2, -1)               # [.., nf, M]
+        Xfi = jnp.moveaxis(Xi, -2, -1)
+        uer = jnp.concatenate([cer, Xfr[..., 0::2, :]], axis=-2)
+        uei = jnp.concatenate([cei, Xfi[..., 0::2, :]], axis=-2)
+        uor = jnp.concatenate([cor, Xfr[..., 1::2, :]], axis=-2)
+        uoi = jnp.concatenate([coi, Xfi[..., 1::2, :]], axis=-2)
+        idx = np.arange(L)[:, None] + np.arange(p + 1)[None, :]
+        Wer = uer[..., idx, :].reshape(lead + (L, (p + 1) * M))
+        Wei = uei[..., idx, :].reshape(lead + (L, (p + 1) * M))
+        Wor = uor[..., idx, :].reshape(lead + (L, (p + 1) * M))
+        Woi = uoi[..., idx, :].reshape(lead + (L, (p + 1) * M))
+        mm = lambda a, b: jnp.matmul(a, jnp.asarray(b), precision=precision)
+        yer = mm(Wer, Aer) - mm(Wei, Aei) + mm(Wor, Ber) - mm(Woi, Bei)
+        yei = mm(Wer, Aei) + mm(Wei, Aer) + mm(Wor, Bei) + mm(Woi, Ber)
+        yor_ = mm(Wor, Aor) - mm(Woi, Aoi) + mm(Wer, Bor) - mm(Wei, Boi)
+        yoi = mm(Wor, Aoi) + mm(Woi, Aor) + mm(Wer, Boi) + mm(Wei, Bor)
+        Yr = jnp.stack([yer, yor_], axis=-2).reshape(lead + (nf * M2,))
+        Yi = jnp.stack([yei, yoi], axis=-2).reshape(lead + (nf * M2,))
+        return (Yr, Yi, uer[..., -p:, :], uei[..., -p:, :],
+                uor[..., -p:, :], uoi[..., -p:, :])
 
-    return Proc(params={"G": Gj}, init=init, apply=apply,
+    def apply(params, carry, Xin):
+        ce = carry["e"].astype(jnp.complex64)
+        co = carry["o"].astype(jnp.complex64)
+        Yr, Yi, cer, cei, cor, coi = _core(
+            jnp.real(Xin), jnp.imag(Xin),
+            jnp.real(ce), jnp.imag(ce), jnp.real(co), jnp.imag(co))
+        return (lax.complex(Yr, Yi).astype(jnp.complex64),
+                {"e": lax.complex(cer, cei).astype(jnp.complex64),
+                 "o": lax.complex(cor, coi).astype(jnp.complex64)})
+
+    def planar_init(batch_shape=(), dtype=jnp.float32):
+        z = jnp.zeros(batch_shape + (p, M), jnp.float32)
+        return {"er": z, "ei": z, "or": z, "oi": z}
+
+    def planar_apply(params, carry, x):
+        (Xr, Xi) = x
+        Yr, Yi, cer, cei, cor, coi = _core(
+            Xr, Xi, carry["er"].astype(Xr.dtype),
+            carry["ei"].astype(Xr.dtype), carry["or"].astype(Xr.dtype),
+            carry["oi"].astype(Xr.dtype))
+        return (Yr, Yi), {"er": cer, "ei": cei, "or": cor, "oi": coi}
+
+    return Proc(params=(), init=init, apply=apply,
+                planar_init=planar_init, planar_apply=planar_apply,
                 rate=(1, 2), name=name)

@@ -121,6 +121,13 @@ def time_shard_apply(proc: Proc, mesh: Mesh, time_axis: str = "t",
     # while the time axis halo-exchanges over its own (intra-ICI) axis.
     ch_axes = (channel_axis if isinstance(channel_axis, (tuple, list))
                else (channel_axis,)) if channel_axis is not None else ()
+    if isinstance(channel_axis, (tuple, list)):
+        # an EXPLICIT tuple must name real mesh axes — a typo silently
+        # dropping one axis would quietly lose data parallelism
+        unknown = [a for a in ch_axes if a not in mesh.shape]
+        if unknown:
+            raise ValueError(f"channel_axis names {unknown} not in mesh "
+                             f"axes {tuple(mesh.shape)}")
     ch_axes = tuple(a for a in ch_axes if a in mesh.shape)
     ch_name = (ch_axes if len(ch_axes) > 1 else
                ch_axes[0] if ch_axes else None)

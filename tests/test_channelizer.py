@@ -4,8 +4,8 @@ reference's own autotest criteria (firpfbch2 loopback reconstruction,
 firpfbch analyzer == mix+filter+decimate equivalence), streaming
 consistency, and batched channels."""
 import numpy as np
-import jax.numpy as jnp
 import pytest
+import jax.numpy as jnp
 
 from liquid_dsp_tpu.multichannel.channelizer import (
     firpfbch_analyzer, firpfbch_synthesizer, firpfbch_kaiser_taps,
@@ -140,3 +140,121 @@ class TestProperties:
         qa = firpfbch_analyzer(8, 4)
         with pytest.raises(ValueError):
             qa(jnp.zeros(100, jnp.complex64), batch_shape=())
+
+
+class TestStreamingVsOneshot:
+    """Every channelizer is stateful; streaming over blocks must equal
+    the one-shot run (CLAUDE.md testing rule) — this is exactly the
+    class of test that catches a wrong carry slice or hop lag."""
+
+    @staticmethod
+    def _stream_eq(proc, x_one, blocks, batch_shape=()):
+        y_one, _ = proc.apply(proc.params, proc.init(batch_shape=batch_shape),
+                              jnp.asarray(x_one))
+        carry = proc.init(batch_shape=batch_shape)
+        outs = []
+        for b in blocks:
+            y, carry = proc.apply(proc.params, carry, jnp.asarray(b))
+            outs.append(np.asarray(y))
+        y_s = np.concatenate(outs, axis=-1)
+        np.testing.assert_allclose(y_s, np.asarray(y_one), atol=1e-5)
+
+    def test_pfbch_analyzer(self):
+        rng = np.random.default_rng(0)
+        M = 8
+        x = (rng.standard_normal(M * 24) +
+             1j * rng.standard_normal(M * 24)).astype(np.complex64)
+        self._stream_eq(firpfbch_analyzer(M), x,
+                        [x[:M * 10], x[M * 10:]])
+
+    def test_pfbch_analyzer_p1(self):
+        # single-tap-per-branch bank (len(h) == M -> p = 1): the carry
+        # is EMPTY and must stay empty across blocks (regression for
+        # the `[-0:]`-returns-everything slice bug)
+        rng = np.random.default_rng(1)
+        M = 8
+        h = np.hanning(M).astype(np.float32) + 0.1
+        proc = firpfbch_analyzer(M, h=h)
+        c0 = proc.init()
+        assert c0.shape == (0, M)
+        x = (rng.standard_normal(M * 12) +
+             1j * rng.standard_normal(M * 12)).astype(np.complex64)
+        y, c1 = proc.apply(proc.params, c0, jnp.asarray(x[:M * 5]))
+        assert np.asarray(c1).shape == (0, M)
+        self._stream_eq(proc, x, [x[:M * 5], x[M * 5:]])
+
+    def test_pfbch_synthesizer(self):
+        rng = np.random.default_rng(2)
+        M, L = 8, 24
+        X = (rng.standard_normal((M, L)) +
+             1j * rng.standard_normal((M, L))).astype(np.complex64)
+        self._stream_eq(firpfbch_synthesizer(M), X,
+                        [X[:, :10], X[:, 10:]])
+
+    def test_pfbch_synthesizer_p1(self):
+        rng = np.random.default_rng(3)
+        M, L = 8, 12
+        h = np.hanning(M).astype(np.float32) + 0.1
+        proc = firpfbch_synthesizer(M, h=h)
+        X = (rng.standard_normal((M, L)) +
+             1j * rng.standard_normal((M, L))).astype(np.complex64)
+        self._stream_eq(proc, X, [X[:, :5], X[:, 5:]])
+
+    def test_pfbch2_analyzer(self):
+        rng = np.random.default_rng(4)
+        M = 16
+        x = (rng.standard_normal(M * 20) +
+             1j * rng.standard_normal(M * 20)).astype(np.complex64)
+        self._stream_eq(firpfbch2_analyzer(M), x,
+                        [x[:M * 7], x[M * 7:]])
+
+    def test_pfbch2_synthesizer(self):
+        rng = np.random.default_rng(5)
+        M, nf = 16, 28
+        X = (rng.standard_normal((M, nf)) +
+             1j * rng.standard_normal((M, nf))).astype(np.complex64)
+        self._stream_eq(firpfbch2_synthesizer(M), X,
+                        [X[:, :12], X[:, 12:]])
+
+    def test_batched_streaming(self):
+        rng = np.random.default_rng(6)
+        M = 8
+        x = (rng.standard_normal((3, M * 16)) +
+             1j * rng.standard_normal((3, M * 16))).astype(np.complex64)
+        self._stream_eq(firpfbch2_analyzer(M), x,
+                        [x[:, :M * 9], x[:, M * 9:]], batch_shape=(3,))
+
+
+class TestLargeMFallback:
+    """M > _FUSED_MAX_M uses the einsum + batched-(I)FFT formulation
+    (the dense fused DFT factor grows O(M^2)); force the fallback on a
+    small M and require equality with the fused path."""
+
+    def test_fallback_matches_fused(self, monkeypatch):
+        from liquid_dsp_tpu.multichannel import channelizer as ch
+        rng = np.random.default_rng(7)
+        M = 16
+        x = (rng.standard_normal(M * 20) +
+             1j * rng.standard_normal(M * 20)).astype(np.complex64)
+        X = (rng.standard_normal((M, 20)) +
+             1j * rng.standard_normal((M, 20))).astype(np.complex64)
+        fused = {
+            "a1": ch.firpfbch_analyzer(M),
+            "s1": ch.firpfbch_synthesizer(M),
+            "a2": ch.firpfbch2_analyzer(M),
+            "s2": ch.firpfbch2_synthesizer(M),
+        }
+        monkeypatch.setattr(ch, "_FUSED_MAX_M", 4)
+        slow = {
+            "a1": ch.firpfbch_analyzer(M),
+            "s1": ch.firpfbch_synthesizer(M),
+            "a2": ch.firpfbch2_analyzer(M),
+            "s2": ch.firpfbch2_synthesizer(M),
+        }
+        for key, inp in (("a1", x), ("s1", X), ("a2", x), ("s2", X)):
+            f, g = fused[key], slow[key]
+            assert f.planar_apply is not None and g.planar_apply is None
+            yf, _ = f.apply(f.params, f.init(), jnp.asarray(inp))
+            yg, _ = g.apply(g.params, g.init(), jnp.asarray(inp))
+            np.testing.assert_allclose(np.asarray(yf), np.asarray(yg),
+                                       atol=2e-5, err_msg=key)

@@ -254,7 +254,8 @@ def soft_to_hard(llrs):
 def modem_modulator(scheme: str = None, table=None,
                     name: str = "modem_mod") -> Proc:
     """Streaming modulator Proc: int symbols [..., T] -> complex samples."""
-    tab = jnp.asarray(constellation(scheme) if table is None else table)
+    tab = np.asarray(constellation(scheme) if table is None else table,
+                     np.complex64)  # numpy: see modem_demodulator note
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return ()
@@ -269,7 +270,11 @@ def modem_demodulator(scheme: str = None, table=None, soft: bool = False,
                       noise_var: float = 1.0,
                       name: str = "modem_demod") -> Proc:
     """Streaming hard (or soft) demodulator Proc."""
-    tab = jnp.asarray(constellation(scheme) if table is None else table)
+    # params keep the NUMPY table: an eager jnp.asarray of a complex
+    # table is a complex device_put, UNIMPLEMENTED on the axon tunnel
+    # (CLAUDE.md); jit materializes it as a compiled constant instead
+    tab = np.asarray(constellation(scheme) if table is None else table,
+                     np.complex64)
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return ()

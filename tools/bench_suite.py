@@ -71,9 +71,15 @@ def main():
     batch, T = 16, 1 << 17
 
     def x():
-        return jnp.asarray((rng.standard_normal((batch, T)) +
-                            1j * rng.standard_normal((batch, T))
-                            ).astype(np.complex64))
+        # assemble complex ON DEVICE from float planes: the tunnel's
+        # complex device_put is intermittently unavailable, and one
+        # failed eager transfer poisons the process (PERF.md) — this is
+        # why every complex row used to read n/a on chip
+        re = rng.standard_normal((batch, T)).astype(np.float32)
+        im = rng.standard_normal((batch, T)).astype(np.float32)
+        if jax.default_backend() == "cpu":
+            return jnp.asarray(re + 1j * im)
+        return jax.jit(jax.lax.complex)(jnp.asarray(re), jnp.asarray(im))
 
     cases = {}
 
@@ -88,8 +94,12 @@ def main():
             # when the tunnel is in its strict state (PERF.md)
             carry = jax.jit(
                 lambda p=proc, s=xin.shape[:-1]: p.init(batch_shape=s))()
+            # materialize params ON DEVICE via a jitted constant (a raw
+            # device_put of a complex table — e.g. a QAM constellation —
+            # is UNIMPLEMENTED on the tunnel)
+            params = jax.jit(lambda p=proc: p.params)()
             step = jax.jit(proc.apply)
-            cases[name] = bench(step, proc.params, carry, xin)
+            cases[name] = bench(step, params, carry, xin)
         except Exception as e:
             cases[name] = None
             import traceback

@@ -89,7 +89,7 @@ def nchoosek(n: int, k: int) -> float:
     return float(math.comb(n, k))
 
 
-def marcumq1(alpha, beta, iterations: int = 64):
+def marcumq1(alpha, beta, iterations: int | None = None):
     """Marcum Q_1(alpha, beta) via the Bessel series
     Q_1(a,b) = exp(-(a^2+b^2)/2) sum_k (a/b)^k I_k(ab)
     (reference liquid_MarcumQ1f, src/math/src/math.c:95-123)."""
@@ -103,6 +103,11 @@ def marcumq1(alpha, beta, iterations: int = 64):
     with np.errstate(divide="ignore"):
         ln_ab_ratio = np.log(alpha) - np.log(beta_safe)
     a_mul_b = alpha * beta_safe
+    if iterations is None:
+        # I_k(ab) stays significant up to order k ~ ab; a fixed 64-term
+        # cut gave percent-level CDF error for ab > ~400 (ADVICE r3)
+        ab_max = float(np.max(a_mul_b)) if a_mul_b.size else 0.0
+        iterations = max(64, int(ab_max + 10.0 * math.sqrt(ab_max + 1.0)) + 1)
     terms = np.stack(
         [(k * ln_ab_ratio if k else np.zeros_like(ln_ab_ratio))
          + lnbesseli(float(k), a_mul_b) for k in range(iterations)], axis=0)
@@ -112,17 +117,29 @@ def marcumq1(alpha, beta, iterations: int = 64):
     return np.where(beta <= 0, 1.0, np.clip(y, 0.0, 1.0))
 
 
-def lnbesseli(nu: float, z, iterations: int = 64):
-    """log I_nu(z) via the ascending series (reference math.bessel.c:41)."""
+def lnbesseli(nu: float, z, iterations: int | None = None):
+    """log I_nu(z) via the ascending series (reference math.bessel.c:41).
+    Term count scales with the argument: the series' largest term sits
+    near k ~ z/2, so a fixed cut silently truncates for large z."""
     z = np.asarray(z, dtype=np.float64)
     out = np.zeros_like(z)
     nz = z != 0
+    if iterations is None:
+        zmax = float(np.max(np.abs(z))) if z.size else 0.0
+        half = 0.5 * zmax
+        iterations = max(64, int(half + 9.0 * math.sqrt(half + 1.0)) + 8)
     zl = np.log(0.5 * np.where(nz, z, 1.0))
-    y = np.zeros_like(z)
-    for k in range(iterations):
-        t = 2.0 * k * zl - math.lgamma(k + 1) - math.lgamma(nu + k + 1)
-        y += np.exp(t)
-    out = np.where(nz, nu * zl + np.log(np.maximum(y, 1e-300)), 0.0)
+    # log-sum-exp over the series: linear accumulation of exp(t)
+    # underflows for large order (every term < e^-745 -> 0) and
+    # overflows for z > ~1400 — both silent and badly wrong
+    ks = np.arange(iterations, dtype=np.float64)
+    lg = np.array([math.lgamma(k + 1.0) + math.lgamma(nu + k + 1.0)
+                   for k in range(iterations)])
+    t = (2.0 * ks[:, None] * zl.reshape(1, -1)
+         - lg[:, None])                       # [iterations, z.size]
+    tmax = np.max(t, axis=0)
+    lse = tmax + np.log(np.sum(np.exp(t - tmax), axis=0))
+    out = np.where(nz, nu * zl + lse.reshape(z.shape), 0.0)
     if nu == 0.0:
         out = np.where(nz, out, 0.0)  # ln I_0(0) = 0
     return out

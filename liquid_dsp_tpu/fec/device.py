@@ -170,7 +170,9 @@ def qpacket_soft_decoder(payload_len: int, crc: str = "crc24",
     from ..modem.linear import constellation
 
     llr_fn, finish = packetizer_soft_decoder(payload_len, crc, fec0, fec1)
-    table = np.asarray(constellation(ms))
+    # complex64 cast: constellation() can promote to complex128 under
+    # NEP-50 and a c128 device_put is UNIMPLEMENTED on the axon tunnel
+    table = np.asarray(constellation(ms), np.complex64)
 
     def device_fn(symbols):
         from ..modem.linear import demodulate_soft

@@ -130,28 +130,32 @@ def fsk_frequency_error(y, m: int, k: int, bandwidth: float = 0.25):
     NOTE the reference as shipped takes cabsf() of the bin INDEX, a
     bug; this implements the commented intent (derivative of the FFT
     magnitude around the winning tone bin, zero when the tone is
-    centered).  Returns (symbols, ferr), both [..., N]."""
+    centered).  Returns (symbols, ferr), both [..., N].
+
+    Gather-free on device: bin indices are STATIC numpy arrays (tone,
+    tone-1, tone+1 maps), and the per-symbol peak selection is a
+    one-hot reduction over the M tones — no traced-index jnp.take /
+    take_along_axis, which serialize on TPU (CLAUDE.md rule)."""
     M = 1 << m
     M2 = 0.5 * (M - 1)
     K = fsk_fft_size(m, k, bandwidth)
     freqs = (np.arange(M) - M2) * bandwidth / M2
     idx = np.round(freqs * K)
-    demod_map = jnp.asarray(
-        (np.where(idx < 0, idx + K, idx) % K).astype(np.int32))
+    map0 = (np.where(idx < 0, idx + K, idx) % K).astype(np.int32)
+    map_m = (map0 - 1) % K                   # static neighbor maps
+    map_p = (map0 + 1) % K
     T = y.shape[-1]
     if T % k:
         raise ValueError(f"block length {T} not a multiple of k={k}")
     blocks = y.reshape(y.shape[:-1] + (T // k, k))
     spec = jnp.fft.fft(blocks, n=K, axis=-1)
     mag = jnp.abs(spec)
-    tone_mags = jnp.take(mag, demod_map, axis=-1)
-    syms = jnp.argmax(tone_mags, axis=-1)
-    peak_bin = jnp.take(demod_map, syms)
-    v0 = jnp.take_along_axis(mag, peak_bin[..., None], axis=-1)[..., 0]
-    vm = jnp.take_along_axis(mag, ((peak_bin - 1) % K)[..., None],
-                             axis=-1)[..., 0]
-    vp = jnp.take_along_axis(mag, ((peak_bin + 1) % K)[..., None],
-                             axis=-1)[..., 0]
+    tone = mag[..., map0]                    # [..., N, M] static gathers
+    syms = jnp.argmax(tone, axis=-1)
+    onehot = (syms[..., None] == jnp.arange(M)).astype(mag.dtype)
+    v0 = jnp.sum(onehot * tone, axis=-1)
+    vm = jnp.sum(onehot * mag[..., map_m], axis=-1)
+    vp = jnp.sum(onehot * mag[..., map_p], axis=-1)
     return syms, (vp - vm) / jnp.maximum(v0, 1e-12)
 
 

@@ -155,8 +155,10 @@ def _build_schemes():
             schemes[f"apsk{M}"] = (m, functools.partial(_apsk_table, m))
     schemes["bpsk"] = (1, lambda: np.array([1, -1], np.complex64))
     # bit0 -> real sign, bit1 -> imag sign (reference modem_qpsk.c:58-59)
+    # float32 scale keeps the table complex64 under NEP-50 promotion
     schemes["qpsk"] = (2, lambda: np.array(
-        [1 + 1j, -1 + 1j, 1 - 1j, -1 - 1j], np.complex64) / np.sqrt(2))
+        [1 + 1j, -1 + 1j, 1 - 1j, -1 - 1j], np.complex64)
+        / np.float32(np.sqrt(2)))
     schemes["ook"] = (1, lambda: np.array([np.sqrt(2), 0], np.complex64))
     schemes["sqam32"] = (5, lambda: _sqam_table(
         _tables()["modem_arb_sqam32"], 5))

@@ -58,6 +58,17 @@ class TestGammaFamily:
         assert float(marcumq1(1e-9, 2.0)) == pytest.approx(
             math.exp(-2.0), rel=1e-5)
 
+    def test_marcumq1_large_ab(self):
+        # ADVICE r3: a fixed 64-term Bessel series gave percent-level
+        # error for alpha*beta > ~400; term count now scales with a*b
+        # and lnbesseli is log-sum-exp (no under/overflow).  References
+        # are scipy ncx2.sf(b^2, 2, a^2) == Q1(a, b).
+        from scipy import stats
+        for a, b in ((10.0, 12.0), (20.0, 25.0), (30.0, 28.0),
+                     (40.0, 41.0)):
+            ref = stats.ncx2.sf(b * b, 2, a * a)
+            assert float(marcumq1(a, b)) == pytest.approx(ref, rel=1e-9)
+
     def test_large_alpha_no_overflow(self):
         # the series terms reach exp(alpha): linear accumulation
         # overflowed for alpha >~ 710 (review finding); CDFs must

@@ -291,15 +291,99 @@ def _sync_core(params: OFDMParams, n_syms: int, threshold: float):
 _DEMOD_CACHE: dict = {}
 
 
+def ofdm_demod_consts(params: OFDMParams, n_syms: int) -> dict:
+    """Numpy constants for the per-candidate frame demodulator (float
+    planes only: the axon TPU backend cannot materialize complex
+    transfers).  Shared by frame_demod_core and the full-device
+    streaming receiver (framing/ofdmflex_stream.py)."""
+    M, cp = params.M, params.cp_len
+    M2 = M // 2
+    W1 = 3 * (M + cp) + M
+    body_len = n_syms * (M + cp)
+    s1 = params.s1.astype(np.complex64)
+    on_idx = np.nonzero(params.p != SCTYPE_NULL)[0].astype(np.int32)
+    S1_on = params.S1[on_idx] * np.sqrt(params.M_pilot + params.M_data)
+    pil_idx = _pilot_order(params).astype(np.int32)
+    k_signed = (((np.arange(M) + M2) % M) - M2).astype(np.float32)
+    order = np.argsort(k_signed[pil_idx], kind="stable")
+    kk = k_signed[pil_idx][order]
+    return {
+        "M": M, "cp": cp, "n_syms": int(n_syms),
+        "W1": W1, "body_len": body_len, "WIN": W1 + M + body_len,
+        "s1c_re": s1.conj().real.astype(np.float32),
+        "s1c_im": s1.conj().imag.astype(np.float32),
+        "s1_e": float(np.sum(np.abs(s1) ** 2)),
+        "on_idx": on_idx,
+        "S1i_re": (1.0 / S1_on).real.astype(np.float32),
+        "S1i_im": (1.0 / S1_on).imag.astype(np.float32),
+        "pil_idx": pil_idx,
+        "dat_idx": np.nonzero(params.p == SCTYPE_DATA)[0].astype(np.int32),
+        "pilots": _pilot_sequence(params.M_pilot, n_syms),
+        "k_signed": k_signed, "order": order, "kk": kk,
+        "dk": np.diff(kk),
+        "scale": float(np.sqrt(params.M_pilot + params.M_data)),
+    }
+
+
+def ofdm_demod_window(dc: dict, win, cfo):
+    """Demodulate one frame from a raw window (position 0 = coarse S0
+    plateau index): S1 timing by one matmul cross-correlation, per-
+    subcarrier channel estimate, CP-strip + batched FFT + EQ, pilot
+    phase AND timing-slope tracking.  Same math as _sync_core steps
+    2-6; the constant carrier phase difference from de-rotating
+    relative to the window start (instead of the capture start) folds
+    into the S1 channel estimate.  jnp function of (win[WIN] complex,
+    cfo scalar) -> (s1_off, data[n_syms, M_data], perr[n_syms, n_pil],
+    cfo_out); vmap-batchable over candidates.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    M, cp = dc["M"], dc["cp"]
+    W1, body_len, WIN = dc["W1"], dc["body_len"], dc["WIN"]
+    n_syms = dc["n_syms"]
+    t32 = jnp.arange(WIN, dtype=jnp.float32)
+    xc = win * lax.complex(jnp.cos(cfo * t32), -jnp.sin(cfo * t32))
+    w2 = xc[: W1 + M - 1]
+    win2 = w2[np.arange(W1)[:, None] + np.arange(M)[None, :]]
+    s1c = lax.complex(jnp.asarray(dc["s1c_re"]), jnp.asarray(dc["s1c_im"]))
+    V = win2 @ s1c
+    best = jnp.argmax(jnp.abs(V) / dc["s1_e"]).astype(jnp.int32)
+    S1_rx = jnp.fft.fft(lax.dynamic_slice(xc, (best,), (M,)))
+    S1inv = lax.complex(jnp.asarray(dc["S1i_re"]), jnp.asarray(dc["S1i_im"]))
+    vals = S1_rx[jnp.asarray(dc["on_idx"])] * S1inv
+    sm = jnp.convolve(vals, jnp.ones(3, vals.dtype) / 3.0, mode="same")
+    sm = sm.at[0].set(vals[0]).at[-1].set(vals[-1])
+    Gs = jnp.zeros(M, xc.dtype).at[jnp.asarray(dc["on_idx"])].set(sm)
+    body = lax.dynamic_slice(xc, (best + M,), (body_len,))
+    body = body.reshape(n_syms, M + cp)[:, cp:]
+    Xr = jnp.fft.fft(body, axis=-1) / dc["scale"]
+    nz = jnp.abs(Gs) > 1e-9
+    inv = jnp.where(nz, 1.0 / jnp.where(nz, Gs, 1.0), 0.0)
+    Xeq = Xr * inv[None, :]
+    pilots, order = dc["pilots"], dc["order"]
+    kk, dk, k_signed = dc["kk"], dc["dk"], dc["k_signed"]
+    q = (Xeq[:, jnp.asarray(dc["pil_idx"])] * pilots)[:, order]
+    dphi_n = jnp.angle(q[:, 1:] * jnp.conj(q[:, :-1]))
+    b_s = jnp.sum(dphi_n * dk[None, :], axis=1) / float(np.sum(dk ** 2))
+    rot = b_s[:, None] * kk[None, :]
+    a_s = jnp.angle(jnp.sum(
+        q * lax.complex(jnp.cos(rot), -jnp.sin(rot)), axis=1))
+    ph_all = a_s[:, None] + b_s[:, None] * k_signed[None, :]
+    Xeq = Xeq * lax.complex(jnp.cos(ph_all), -jnp.sin(ph_all))
+    data = Xeq[:, jnp.asarray(dc["dat_idx"])]
+    perr = Xeq[:, jnp.asarray(dc["pil_idx"])] * pilots - 1.0
+    da = jnp.angle(jnp.mean(jnp.exp(1j * (a_s[1:] - a_s[:-1])))) \
+        if n_syms > 1 else jnp.float32(0.0)
+    return best, data, perr, cfo + da / (M + cp)
+
+
 def frame_demod_core(params: OFDMParams, n_syms: int):
     """Cached jittable per-candidate frame demodulator for streaming
     receivers: window in (position 0 = coarse S0 plateau index), frame
     out.  Returns (fn, win_len) where
     fn(win[win_len], cfo) -> (s1_off, data[n_syms, M_data],
-    perr[n_syms, n_pil], cfo_out).  Same math as the one-shot
-    _sync_core steps 2-6; the constant carrier phase difference from
-    de-rotating relative to the window start (instead of the capture
-    start) folds into the S1 channel estimate.
+    perr[n_syms, n_pil], cfo_out).  See ofdm_demod_window.
     """
     key = (params.M, params.cp_len, params.taper_len, params.p.tobytes(),
            int(n_syms))
@@ -307,69 +391,62 @@ def frame_demod_core(params: OFDMParams, n_syms: int):
     if hit is not None:
         return hit
     import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    M, cp = params.M, params.cp_len
-    M2 = M // 2
-    W1 = 3 * (M + cp) + M
-    body_len = n_syms * (M + cp)
-    WIN = W1 + M + body_len
-    s1 = params.s1.astype(np.complex64)
-    s1c_re = s1.conj().real.astype(np.float32)
-    s1c_im = s1.conj().imag.astype(np.float32)
-    s1_e = float(np.sum(np.abs(s1) ** 2))
-    on_idx = np.nonzero(params.p != SCTYPE_NULL)[0].astype(np.int32)
-    S1_on = params.S1[on_idx] * np.sqrt(params.M_pilot + params.M_data)
-    S1i_re = (1.0 / S1_on).real.astype(np.float32)
-    S1i_im = (1.0 / S1_on).imag.astype(np.float32)
-    pil_idx = _pilot_order(params).astype(np.int32)
-    dat_idx = np.nonzero(params.p == SCTYPE_DATA)[0].astype(np.int32)
-    pilots = _pilot_sequence(params.M_pilot, n_syms)
-    k_signed = (((np.arange(M) + M2) % M) - M2).astype(np.float32)
-    order = np.argsort(k_signed[pil_idx], kind="stable")
-    kk = k_signed[pil_idx][order]
-    dk = np.diff(kk)
-    scale = float(np.sqrt(params.M_pilot + params.M_data))
-
-    def core(win, cfo):
-        t32 = jnp.arange(WIN, dtype=jnp.float32)
-        xc = win * lax.complex(jnp.cos(cfo * t32), -jnp.sin(cfo * t32))
-        w2 = xc[: W1 + M - 1]
-        win2 = w2[np.arange(W1)[:, None] + np.arange(M)[None, :]]
-        s1c = lax.complex(jnp.asarray(s1c_re), jnp.asarray(s1c_im))
-        V = win2 @ s1c
-        best = jnp.argmax(jnp.abs(V) / s1_e).astype(jnp.int32)
-        S1_rx = jnp.fft.fft(lax.dynamic_slice(xc, (best,), (M,)))
-        S1inv = lax.complex(jnp.asarray(S1i_re), jnp.asarray(S1i_im))
-        vals = S1_rx[jnp.asarray(on_idx)] * S1inv
-        sm = jnp.convolve(vals, jnp.ones(3, vals.dtype) / 3.0, mode="same")
-        sm = sm.at[0].set(vals[0]).at[-1].set(vals[-1])
-        Gs = jnp.zeros(M, xc.dtype).at[jnp.asarray(on_idx)].set(sm)
-        body = lax.dynamic_slice(xc, (best + M,), (body_len,))
-        body = body.reshape(n_syms, M + cp)[:, cp:]
-        Xr = jnp.fft.fft(body, axis=-1) / scale
-        nz = jnp.abs(Gs) > 1e-9
-        inv = jnp.where(nz, 1.0 / jnp.where(nz, Gs, 1.0), 0.0)
-        Xeq = Xr * inv[None, :]
-        q = (Xeq[:, jnp.asarray(pil_idx)] * pilots)[:, order]
-        dphi_n = jnp.angle(q[:, 1:] * jnp.conj(q[:, :-1]))
-        b_s = jnp.sum(dphi_n * dk[None, :], axis=1) / float(np.sum(dk ** 2))
-        rot = b_s[:, None] * kk[None, :]
-        a_s = jnp.angle(jnp.sum(
-            q * lax.complex(jnp.cos(rot), -jnp.sin(rot)), axis=1))
-        ph_all = a_s[:, None] + b_s[:, None] * k_signed[None, :]
-        Xeq = Xeq * lax.complex(jnp.cos(ph_all), -jnp.sin(ph_all))
-        data = Xeq[:, jnp.asarray(dat_idx)]
-        perr = Xeq[:, jnp.asarray(pil_idx)] * pilots - 1.0
-        da = jnp.angle(jnp.mean(jnp.exp(1j * (a_s[1:] - a_s[:-1])))) \
-            if n_syms > 1 else jnp.float32(0.0)
-        return best, data, perr, cfo + da / (M + cp)
-
-    import jax
-    out = (jax.jit(core), WIN)
+    dc = ofdm_demod_consts(params, int(n_syms))
+    out = (jax.jit(lambda win, cfo: ofdm_demod_window(dc, win, cfo)),
+           dc["WIN"])
     _DEMOD_CACHE[key] = out
     return out
+
+
+def s0_detect_block(buf, last_end, M: int, threshold: float, span: int,
+                    T: int, n_chunk: int, P_: int, CH: int = 256):
+    """Streaming Schmidl-Cox S0 detection over one buffer [hist+T]:
+    plateau metric + per-chunk local max + in-order suppression.
+    Returns (valid[P], d0[P] buffer coords, cfo[P], peak[P], cand,
+    pos, n_cand) — the detection half shared by ofdm_detector_stream
+    and the full-device ofdmflex receiver."""
+    import jax.numpy as jnp
+    from jax import lax
+    from ..ops.fir import fir_apply_matmul
+
+    M2 = M // 2
+    prod = buf[M2:] * jnp.conj(buf[:-M2])
+    # windowed sums as banded-tap matmuls (ones taps): the cumsum
+    # formulation measured 227 Msps on TPU vs 5237 for the MXU
+    # banding (tools/exp_ofdm_detect.py); forward window of width W
+    # is the causal box sum shifted by W-1
+    pr, _ = fir_apply_matmul(
+        jnp.ones(M2, jnp.float32), jnp.zeros((M2 - 1,), prod.dtype), prod)
+    Pm = pr[M2 - 1:]
+    en = jnp.abs(buf).astype(jnp.float32) ** 2
+    er, _ = fir_apply_matmul(
+        jnp.ones(M, jnp.float32), jnp.zeros((M - 1,), jnp.float32), en)
+    R = er[M - 1:]
+    Lm = n_chunk * CH
+    metric = jnp.abs(Pm[:Lm]) / jnp.maximum(R[:Lm], 1e-12) * 2.0
+    mc = metric.reshape(n_chunk, CH)
+    pk = jnp.max(mc, axis=-1)
+    pos = jnp.asarray(np.arange(n_chunk) * CH, jnp.int32) + \
+        jnp.argmax(mc, axis=-1).astype(jnp.int32)
+    neg = jnp.full((1,), -jnp.inf, pk.dtype)
+    local = (pk > jnp.concatenate([neg, pk[:-1]])) & \
+        (pk >= jnp.concatenate([pk[1:], neg]))
+    cand = (pk > threshold) & (pos < T) & local
+
+    def _suppress(le, ci):
+        cnd, p = ci
+        keep = cnd & (p >= le)
+        return jnp.where(keep, p + span, le), keep
+
+    _, keeps = lax.scan(_suppress, last_end, (cand, pos), unroll=32)
+    cand = keeps
+    n_cand = jnp.sum(cand)
+    sel = jnp.nonzero(cand, size=P_, fill_value=0)[0]
+    valid = jnp.arange(P_) < n_cand
+    d0 = pos[sel]
+    peak = pk[sel]
+    cfo = jnp.angle(Pm[jnp.minimum(d0, Lm - 1)]) / M2
+    return valid, d0, cfo, peak, cand, pos, n_cand
 
 
 def ofdm_detector_stream(block_len: int, params: OFDMParams,
@@ -390,7 +467,6 @@ def ofdm_detector_stream(block_len: int, params: OFDMParams,
     """
     import jax
     import jax.numpy as jnp
-    from jax import lax
     from ..core import Proc
 
     T = int(block_len)
@@ -398,7 +474,6 @@ def ofdm_detector_stream(block_len: int, params: OFDMParams,
     if T % CH != 0:
         raise ValueError("block_len must be a multiple of %d" % CH)
     M, cp = params.M, params.cp_len
-    M2 = M // 2
     P_ = int(max_frames)
     hist = 1536
     span = int(suppress_span if suppress_span is not None
@@ -410,50 +485,11 @@ def ofdm_detector_stream(block_len: int, params: OFDMParams,
                 "base": jnp.full(batch_shape, -hist, jnp.int32),
                 "last_end": jnp.full(batch_shape, -(1 << 30), jnp.int32)}
 
-    ones_m2 = np.ones(M2, np.float32)
-    ones_m = np.ones(M, np.float32)
-
     def _apply_1d(carry, x):
-        from ..ops.fir import fir_apply_matmul
         buf = jnp.concatenate([carry["buf"], x.astype(jnp.complex64)],
                               axis=-1)
-        prod = buf[M2:] * jnp.conj(buf[:-M2])
-        # windowed sums as banded-tap matmuls (ones taps): the cumsum
-        # formulation measured 227 Msps on TPU vs 5237 for the MXU
-        # banding (tools/exp_ofdm_detect.py); forward window of width W
-        # is the causal box sum shifted by W-1
-        pr, _ = fir_apply_matmul(
-            jnp.asarray(ones_m2), jnp.zeros((M2 - 1,), prod.dtype), prod)
-        Pm = pr[M2 - 1:]
-        en = jnp.abs(buf).astype(jnp.float32) ** 2
-        er, _ = fir_apply_matmul(
-            jnp.asarray(ones_m), jnp.zeros((M - 1,), jnp.float32), en)
-        R = er[M - 1:]
-        Lm = n_chunk * CH
-        metric = jnp.abs(Pm[:Lm]) / jnp.maximum(R[:Lm], 1e-12) * 2.0
-        mc = metric.reshape(n_chunk, CH)
-        pk = jnp.max(mc, axis=-1)
-        pos = jnp.asarray(np.arange(n_chunk) * CH, jnp.int32) + \
-            jnp.argmax(mc, axis=-1).astype(jnp.int32)
-        neg = jnp.full((1,), -jnp.inf, pk.dtype)
-        local = (pk > jnp.concatenate([neg, pk[:-1]])) & \
-            (pk >= jnp.concatenate([pk[1:], neg]))
-        cand = (pk > threshold) & (pos < T) & local
-
-        def _suppress(le, ci):
-            cnd, p = ci
-            keep = cnd & (p >= le)
-            return jnp.where(keep, p + span, le), keep
-
-        _, keeps = lax.scan(_suppress, carry["last_end"], (cand, pos),
-                            unroll=32)
-        cand = keeps
-        n_cand = jnp.sum(cand)
-        sel = jnp.nonzero(cand, size=P_, fill_value=0)[0]
-        valid = jnp.arange(P_) < n_cand
-        d0 = pos[sel]
-        peak = pk[sel]
-        cfo = jnp.angle(Pm[jnp.minimum(d0, Lm - 1)]) / M2
+        valid, d0, cfo, peak, cand, pos, n_cand = s0_detect_block(
+            buf, carry["last_end"], M, threshold, span, T, n_chunk, P_, CH)
         out = (valid, carry["base"] + d0, cfo, peak)
         last_n0 = jnp.max(jnp.where(cand, pos, -(1 << 30)))
         new_last = jnp.maximum(

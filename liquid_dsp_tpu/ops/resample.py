@@ -252,7 +252,8 @@ def _pfb_taps(npfb: int, m: int, fc: float, as_db: float) -> np.ndarray:
 
 
 def resamp(rate, m: int = 7, fc: float = 0.25, as_db: float = 60.0,
-           npfb: int = 64, name: str = "resamp") -> Proc:
+           npfb: int = 64, name: str = "resamp",
+           backend: str = "auto") -> Proc:
     """Arbitrary-rate polyphase resampler (reference resamp.c).
 
     rate may be a float (rationalized) or an exact (num, den) tuple.
@@ -295,6 +296,59 @@ def resamp(rate, m: int = 7, fc: float = 0.25, as_db: float = 60.0,
     Hc = jnp.asarray(Hc_host)
     params = (H, Hc)
 
+    # --- rational banded matmul (the VERDICT r3 #4 reformulation) ---
+    # One rectangular band matrix maps overlapped input frames straight
+    # to interleaved outputs: column (p*num + c) holds class c's
+    # combined taps at row offset p*den + qc[c] + 1, so a frame of
+    # tile_in inputs emits tile_in*num/den outputs as ONE MXU matmul —
+    # the per-class feature-dim-1 convs never reached the MXU (291 Msps
+    # at 3/2, PERF.md per-op table; same failure mode as the lax.conv
+    # FIR row).  Same math, same closed-form branch schedule.
+    tile_in = -(-192 // den) * den              # ~192-256, multiple of den
+    P_t = tile_in // den
+    tile_out = P_t * num
+    rs_rows = tile_in + L + 1
+
+    def _resamp_band() -> np.ndarray:
+        B = np.zeros((rs_rows, tile_out), np.float32)
+        for p in range(P_t):
+            for c in range(num):
+                r0 = p * den + int(qc_host[c]) + 1
+                B[r0:r0 + L + 1, p * num + c] = Hc_host[c]
+        return B
+
+    band_host = _resamp_band() if num <= 64 else None
+
+    def _banded_resamp(xp, T, n_out):
+        """xp [.., L+T] (tail prefix included) -> y [.., n_out]."""
+        from jax import lax
+        nt = -(-n_out // tile_out)
+        nb = -(-rs_rows // tile_in)
+        tot = (nt + nb - 1) * tile_in
+        pad_r = tot - xp.shape[-1]
+        if pad_r > 0:
+            xp = jnp.pad(xp, [(0, 0)] * (xp.ndim - 1) + [(0, pad_r)])
+        elif pad_r < 0:
+            xp = xp[..., :tot]
+        if jnp.iscomplexobj(xp):
+            planes = jnp.stack([jnp.real(xp), jnp.imag(xp)], axis=0)
+            y2 = _banded_resamp(planes, T, n_out)
+            return lax.complex(y2[0], y2[1])
+        xpt = xp.reshape(xp.shape[:-1] + (nt + nb - 1, tile_in))
+        y = None
+        for b in range(nb):
+            blk = band_host[b * tile_in:(b + 1) * tile_in]
+            if blk.shape[0] < tile_in:
+                blk = np.pad(blk, [(0, tile_in - blk.shape[0]), (0, 0)])
+            seg = lax.slice_in_dim(xpt, b, b + nt, axis=-2)
+            # HIGHEST: the resamp goldens are sample-exact and the TPU
+            # default matmul is a one-pass bf16 multiply (CLAUDE.md)
+            contrib = jnp.einsum("...tf,fo->...to", seg,
+                                 jnp.asarray(blk).astype(seg.dtype),
+                                 precision=jax.lax.Precision.HIGHEST)
+            y = contrib if y is None else y + contrib
+        return y.reshape(y.shape[:-2] + (nt * tile_out,))[..., :n_out]
+
     def init(batch_shape=(), dtype=jnp.complex64):
         return {"tail": jnp.zeros(batch_shape + (L,), dtype),
                 "phi": jnp.zeros((), jnp.float64 if False else jnp.float32)}
@@ -308,8 +362,17 @@ def resamp(rate, m: int = 7, fc: float = 0.25, as_db: float = 60.0,
                 f"multiple of {den}")
         n_out = T * num // den
         xp = jnp.concatenate([carry["tail"].astype(x.dtype), x], axis=-1)
+        use_band = num <= 64 and (
+            backend == "matmul" or
+            (backend == "auto" and jax.default_backend() != "cpu"))
+        if use_band:
+            # banded rectangular matmul: MXU path on accelerators
+            y = _banded_resamp(xp, T, n_out)
+            new_carry = {"tail": xp[..., xp.shape[-1] - L:],
+                         "phi": carry["phi"]}
+            return y, new_carry
         if num <= 64:
-            # class formulation: num strided convs, no gathers
+            # class formulation: num strided convs (CPU: conv wins)
             J = T // den
             batch_shape = x.shape[:-1]
             xb = xp.reshape((-1, 1, xp.shape[-1]))

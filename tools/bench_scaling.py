@@ -121,6 +121,71 @@ def main():
                 overheads.append(max(m0 / m1 - 1.0, 0.0))
             rec["comm_overhead"] = round(min(overheads), 4)
         print(json.dumps(rec))
+
+    # ---- the NORTH-STAR RX CHAIN, channel-DP sharded (VERDICT r3 #2):
+    # the streaming frame64 receiver has a sequential inter-block carry,
+    # so it shards over CHANNELS (CLAUDE.md rule).  Channel-DP has no
+    # halo; the observable is the sharding-machinery overhead — any
+    # collective XLA inserts because an op failed to partition shows up
+    # here as a throughput drop vs the SAME total work on one device.
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from liquid_dsp_tpu.framing.frame64 import framesync64_stream
+
+    T_rx, B_rx = 4096, max_n
+    rx = framesync64_stream(T_rx, max_frames=2)
+    x_rx = jnp.asarray((0.01 * (
+        rng.standard_normal((B_rx, T_rx)) +
+        1j * rng.standard_normal((B_rx, T_rx)))).astype(np.complex64))
+    carry_rx = rx.init(batch_shape=(B_rx,))
+
+    def bench_rx(n):
+        if n == 1:
+            xs, cs = x_rx, carry_rx
+        else:
+            mesh = Mesh(np.array(devices[:n]), ("ch",))
+
+            def shard(l):
+                return jax.device_put(l, NamedSharding(
+                    mesh, P("ch", *([None] * (np.ndim(l) - 1)))))
+            xs = shard(x_rx)
+            cs = jax.tree_util.tree_map(shard, carry_rx)
+
+        @jax.jit
+        def step(c, x):
+            out, c2 = rx.apply((), c, x)
+            # PER-ROW checksum (no cross-device reduction): a global
+            # jnp.sum over the sharded batch axis inserts an all-reduce
+            # whose in-process CPU rendezvous aborts the whole run when
+            # host cores are oversubscribed (40 s rendezvous timeout) —
+            # and it is not part of the receiver being measured anyway
+            return c2, jnp.sum(out.rxy, axis=-1)
+
+        c2, chk = step(cs, xs)
+        float(np.asarray(chk).sum())
+
+        def run_trials(k):
+            t0 = time.perf_counter()
+            c = cs
+            for _ in range(k):
+                c, chk = step(c, xs)
+            float(np.asarray(chk).sum())
+            return time.perf_counter() - t0
+
+        k, dt1 = 1, run_trials(1)
+        while dt1 < 0.5 and k < 256:
+            k *= 2
+            dt1 = run_trials(k)
+        dt2 = run_trials(2 * k)
+        if dt2 - dt1 > 0.25 * dt1:
+            return B_rx * T_rx * k / (dt2 - dt1) / 1e6
+        return B_rx * T_rx * 2 * k / dt2 / 1e6
+
+    rx_base = max(bench_rx(1) for _ in range(REPS))
+    for n in [n for n in sweep if n > 1]:
+        m = max(bench_rx(n) for _ in range(REPS))
+        print(json.dumps({"metric": "framesync64_stream_dp",
+                          "n_devices": n, "msps": round(m, 2),
+                          "vs_1dev_same_work": round(m / rx_base, 3)}))
     return 0
 
 

@@ -48,7 +48,8 @@ from .interleave import deinterleave_soft
 from .dispatch import fec_get_enc_msg_length
 
 __all__ = ["qpacket_soft_decoder", "packetizer_soft_decoder",
-           "block_codebook"]
+           "block_codebook", "conv_soft_decoder",
+           "conv_packet_soft_decoder", "qpacket_conv_soft_decoder"]
 
 
 @functools.lru_cache(maxsize=16)
@@ -150,6 +151,171 @@ def packetizer_soft_decoder(payload_len: int, crc: str = "crc24",
                 key = (key << 8) | int(b)
             ok[r] = crc_validate_message(crc, flat[r, :payload_len], key)
         return payload, ok.reshape(buf.shape[:-1])
+
+    return device_fn, finish
+
+
+def conv_soft_decoder(scheme: str, dec_len: int):
+    """Jittable batched soft Viterbi for a convolutional scheme:
+    device_fn(llr [..., >= 8*enc_len] float, positive = bit 1) ->
+    bits [..., 8*dec_len] int32 — the whole trellis on device.
+
+    TPU design (vs the host conv_decode in fec/conv.py, which mixes
+    numpy depuncture with a per-packet scan):
+      * depuncture is a STATIC scatter (erasures = zero metric),
+      * the ACS step is batched over leading axes: each next state's 2
+        predecessors are static index arrays, so the gather
+        pm[..., prev] is static; branch metrics come from one einsum,
+      * traceback is GATHER-FREE: the winning predecessor bit is a
+        one-hot reduction over states and the predecessor state is the
+        closed form (state >> 1) + j * (ns/2) — no traced jnp.take.
+
+    v615 is rejected: its 16384-state ACS per bit is ~64x v29's work
+    with the same sequential depth, far past any practical batching
+    win on TPU — it stays a host decode (documented in API_PARITY.md).
+    Reference analog: fec_conv.c:225-266 (libfec Viterbi delegation).
+    """
+    from .conv import _parse, _trellis, conv_get_enc_msg_length
+    import jax
+    from ..core import scan_unroll
+
+    K, polys, pmat = _parse(scheme)
+    if K > 9:
+        raise ValueError(
+            f"{scheme!r}: 2^{K - 1} = {1 << (K - 1)} states per ACS step "
+            "is host-only territory (see API_PARITY.md)")
+    r = len(polys)
+    ns = 1 << (K - 1)
+    nbits_in = 8 * dec_len + K - 1
+    enc_len = conv_get_enc_msg_length(scheme, dec_len)
+    # static depuncture scatter: which llr index feeds each (t, stream)
+    if pmat is None:
+        keep_idx = np.arange(nbits_in * r, dtype=np.int32)
+    else:
+        period = pmat.shape[1]
+        keep = np.resize(pmat.T, ((-(-nbits_in // period)) * period, r)
+                         )[:nbits_in].astype(bool).reshape(-1)
+        keep_idx = np.nonzero(keep)[0].astype(np.int32)
+    n_kept = len(keep_idx)
+    assert n_kept <= 8 * enc_len
+    out, _ = _trellis(K, tuple(polys))
+    exp = (2.0 * out.astype(np.float32) - 1.0)          # [ns, 2, r]
+    sp = np.arange(ns, dtype=np.int32)
+    prev = np.stack([sp >> 1, (sp >> 1) + (ns >> 1)], axis=1)  # [ns, 2]
+    b_of = (sp & 1).astype(np.int32)                    # input bit of s'
+    # flat index into bm[..., ns*2]: predecessor j of s' used branch
+    # (prev[s', j], b_of[s'])
+    fidx = (prev * 2 + b_of[:, None]).astype(np.int32)  # [ns, 2]
+    NEG = np.float32(-1e9)
+    half = np.int32(ns >> 1)
+
+    def device_fn(llr):
+        llr = jnp.asarray(llr)
+        flat = jnp.zeros(llr.shape[:-1] + (nbits_in * r,), jnp.float32)
+        flat = flat.at[..., jnp.asarray(keep_idx)].set(
+            llr[..., :n_kept].astype(jnp.float32))
+        obs = flat.reshape(flat.shape[:-1] + (nbits_in, r))
+        bm = jnp.einsum("...tr,sbr->...tsb", obs, jnp.asarray(exp),
+                        precision=lax.Precision.HIGHEST)
+        bm = bm.reshape(bm.shape[:-2] + (ns * 2,))
+        bm_t = jnp.moveaxis(bm, -2, 0)                  # [T, ..., ns*2]
+
+        def acs(pm, bmt):
+            cand = pm[..., jnp.asarray(prev)] + bmt[..., jnp.asarray(fidx)]
+            j = jnp.argmax(cand, axis=-1).astype(jnp.int32)  # [..., ns]
+            new_pm = jnp.max(cand, axis=-1)
+            # normalize: path metrics grow linearly with T
+            new_pm = new_pm - jnp.max(new_pm, axis=-1, keepdims=True)
+            return new_pm, j
+
+        pm0 = jnp.full((ns,), NEG, jnp.float32).at[0].set(0.0)
+        pm0 = jnp.broadcast_to(pm0, llr.shape[:-1] + (ns,))
+        _, decs = lax.scan(acs, pm0, bm_t,
+                           unroll=scan_unroll(8) if ns <= 256 else 1)
+
+        states = jnp.asarray(np.arange(ns, dtype=np.int32))
+
+        def back(state, dec_t):
+            # gather-free: one-hot select the winning predecessor index
+            oh = (state[..., None] == states).astype(jnp.int32)
+            j = jnp.sum(oh * dec_t, axis=-1)
+            bit = state & 1
+            prev_state = (state >> 1) + j * half
+            return prev_state, bit
+
+        state0 = jnp.zeros(llr.shape[:-1], jnp.int32)   # flushed to 0
+        _, bits_rev = lax.scan(back, state0, decs, reverse=True,
+                               unroll=scan_unroll(8))
+        bits = jnp.moveaxis(bits_rev, 0, -1)            # [..., nbits_in]
+        return bits[..., : 8 * dec_len]
+
+    return device_fn, enc_len
+
+
+def conv_packet_soft_decoder(payload_len: int, crc: str = "crc32",
+                             fec0: str = "v27", fec1: str = "none"):
+    """(device_fn, finish) for a packetizer configuration whose coding
+    is ONE convolutional stage (the other 'none'): encode reduces to
+    interleave4(conv_encode(buf)) either way, so the device path is a
+    static deinterleave gather + the batched soft Viterbi.
+
+    device_fn(llr [..., >= 8*enc_len]) -> bits [..., 8*dec_len] int32
+    finish(bits numpy) -> (payload [..., payload_len] uint8, crc_ok)
+    """
+    from .conv import CONV_SCHEMES
+    schemes = {fec0, fec1}
+    conv = [s for s in schemes if s in CONV_SCHEMES]
+    if len(conv) != 1 or (schemes - set(conv)) != {"none"}:
+        raise ValueError("conv packet decoder needs exactly one conv "
+                         f"stage and one 'none', got ({fec0!r}, {fec1!r})")
+    scheme = conv[0]
+    dec_len = payload_len + crc_sizeof_key(crc)
+    vit_fn, enc_len = conv_soft_decoder(scheme, dec_len)
+    assert enc_len == packetizer_compute_enc_msg_len(
+        payload_len, crc, fec0, fec1)
+    perm = _deint_perm(enc_len)
+    need = 8 * enc_len
+
+    def device_fn(llr):
+        flat = jnp.asarray(llr)
+        if flat.shape[-1] < need:
+            pad = [(0, 0)] * (flat.ndim - 1) + [(0, need - flat.shape[-1])]
+            flat = jnp.pad(flat, pad)
+        deint = flat[..., :need][..., jnp.asarray(perm)]
+        return vit_fn(deint)
+
+    def finish(bits):
+        bits = np.asarray(bits, np.uint8)
+        buf = np.packbits(bits, axis=-1)[..., :dec_len]
+        payload = buf[..., :payload_len]
+        nk = crc_sizeof_key(crc)
+        flat = buf.reshape(-1, dec_len)
+        ok = np.zeros(flat.shape[0], bool)
+        for rr in range(flat.shape[0]):
+            key = 0
+            for b in flat[rr, payload_len:payload_len + nk]:
+                key = (key << 8) | int(b)
+            ok[rr] = crc_validate_message(crc, flat[rr, :payload_len], key)
+        return payload, ok.reshape(buf.shape[:-1])
+
+    return device_fn, finish
+
+
+def qpacket_conv_soft_decoder(payload_len: int, crc: str = "crc32",
+                              fec0: str = "v27", fec1: str = "none",
+                              ms: str = "qpsk"):
+    """conv_packet_soft_decoder with the modem's exact max-log soft
+    demodulator in front: device_fn(symbols [..., nsym] complex) ->
+    bits [..., 8*dec_len] int32 (fully jittable, batched)."""
+    from ..modem.linear import constellation
+
+    llr_fn, finish = conv_packet_soft_decoder(payload_len, crc, fec0, fec1)
+    table = np.asarray(constellation(ms), np.complex64)
+
+    def device_fn(symbols):
+        from ..modem.linear import demodulate_soft
+        llr = demodulate_soft(jnp.asarray(table), symbols)
+        return llr_fn(llr.reshape(llr.shape[:-2] + (-1,)))
 
     return device_fn, finish
 

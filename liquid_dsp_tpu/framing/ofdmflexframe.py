@@ -223,18 +223,23 @@ class OFDMFlexFrameSync:
         self._dev_fec_cache: dict = {}
 
     def _device_decoder(self, n_payload, crc, fec0, fec1, ms):
-        """Cached device soft decoder for a qualifying payload config
-        (fec0 none + block outer code, fec/device.py); None otherwise."""
+        """Cached device soft decoder for a qualifying payload config:
+        block outer code (codebook matmul) or single conv stage (batched
+        soft Viterbi scan) — fec/device.py; None otherwise."""
         key = (n_payload, crc, fec0, fec1, ms)
         if key not in self._dev_fec_cache:
-            try:
-                import jax
-                from ..fec.device import qpacket_soft_decoder
-                dfn, fin = qpacket_soft_decoder(n_payload, crc, fec0,
-                                                fec1, ms)
-                self._dev_fec_cache[key] = (jax.jit(dfn), fin)
-            except ValueError:
-                self._dev_fec_cache[key] = None
+            import jax
+            from ..fec.device import (qpacket_soft_decoder,
+                                      qpacket_conv_soft_decoder)
+            self._dev_fec_cache[key] = None
+            for builder in (qpacket_soft_decoder,
+                            qpacket_conv_soft_decoder):
+                try:
+                    dfn, fin = builder(n_payload, crc, fec0, fec1, ms)
+                    self._dev_fec_cache[key] = (jax.jit(dfn), fin)
+                    break
+                except ValueError:
+                    continue
         return self._dev_fec_cache[key]
 
     # -- sample ingestion ----------------------------------------------

@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""On-chip conformance mini-suite (VERDICT r3 #7): replay a
+representative golden subset through the LIVE backend with tolerance
+asserts, so accuracy contracts are hardware-verified each round — the
+conftest-forced CPU suite cannot see MXU rounding (the r3 FFT audit
+found the default bf16 matmul pass would have broken the golden
+tolerance silently).
+
+Families: firfilt (golden x2 dtypes x2 backends), channelizer
+(firpfbch2 analyzer golden, sample-exact 2e-4), modem (hard round trip
++ soft-LLR sign conformance on device), frame64 (reference golden frame
+through the streaming receiver + device FEC decode -> exact payload
+bytes), FFT (method-chooser accuracy subset vs float64).
+
+Axon-tunnel safe: all device inputs are float32 planes combined with
+lax.complex inside jit; outputs are read back as planes.
+
+Prints ONE JSON line per family: {"family": ..., "status": "PASS"|
+"FAIL", "worst": ..., "tol": ...}.  Exit 0 iff all PASS.
+"""
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+GOLDEN = REPO / "tests" / "golden"
+
+
+def _split(x):
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        return (x.real.astype(np.float32).copy(),
+                x.imag.astype(np.float32).copy())
+    return x.astype(np.float32).copy(), None
+
+
+def _load(stem):
+    d = np.load(GOLDEN / f"{stem}.npz")
+    out = {}
+    for k in d.files:
+        out[k[len(stem) + 1:] if k.startswith(stem + "_") else k] = d[k]
+    return out
+
+
+def check_firfilt(jax, jnp):
+    from liquid_dsp_tpu.ops.fir import firfilt
+    worst = 0.0
+    for stem in ("firfilt_crcf_data_h13x32", "firfilt_rrrf_data_h23x64"):
+        d = _load(stem)
+        for backend in ("xla", "matmul"):
+            q = firfilt(d["h"], backend=backend)
+            xr, xi = _split(d["x"])
+
+            @jax.jit
+            def run(p, r, i):
+                x = jax.lax.complex(r, i) if i is not None else r
+                y, _ = q.apply(p, q.init(
+                    dtype=jnp.complex64 if i is not None else jnp.float32),
+                    x)
+                return (jnp.real(y), jnp.imag(y)) if i is not None \
+                    else (y, y * 0)
+
+            yr, yi = run(q.params, jnp.asarray(xr),
+                         None if xi is None else jnp.asarray(xi))
+            got = np.asarray(yr) + 1j * np.asarray(yi)
+            worst = max(worst, float(np.abs(got - d["y"]).max()))
+    return worst, 1e-3
+
+
+def check_channelizer(jax, jnp):
+    from liquid_dsp_tpu.multichannel.channelizer import firpfbch2_analyzer
+    cg = _load("channelizer_golden")
+    worst = 0.0
+    for M, m in ((16, 5), (64, 3)):
+        x = cg[f"x_{M}_{m}"]
+        Yref = cg[f"Y2_{M}_{m}"].reshape(-1, M)
+        q = firpfbch2_analyzer(M, m, 60.0)
+        xr, xi = _split(x)
+
+        @jax.jit
+        def run(p, r, i):
+            Y, _ = q.apply(p, q.init(), jax.lax.complex(r, i))
+            return jnp.real(Y), jnp.imag(Y)
+
+        yr, yi = run(q.params, jnp.asarray(xr), jnp.asarray(xi))
+        got = (np.asarray(yr) + 1j * np.asarray(yi)).T
+        worst = max(worst, float(np.abs(got - Yref).max()))
+    return worst, 2e-4
+
+
+def check_modem(jax, jnp):
+    from liquid_dsp_tpu.modem.linear import (constellation, modulate,
+                                             demodulate, demodulate_soft,
+                                             bits_per_symbol)
+    rng = np.random.default_rng(3)
+    worst = 0.0
+    for ms in ("qpsk", "qam16", "qam64", "apsk32", "psk8"):
+        table = np.asarray(constellation(ms), np.complex64)
+        m = bits_per_symbol(ms)
+        syms = rng.integers(0, 1 << m, 4096).astype(np.int32)
+
+        @jax.jit
+        def round_trip(s):
+            pts = modulate(jnp.asarray(table), s)
+            hard = demodulate(jnp.asarray(table), pts)
+            llr = demodulate_soft(jnp.asarray(table), pts)
+            # soft LLR signs must reproduce the transmitted bits
+            soft_bits = (llr > 0).astype(jnp.int32)
+            weights = jnp.asarray(
+                (1 << np.arange(m - 1, -1, -1)).astype(np.int32))
+            soft_syms = jnp.sum(soft_bits * weights, axis=-1)
+            return (jnp.sum((hard != s).astype(jnp.int32)),
+                    jnp.sum((soft_syms != s).astype(jnp.int32)))
+
+        e_hard, e_soft = round_trip(jnp.asarray(syms))
+        worst = max(worst, float(np.asarray(e_hard)),
+                    float(np.asarray(e_soft)))
+    return worst, 0.5   # zero symbol errors allowed
+
+
+def check_frame64(jax, jnp):
+    from liquid_dsp_tpu.framing.frame64 import framesync64_stream
+    from liquid_dsp_tpu.fec.device import qpacket_soft_decoder
+    g = _load("frame64_golden")
+    frame, header, payload = g["frame"], g["header"], g["payload"]
+    T = 4096
+    cap = np.zeros(2 * T, np.complex64)
+    cap[600:600 + len(frame)] = frame
+    rx = framesync64_stream(T, max_frames=2)
+    dev, fin = qpacket_soft_decoder(72, "crc24", "none", "golay2412",
+                                    "qpsk")
+    xr, xi = _split(cap)
+
+    @jax.jit
+    def run(r, i):
+        c = rx.init()
+        out0, c = rx.apply((), c, jax.lax.complex(r[:T], i[:T]))
+        out1, c = rx.apply((), c, jax.lax.complex(r[T:], i[T:]))
+        msgs0 = dev(out0.symbols)
+        msgs1 = dev(out1.symbols)
+        return (out0.valid, out1.valid, msgs0, msgs1)
+
+    v0, v1, m0, m1 = run(jnp.asarray(xr), jnp.asarray(xi))
+    v = np.concatenate([np.asarray(v0), np.asarray(v1)])
+    msgs = np.concatenate([np.asarray(m0), np.asarray(m1)])
+    n_dec = int(v.sum())
+    if n_dec != 1:
+        return float(abs(n_dec - 1)), 0.5
+    slot = int(np.nonzero(v)[0][0])
+    buf, ok = fin(msgs[slot])
+    if not bool(ok):
+        return 1.0, 0.5
+    got_hdr, got_pay = buf[:8], buf[8:72]
+    bad = int((got_hdr != header).sum() + (got_pay != payload).sum())
+    return float(bad), 0.5
+
+
+def check_fft(jax, jnp):
+    from liquid_dsp_tpu.ops.fft import fft
+    rng = np.random.default_rng(11)
+    worst = 0.0
+    for n in (1024, 96, 509):   # radix-2 / 4-step CT / matmul DFT
+        batch = max(1, (1 << 16) // n)
+        xr = rng.standard_normal((batch, n)).astype(np.float32)
+        xi = rng.standard_normal((batch, n)).astype(np.float32)
+        y64 = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+
+        @jax.jit
+        def run(r, i):
+            y = fft(jax.lax.complex(r, i))
+            return jnp.real(y), jnp.imag(y)
+
+        yr, yi = run(jnp.asarray(xr), jnp.asarray(xi))
+        got = np.asarray(yr, np.float64) + 1j * np.asarray(yi, np.float64)
+        worst = max(worst, float(np.abs(got - y64).max() /
+                                 np.abs(y64).max()))
+    return worst, 1e-4
+
+
+def main():
+    import os
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    print(f"# backend={jax.default_backend()}", file=sys.stderr)
+
+    families = [("firfilt", check_firfilt), ("channelizer", check_channelizer),
+                ("modem", check_modem), ("frame64", check_frame64),
+                ("fft", check_fft)]
+    all_ok = True
+    for name, fn in families:
+        try:
+            worst, tol = fn(jax, jnp)
+            ok = worst < tol
+        except Exception as e:                      # noqa: BLE001
+            worst, tol, ok = float("nan"), 0.0, False
+            print(f"# {name}: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+        all_ok &= ok
+        print(json.dumps({"family": name,
+                          "status": "PASS" if ok else "FAIL",
+                          "worst": None if worst != worst
+                          else round(worst, 9), "tol": tol}))
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

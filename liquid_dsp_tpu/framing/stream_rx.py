@@ -405,7 +405,14 @@ def detector_stream(block_len: int, template: np.ndarray,
     dc = _detect_consts(np.asarray(template))
     span = int(suppress_span if suppress_span is not None
                else dc["s_len"])
-    n_seg = (hist + T - _DET_NFFT) // _DET_HOP + 1
+    # segment grid restricted to the EMIT region: only candidates with
+    # n0 < T are ever emitted (and the watermark folds only those), so
+    # segments with start > T are wasted MXU work — one segment past T
+    # is kept for the local-peak neighbor comparison.  At the wideband
+    # scanner's short per-channel blocks this is ~31% of the detection
+    # matmul (hist=1536 vs Tc=2048); the history tail still backs the
+    # refine/MF windows of frames emitted near position 0.
+    n_seg = T // _DET_HOP + 1
     starts = (np.arange(n_seg) * _DET_HOP).astype(np.int32)
 
     def init(batch_shape=(), dtype=jnp.complex64):
@@ -472,7 +479,14 @@ def preamble_stream(block_len: int, cfg: StreamRxConfig,
     spacing = int(cfg.pilot_spacing)
     pfft = int(cfg.pilot_nfft)
     npfb = cfg.bank.shape[0]
-    n_seg = (hist + T - _DET_NFFT) // _DET_HOP + 1
+    # segment grid restricted to the EMIT region: only candidates with
+    # n0 < T are ever emitted (and the watermark folds only those), so
+    # segments with start > T are wasted MXU work — one segment past T
+    # is kept for the local-peak neighbor comparison.  At the wideband
+    # scanner's short per-channel blocks this is ~31% of the detection
+    # matmul (hist=1536 vs Tc=2048); the history tail still backs the
+    # refine/MF windows of frames emitted near position 0.
+    n_seg = T // _DET_HOP + 1
     starts = (np.arange(n_seg) * _DET_HOP).astype(np.int32)
     span = int(cfg.suppress_span)
     Lb = int(cfg.bank.shape[1])

@@ -155,6 +155,14 @@ def symtrack_stream(ftype: str = "arkaiser", k: int = 2, m: int = 7,
         y, agc_c = ag.apply(ag.params, carry["agc"], x)
         (sy, sv), ss_c = ss.apply(ss.params, carry["ss"], y)
         tab = lax.complex(jnp.asarray(tab_re), jnp.asarray(tab_im))
+        iota = jnp.arange(tab.shape[0], dtype=jnp.int32)
+
+        def slice_pt(idx):
+            """Nearest constellation point WITHOUT a traced-index gather
+            (CLAUDE.md: gathers serialize on TPU): one-hot reduce —
+            exact, since each product is value*1 or value*0."""
+            oh = (idx[..., None] == iota).astype(jnp.float32)
+            return jnp.sum(oh * tab, axis=-1)
 
         def step(c, inp):
             s, valid = inp
@@ -162,7 +170,7 @@ def symtrack_stream(ftype: str = "arkaiser", k: int = 2, m: int = 7,
             # carrier PLL (2nd-order loop on the slicer phase error)
             vmix = s * jnp.exp(-1j * c["theta"]).astype(s.dtype)
             idx = jnp.argmin(jnp.abs(vmix[..., None] - tab) ** 2, axis=-1)
-            e = jnp.angle(vmix * jnp.conj(tab[idx]))
+            e = jnp.angle(vmix * jnp.conj(slice_pt(idx)))
             dtheta_n = c["dtheta"] + beta2 * e
             theta_n = c["theta"] + dtheta_n + alpha * e
             # decision-directed normalized LMS on the mixed symbol
@@ -173,7 +181,7 @@ def symtrack_stream(ftype: str = "arkaiser", k: int = 2, m: int = 7,
                                         jnp.conj(c["eq_buf"][..., 0])).real
             yeq = jnp.sum(jnp.conj(c["eq_w"]) * buf, axis=-1)
             dec = jnp.argmin(jnp.abs(yeq[..., None] - tab) ** 2, axis=-1)
-            err = tab[dec] - yeq
+            err = slice_pt(dec) - yeq
             n = c["eq_n"] + 1
             gate = (n >= L).astype(jnp.float32)
             w = c["eq_w"] + (gate * mu)[..., None] * jnp.conj(err)[..., None] \

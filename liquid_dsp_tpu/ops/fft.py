@@ -104,33 +104,57 @@ def _dft_matmul(x, sign: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _ct_consts(n: int, sign: int):
-    """Four-step Cooley-Tukey constants for n = n1 (odd) * n2 (2^m):
+def _ct_consts(n: int, a: int, sign: int):
+    """Four-step Cooley-Tukey constants for the split n = a * b:
     twiddle tw[k1, j2] = exp(sign*2j*pi*k1*j2/n)."""
-    n2 = n & (-n)
-    n1 = n // n2
-    k1 = np.arange(n1, dtype=np.float64)
-    j2 = np.arange(n2, dtype=np.float64)
+    b = n // a
+    k1 = np.arange(a, dtype=np.float64)
+    j2 = np.arange(b, dtype=np.float64)
     kj = np.outer(k1, j2) % n
     tw = np.exp(sign * 2j * np.pi * kj / n).astype(np.complex64)
-    return n1, n2, tw
+    return b, tw
 
 
-def _cooley_tukey(x, sign: int):
+@functools.lru_cache(maxsize=64)
+def _largest_odd_divisor(n1: int) -> int:
+    """Largest divisor of (odd) n1 that fits the matmul DFT, or 0 when
+    n1 is prime / has no divisor in (1, _DFT_MAX] — those sizes fall to
+    Bluestein (the intentional Rader substitution, API_PARITY.md)."""
+    divs = {1}
+    m, f, fac = n1, 3, {}
+    while f * f <= m:
+        while m % f == 0:
+            fac[f] = fac.get(f, 0) + 1
+            m //= f
+        f += 2
+    if m > 1:
+        fac[m] = fac.get(m, 0) + 1
+    for p, c in fac.items():
+        divs = {d * p ** i for d in divs for i in range(c + 1)}
+    cand = [d for d in divs if 1 < d <= _DFT_MAX]
+    return max(cand) if cand else 0
+
+
+def _cooley_tukey(x, sign: int, a: int):
     """Mixed-radix four-step FFT (reference analog: the recursive
     mixed-radix plan, src/fft/src/fft_mixed_radix.c:128): split
-    n = n1 (odd, matmul DFT on the MXU) x n2 (2^m, XLA FFT).
-    With j = j1*n2 + j2 and k = k2*n1 + k1:
-      X[k2*n1 + k1] = FFT_n2{ tw[k1, j2] * DFT_n1{ x[j1*n2 + j2] } }.
+    n = a (matmul DFT on the MXU) x b (2^m -> XLA FFT; otherwise
+    recurse through the chooser — odd composites like 3069 = 1023*3
+    split into two matmul DFTs instead of falling to Bluestein).
+    With j = j1*b + j2 and k = k2*a + k1:
+      X[k2*a + k1] = FFT_b{ tw[k1, j2] * DFT_a{ x[j1*b + j2] } }.
     ~2x Bluestein on composite sizes (PERF.md sweeps)."""
     n = x.shape[-1]
-    n1, n2, tw = _ct_consts(n, sign)
-    A = x.reshape(x.shape[:-1] + (n1, n2))
-    M1 = _dft_matrix(n1, sign)
+    b, tw = _ct_consts(n, a, sign)
+    A = x.reshape(x.shape[:-1] + (a, b))
+    M1 = _dft_matrix(a, sign)
     B = jnp.einsum("...jn,kj->...kn", A, M1,       # DFT over j1
                    precision=lax.Precision.HIGHEST)
     C = B * tw
-    D = jnp.fft.fft(C) if sign < 0 else jnp.fft.ifft(C) * n2
+    if _is_pow2(b):
+        D = jnp.fft.fft(C) if sign < 0 else jnp.fft.ifft(C) * b
+    else:
+        D = _fft_any(C, sign)
     return jnp.swapaxes(D, -1, -2).reshape(x.shape[:-1] + (n,))
 
 
@@ -142,9 +166,15 @@ def _fft_any(x, sign: int):
     n2 = n & (-n)
     n1 = n // n2
     if n2 > 1 and n1 <= _DFT_MAX and n <= _CT_MAX:
-        return _cooley_tukey(x, sign)
+        return _cooley_tukey(x, sign, n1)
     if n <= _DFT_MAX:
         return _dft_matmul(x, sign)
+    if n1 > _DFT_MAX and n <= _CT_MAX:
+        # odd part too large for one matmul: peel its largest
+        # matmul-sized divisor and recurse on the rest
+        a = _largest_odd_divisor(n1)
+        if a:
+            return _cooley_tukey(x, sign, a)
     return _bluestein(x, sign)
 
 

@@ -80,6 +80,20 @@ def symsync_run(mf_bank, dmf_bank, carry, x, k: int, k_out: int = 1,
 
     mf_j = jnp.asarray(mf_bank[:, ::-1])    # newest-first window dot
     dmf_j = jnp.asarray(dmf_bank[:, ::-1])
+    iota = jnp.arange(npfb, dtype=jnp.int32)
+    on_tpu = jax.default_backend() == "tpu"
+
+    def bank_sel(bank, bc):
+        """Branch-b taps, gather-free on TPU: traced-index gathers
+        serialize (CLAUDE.md; 36x measured on the receiver), so select
+        via a one-hot matmul.  HIGHEST precision keeps the selection
+        exact (a bf16 one-pass matmul would round the tap VALUES, and
+        the goldens are sample-exact).  CPU keeps the cheap gather."""
+        if on_tpu:
+            oh = (bc[..., None] == iota).astype(bank.dtype)
+            return jnp.einsum("...b,bj->...j", oh, bank,
+                              precision=lax.Precision.HIGHEST)
+        return jnp.take(bank, bc, axis=0)
 
     def step(c, xt):
         win = jnp.concatenate([c["win"][..., 1:], xt[..., None]], axis=-1)
@@ -93,10 +107,10 @@ def symsync_run(mf_bank, dmf_bank, carry, x, k: int, k_out: int = 1,
 
             bc = jnp.clip(b, 0, npfb - 1)
             mf = jnp.einsum("...j,...j->...", win,
-                            jnp.take(mf_j, bc, axis=0).astype(win.dtype))
+                            bank_sel(mf_j, bc).astype(win.dtype))
             ymf = mf / k
             dmf = jnp.einsum("...j,...j->...", win,
-                             jnp.take(dmf_j, bc, axis=0).astype(win.dtype))
+                             bank_sel(dmf_j, bc).astype(win.dtype))
             # decimator: run the loop only every k_out-th output
             run_loop = (st["decim"] == k_out) & active & (not locked)
             q = jnp.clip((jnp.conj(mf) * dmf).real, -1.0, 1.0)

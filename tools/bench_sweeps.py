@@ -87,7 +87,10 @@ def fft_sweep():
     # families (chooser: XLA / four-step CT / matmul DFT / Bluestein)
     sizes = [64, 256, 1024, 4096,      # radix-2
              96, 384, 1200,            # composite
-             127, 509, 1021]           # prime
+             127, 509, 1021,           # prime
+             3069, 4095, 9207,         # odd composite > _DFT_MAX:
+                                       # recursive CT (r4; was Bluestein)
+             2053]                     # prime > _DFT_MAX: Bluestein
     print("# fft sweep (batched 1-D c64 transforms, Msamples/s)")
     for n in sizes:
         batch = max(1, (1 << 22) // n)

@@ -200,12 +200,6 @@ def conv_soft_decoder(scheme: str, dec_len: int):
     assert n_kept <= 8 * enc_len
     out, _ = _trellis(K, tuple(polys))
     exp = (2.0 * out.astype(np.float32) - 1.0)          # [ns, 2, r]
-    sp = np.arange(ns, dtype=np.int32)
-    prev = np.stack([sp >> 1, (sp >> 1) + (ns >> 1)], axis=1)  # [ns, 2]
-    b_of = (sp & 1).astype(np.int32)                    # input bit of s'
-    # flat index into bm[..., ns*2]: predecessor j of s' used branch
-    # (prev[s', j], b_of[s'])
-    fidx = (prev * 2 + b_of[:, None]).astype(np.int32)  # [ns, 2]
     NEG = np.float32(-1e9)
     half = np.int32(ns >> 1)
 
@@ -221,9 +215,21 @@ def conv_soft_decoder(scheme: str, dec_len: int):
         bm_t = jnp.moveaxis(bm, -2, 0)                  # [T, ..., ns*2]
 
         def acs(pm, bmt):
-            cand = pm[..., jnp.asarray(prev)] + bmt[..., jnp.asarray(fidx)]
-            j = jnp.argmax(cand, axis=-1).astype(jnp.int32)  # [..., ns]
-            new_pm = jnp.max(cand, axis=-1)
+            # GATHER-FREE ACS: state s' has predecessors (s'>>1) and
+            # (s'>>1) + ns/2, so pm[..., prev] is repeat-by-2 of each
+            # pm half; and the flat branch index prev*2 + (s'&1) equals
+            # s' (first half) / s' + ns (second half), so bmt[..., fidx]
+            # is just a split.  The static fancy-index form lowered to
+            # shape-dependent gather code up to ~80x slower at
+            # rectangular [batch, states] (PERF.md r4 Viterbi).
+            def rep2(a):       # [..., ns/2] -> [..., ns], a[s'>>1]
+                return jnp.broadcast_to(
+                    a[..., :, None], a.shape + (2,)
+                ).reshape(a.shape[:-1] + (a.shape[-1] * 2,))
+            cand0 = rep2(pm[..., :half]) + bmt[..., :ns]
+            cand1 = rep2(pm[..., half:]) + bmt[..., ns:]
+            j = (cand1 > cand0).astype(jnp.int32)            # [..., ns]
+            new_pm = jnp.maximum(cand0, cand1)
             # normalize: path metrics grow linearly with T
             new_pm = new_pm - jnp.max(new_pm, axis=-1, keepdims=True)
             return new_pm, j

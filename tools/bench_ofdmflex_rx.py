@@ -88,8 +88,13 @@ def main():
                                    "golay2412", "qpsk")
     c = carry0
     got = {}
-    for k in range(K):
-        out, c = step1(c, xr[k], xi[k])
+    zr = jnp.zeros_like(xr[0])
+    # one zero flush block after the capture: the streaming receiver
+    # emits a frame one block AFTER its samples arrive (the emit window
+    # is the history region), so frames near the end of the last block
+    # need it — structural latency, not a decode failure
+    for k in range(K + 1):
+        out, c = (step1(c, xr[k], xi[k]) if k < K else step1(c, zr, zr))
         v = np.asarray(out.valid)
         hm = np.asarray(out.hdr_msgs)
         pm = np.asarray(out.pay_msgs)

@@ -42,14 +42,15 @@ import jax.numpy as jnp
 from jax import lax
 
 from .block import _GCOLS, _code_matrices
-from .crc import crc_sizeof_key, crc_validate_message
+from .crc import crc_sizeof_key, crc_validate_message, crc_generate_key
 from .packetizer import packetizer_compute_enc_msg_len
 from .interleave import deinterleave_soft
 from .dispatch import fec_get_enc_msg_length
 
 __all__ = ["qpacket_soft_decoder", "packetizer_soft_decoder",
            "block_codebook", "conv_soft_decoder",
-           "conv_packet_soft_decoder", "qpacket_conv_soft_decoder"]
+           "conv_packet_soft_decoder", "qpacket_conv_soft_decoder",
+           "device_packet_finish"]
 
 
 @functools.lru_cache(maxsize=16)
@@ -134,13 +135,7 @@ def packetizer_soft_decoder(payload_len: int, crc: str = "crc24",
 
     def finish(msgs):
         msgs = np.asarray(msgs)
-        if fec1 == "golay2412":
-            buf = _golay_pack(msgs, dec_len)
-        else:
-            bits = ((msgs[..., None] >>
-                     np.arange(k - 1, -1, -1)) & 1).astype(np.uint8)
-            bits = bits.reshape(msgs.shape[:-1] + (ncw * k,))[..., :8 * dec_len]
-            buf = np.packbits(bits, axis=-1)[..., :dec_len]
+        buf = _pack_msgs(msgs, fec1, k, ncw, dec_len)
         payload = buf[..., :payload_len]
         nk = crc_sizeof_key(crc)
         flat = buf.reshape(-1, dec_len)
@@ -352,3 +347,155 @@ def qpacket_soft_decoder(payload_len: int, crc: str = "crc24",
         return llr_fn(llr.reshape(llr.shape[:-2] + (-1,)))
 
     return device_fn, finish
+
+
+# ---------------------------------------------------------------------------
+# device byte pack + CRC: the LAST host stage of the payload path
+# (reference framing syncs call crc_validate_message on the host CPU —
+# e.g. src/framing/src/framesync64.c decode tail; here the receiver's
+# block step emits payload bytes and CRC validity from the chip)
+
+
+@functools.lru_cache(maxsize=32)
+def _crc_affine(scheme: str, payload_len: int):
+    """CRC keys are GF(2)-AFFINE in the message bits for a fixed message
+    length: key_bits(m) = M^T bits(m) xor key_bits(0).  Columns are
+    recovered from bit-impulse messages through the byte-exact host CRC
+    (reference crc.c semantics), so the device parity matmul reproduces
+    the reference key for every message.
+
+    Returns (M [8*payload_len, width] uint8, cbits [width] uint8)."""
+    width = 8 * crc_sizeof_key(scheme)
+    nb = 8 * payload_len
+
+    def keybits(msg):
+        kk = crc_generate_key(scheme, msg)
+        return np.array([(kk >> (width - 1 - w)) & 1
+                         for w in range(width)], np.uint8)
+
+    cbits = keybits(np.zeros(payload_len, np.uint8))
+    M = np.zeros((nb, width), np.uint8)
+    for i in range(nb):
+        msg = np.zeros(payload_len, np.uint8)
+        msg[i >> 3] = 0x80 >> (i & 7)
+        M[i] = keybits(msg) ^ cbits
+    return M, cbits
+
+
+def _pack_msgs(msgs: np.ndarray, fec1: str, k: int, ncw: int,
+               dec_len: int) -> np.ndarray:
+    """Host byte packing of decoded message indices (block-code path);
+    the single source of truth shared by the host finish and the
+    impulse-response discovery of the device relabel matrix."""
+    if fec1 == "golay2412":
+        return _golay_pack(msgs, dec_len)
+    bits = ((msgs[..., None] >>
+             np.arange(k - 1, -1, -1)) & 1).astype(np.uint8)
+    bits = bits.reshape(msgs.shape[:-1] + (ncw * k,))[..., :8 * dec_len]
+    return np.packbits(bits, axis=-1)[..., :dec_len]
+
+
+def device_packet_finish(payload_len: int, crc: str = "crc24",
+                         fec0: str = "none", fec1: str = "golay2412"):
+    """Jittable byte pack + CRC validation for a decoded packet — the
+    device-side counterpart of the host `finish` functions above.
+
+    Input matches the corresponding decoder family:
+      * block configs (fec0='none', fec1 a block code): msgs [..., ncw]
+        int32 as produced by packetizer_soft_decoder's device_fn;
+      * conv configs (one conv stage + 'none'): bits [..., 8*dec_len]
+        int32 as produced by conv_packet_soft_decoder's device_fn.
+
+    Returns finish_fn(dec) -> (payload [..., payload_len] int32 bytes,
+    crc_ok [...] bool), fully jittable.
+
+    TPU design: byte packing is a 0/1-weight matmul (bit -> byte place
+    value), and the CRC is its GF(2)-affine parity matmul (_crc_affine)
+    reduced mod 2 — both pinned HIGHEST (the sums are exact small
+    integers in f32; the default one-pass bf16 would round them).
+    The 'checksum' scheme is integer-affine instead: byte-sum + key
+    must vanish mod 256.
+    """
+    from .conv import CONV_SCHEMES
+    if crc not in ("none", "checksum", "crc8", "crc16", "crc24", "crc32"):
+        raise ValueError(f"unknown crc scheme {crc!r}")
+    dec_len = payload_len + crc_sizeof_key(crc)
+    width = 8 * crc_sizeof_key(crc) if crc.startswith("crc") else 0
+
+    msgs_mode = fec0 == "none" and fec1 in _GCOLS
+    if msgs_mode:
+        if _GCOLS[fec1][1] > 16:
+            raise ValueError(f"{fec1!r} codebook too large (k > 16)")
+        _, n, k = block_codebook(fec1)
+        if fec1 == "golay2412":
+            ncw = 2 * (dec_len // 3) + dec_len % 3
+        else:
+            ncw = -(-(8 * dec_len) // k)
+        nsrc = ncw * k
+        # impulse-response discovery: which buf bit each msg bit feeds
+        relabel = np.full(8 * dec_len, -1, np.int64)
+        for cpos in range(ncw):
+            for j in range(k):
+                m = np.zeros(ncw, np.int64)
+                m[cpos] = 1 << (k - 1 - j)
+                nz = np.nonzero(np.unpackbits(
+                    _pack_msgs(m, fec1, k, ncw, dec_len)))[0]
+                assert len(nz) <= 1, "byte packing must be a bit relabel"
+                if len(nz):
+                    relabel[nz[0]] = cpos * k + j
+    else:
+        schemes = {fec0, fec1}
+        conv = [s for s in schemes if s in CONV_SCHEMES]
+        if len(conv) != 1 or (schemes - set(conv)) != {"none"}:
+            raise ValueError(
+                f"unsupported finish config ({fec0!r}, {fec1!r})")
+        k = ncw = 0
+        nsrc = 8 * dec_len
+        relabel = np.arange(8 * dec_len, dtype=np.int64)
+
+    Wall = np.zeros((nsrc, dec_len), np.float32)
+    for q in range(8 * dec_len):
+        s = relabel[q]
+        if s >= 0:
+            Wall[s, q >> 3] += float(0x80 >> (q & 7))
+    W = np.ascontiguousarray(Wall[:, :payload_len])
+
+    if width:
+        M, cbits = _crc_affine(crc, payload_len)
+        P = np.zeros((nsrc, width), np.uint8)
+        for i in range(8 * payload_len):
+            s = relabel[i]
+            if s >= 0:
+                P[s] ^= M[i]
+        for w in range(width):
+            s = relabel[8 * payload_len + w]
+            if s >= 0:
+                P[s, w] ^= 1
+        Pf = P.astype(np.float32)
+        cf = cbits.astype(np.float32)
+    sumw = Wall.sum(axis=1).astype(np.float32)   # checksum byte weights
+    HI = lax.Precision.HIGHEST
+
+    def finish_fn(dec):
+        dec = jnp.asarray(dec)
+        if msgs_mode:
+            bits = (dec[..., None] >> jnp.arange(k - 1, -1, -1)) & 1
+            src = bits.reshape(dec.shape[:-1] + (nsrc,)).astype(jnp.float32)
+        else:
+            src = dec[..., :nsrc].astype(jnp.float32)
+        payload = jnp.einsum("...i,ij->...j", src, jnp.asarray(W),
+                             precision=HI)
+        payload = payload.astype(jnp.int32)
+        if crc == "none":
+            ok = jnp.ones(dec.shape[:-1], bool)
+        elif crc == "checksum":
+            tot = jnp.einsum("...i,i->...", src, jnp.asarray(sumw),
+                             precision=HI)
+            ok = jnp.mod(tot, 256.0) == 0
+        else:
+            par = jnp.einsum("...i,iw->...w", src, jnp.asarray(Pf),
+                             precision=HI) + jnp.asarray(cf)
+            ok = jnp.all(jnp.mod(par, 2.0) == 0, axis=-1)
+        return payload, ok
+
+    return finish_fn

@@ -320,16 +320,34 @@ class FlexFrameSync:
         key = (n_payload, crc, fec0, fec1, ms)
         if key not in self._dev_fec_cache:
             from ..fec.device import (qpacket_soft_decoder,
-                                      qpacket_conv_soft_decoder)
+                                      qpacket_conv_soft_decoder,
+                                      device_packet_finish)
             self._dev_fec_cache[key] = None
             for builder in (qpacket_soft_decoder,
                             qpacket_conv_soft_decoder):
                 try:
                     dfn, fin = builder(n_payload, crc, fec0, fec1, ms)
-                    self._dev_fec_cache[key] = (jax.jit(dfn), fin)
-                    break
                 except ValueError:
                     continue
+                try:
+                    # byte pack + CRC on device too: one jitted program
+                    # symbols -> payload bytes + validity
+                    dev_fin = device_packet_finish(n_payload, crc,
+                                                   fec0, fec1)
+                    jc = jax.jit(lambda x, d=dfn, f=dev_fin: f(d(x)))
+
+                    def decode(x, _jc=jc):
+                        b, ok = _jc(jnp.asarray(x))
+                        return np.asarray(b).astype(np.uint8), \
+                            bool(np.asarray(ok))
+                except ValueError:
+                    jd = jax.jit(dfn)
+
+                    def decode(x, _jd=jd, _fin=fin):
+                        b, ok = _fin(np.asarray(_jd(jnp.asarray(x))))
+                        return b, bool(ok)
+                self._dev_fec_cache[key] = decode
+                break
         return self._dev_fec_cache[key]
 
     def execute(self, x):
@@ -429,12 +447,11 @@ class FlexFrameSync:
             p_rx = self._gather_payload(c, p_sym_len, end_abs)
             dev = self._device_decoder(n_payload, crc, fec0, fec1, ms)
             if dev is not None:
-                # soft block decode ON DEVICE (fec/device.py): LLR +
-                # deinterleave-gather + codebook matmul; host keeps only
-                # byte packing + CRC.  Strictly stronger than hard
+                # soft decode fully ON DEVICE (fec/device.py): LLR +
+                # deinterleave-gather + codebook/Viterbi + byte pack +
+                # CRC parity matmul.  Strictly stronger than hard
                 # decode under noise (the reference's soft criterion).
-                dfn, fin = dev
-                payload_full, ok = fin(np.asarray(dfn(jnp.asarray(p_rx))))
+                payload_full, ok = dev(p_rx)
                 payload, ok = payload_full[:n_payload], bool(ok)
             else:
                 payload, ok = qpacketmodem_decode(p_rx, n_payload, crc,

@@ -303,10 +303,14 @@ class Framesync64:
         # False falls back to per-frame host hard decode.
         self._device_fec = device_fec
         if device_fec:
-            from ..fec.device import qpacket_soft_decoder
-            dev, self._fec_finish = qpacket_soft_decoder(
+            from ..fec.device import (qpacket_soft_decoder,
+                                      device_packet_finish)
+            dev, _ = qpacket_soft_decoder(
                 72, "crc24", "none", "golay2412", "qpsk")
-            self._fec_jit = jax.jit(dev)
+            fin = device_packet_finish(72, "crc24", "none", "golay2412")
+            # symbols -> msgs -> bytes + CRC in ONE jitted program: the
+            # whole decode (pack + CRC parity matmuls included) on device
+            self._fec_jit = jax.jit(lambda s: fin(dev(s)))
 
     def execute(self, x):
         """Consume samples; fire the callback per decoded frame.  Any
@@ -334,8 +338,9 @@ class Framesync64:
         if self._device_fec and o.valid.any():
             # ONE batched device decode over every candidate slot (the
             # invalid ones are garbage-in, masked out below)
-            dec_all, ok_all = self._fec_finish(
-                np.asarray(self._fec_jit(jnp.asarray(o.symbols))))
+            dec_all, ok_all = self._fec_jit(jnp.asarray(o.symbols))
+            dec_all = np.asarray(dec_all).astype(np.uint8)
+            ok_all = np.asarray(ok_all)
         for p in range(len(o.valid)):
             if not o.valid[p]:
                 continue

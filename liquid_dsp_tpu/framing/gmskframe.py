@@ -230,10 +230,26 @@ class GMSKFrameSync:
         key = (n_payload, crc, fec0, fec1)
         if key not in self._dev_fec_cache:
             try:
-                from ..fec.device import packetizer_soft_decoder
+                from ..fec.device import (packetizer_soft_decoder,
+                                          device_packet_finish)
                 dfn, fin = packetizer_soft_decoder(n_payload, crc, fec0,
                                                    fec1)
-                self._dev_fec_cache[key] = (jax.jit(dfn), fin)
+                try:
+                    dev_fin = device_packet_finish(n_payload, crc,
+                                                   fec0, fec1)
+                    jc = jax.jit(lambda x, d=dfn, f=dev_fin: f(d(x)))
+
+                    def decode(x, _jc=jc):
+                        b, ok = _jc(jnp.asarray(x))
+                        return np.asarray(b).astype(np.uint8), \
+                            bool(np.asarray(ok))
+                except ValueError:
+                    jd = jax.jit(dfn)
+
+                    def decode(x, _jd=jd, _fin=fin):
+                        b, ok = _fin(np.asarray(_jd(jnp.asarray(x))))
+                        return b, bool(ok)
+                self._dev_fec_cache[key] = decode
             except ValueError:
                 self._dev_fec_cache[key] = None
         return self._dev_fec_cache[key]
@@ -350,9 +366,8 @@ class GMSKFrameSync:
                 # device block decoder directly (fec/device.py) — the
                 # payload is not scrambled, so no LLR sign-flip needed
                 soft = self._demod_bits(c, total_bits, soft=True)
-                dfn, fin = dev
                 p_llr = soft[63 + self._h_bits: total_bits]
-                payload_full, ok = fin(np.asarray(dfn(jnp.asarray(p_llr))))
+                payload_full, ok = dev(p_llr)
                 payload, ok = payload_full[:n_payload], bool(ok)
             else:
                 bits = self._demod_bits(c, total_bits)

@@ -20,9 +20,13 @@ ONE jitted block step:
       -> payload: exact max-log LLRs for the configured modem, same
          device block-FEC decode (fec/device.py)
 
-Only byte packing + CRC validation + header field checks remain on the
-host (the reference's own callback hands bytes to host user code anyway,
-ofdmflexframesync.c callback field).
+      -> byte pack + CRC validation + header field checks ON DEVICE
+         (fec.device.device_packet_finish: packing is a 0/1-weight
+         matmul, the CRC a GF(2)-affine parity matmul)
+
+Only the user callback remains on the host (the reference's callback
+hands bytes to host user code anyway, ofdmflexframesync.c callback
+field).
 
 The header is 14 bytes coded crc32 + Golay(24,12), scrambled, BPSK
 (reference ofdmflexframegen.c:495-523).  Its packetizer configuration
@@ -45,7 +49,8 @@ from ..multichannel.ofdm import (OFDMParams, ofdm_params, ofdm_demod_consts,
                                  ofdm_demod_window, s0_detect_block)
 from ..modem.linear import constellation, bits_per_symbol, demodulate_soft
 from ..fec.packetizer import packetizer_compute_enc_msg_len
-from ..fec.device import packetizer_soft_decoder, qpacket_soft_decoder
+from ..fec.device import (packetizer_soft_decoder, qpacket_soft_decoder,
+                          device_packet_finish)
 from ..utils.random import _MASKS
 from .ofdmflexframe import OFDMFLEXFRAME_H_USER, _H_CRC, _H_FEC, _PROTOCOL
 from .wire import crc_to_wire, fec_to_wire, modem_to_wire
@@ -64,6 +69,10 @@ class OFDMFlexStreamBlock(NamedTuple):
     evm_db: jnp.ndarray       # [..., P] pilot-referenced EVM
     hdr_msgs: jnp.ndarray     # [..., P, ncw_h] int32 Golay message idx
     pay_msgs: jnp.ndarray     # [..., P, ncw_p] int32 FEC message idx
+    hdr_bytes: jnp.ndarray    # [..., P, hdr_len] int32 decoded header
+    hdr_ok: jnp.ndarray       # [..., P] bool CRC + expected-config check
+    pay_bytes: jnp.ndarray    # [..., P, payload_len] int32
+    pay_ok: jnp.ndarray       # [..., P] bool payload CRC
 
 
 def _geometry(params: OFDMParams, payload_len: int, crc: str, fec0: str,
@@ -118,6 +127,22 @@ def ofdmflex_rx_stream(block_len: int, payload_len: int,
     pay_fn, _pay_finish = qpacket_soft_decoder(payload_len, crc, fec0,
                                                fec1, ms)
     bpsk_t = np.asarray(constellation("bpsk"), np.complex64)
+    # device byte pack + CRC (+ expected-config header field check): the
+    # deployed-link receiver accepts only headers announcing ITS config,
+    # so the check is a static compare of 6 header byte positions
+    hdr_fin = device_packet_finish(OFDMFLEXFRAME_H_USER + 6, _H_CRC,
+                                   "none", _H_FEC)
+    pay_fin = device_packet_finish(payload_len, crc, fec0, fec1)
+    ku = OFDMFLEXFRAME_H_USER
+    _exp = {ku + 0: _PROTOCOL,
+            ku + 1: (payload_len >> 8) & 0xFF,
+            ku + 2: payload_len & 0xFF,
+            ku + 3: modem_to_wire(ms),
+            ku + 4: ((crc_to_wire(crc) & 0x07) << 5) |
+                    (fec_to_wire(fec0) & 0x1F),
+            ku + 5: fec_to_wire(fec1) & 0x1F}
+    exp_idx = np.asarray(sorted(_exp), np.int32)
+    exp_val = np.asarray([_exp[i] for i in sorted(_exp)], np.int32)
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return {"buf": jnp.zeros(batch_shape + (hist,), jnp.complex64),
@@ -157,10 +182,18 @@ def ofdmflex_rx_stream(block_len: int, payload_len: int,
         # ---- payload decode on device ----
         p_stream = data[:, nh:].reshape(P_, npd * Md)[:, :p_syms]
         pay_msgs = pay_fn(p_stream)                          # [P, ncw_p]
+        # ---- byte pack + CRC + header config check, still on device ----
+        hdr_bytes, h_crc_ok = hdr_fin(hdr_msgs)
+        hdr_ok = h_crc_ok & jnp.all(
+            hdr_bytes[..., jnp.asarray(exp_idx)] == jnp.asarray(exp_val),
+            axis=-1)
+        pay_bytes, pay_ok = pay_fin(pay_msgs)
         out = OFDMFlexStreamBlock(
             valid=valid, sample_index=carry["base"] + d0,
             rxy=peak, cfo=cfo_out, evm_db=evm_db,
-            hdr_msgs=hdr_msgs, pay_msgs=pay_msgs)
+            hdr_msgs=hdr_msgs, pay_msgs=pay_msgs,
+            hdr_bytes=hdr_bytes, hdr_ok=hdr_ok,
+            pay_bytes=pay_bytes, pay_ok=pay_ok)
         last_n0 = jnp.max(jnp.where(cand, pos, -(1 << 30)))
         new_last = jnp.maximum(
             carry["last_end"],
@@ -209,21 +242,9 @@ class OFDMFlexStreamRX:
             params=self.params, threshold=threshold, max_frames=max_frames)
         self._carry = self._proc.init()
         self._jit = jax.jit(self._proc.apply)
-        _, self._hdr_finish = packetizer_soft_decoder(
-            OFDMFLEXFRAME_H_USER + 6, _H_CRC, "none", _H_FEC)
-        _, self._pay_finish = qpacket_soft_decoder(payload_len, crc, fec0,
-                                                   fec1, ms)
         self._pending = np.zeros(0, np.complex64)
         self.frames: list = []
         self.num_frames_detected = 0
-        k = OFDMFLEXFRAME_H_USER
-        self._expect = {k + 0: _PROTOCOL,
-                        k + 1: (payload_len >> 8) & 0xFF,
-                        k + 2: payload_len & 0xFF,
-                        k + 3: modem_to_wire(ms),
-                        k + 4: ((crc_to_wire(crc) & 0x07) << 5) |
-                               (fec_to_wire(fec0) & 0x1F),
-                        k + 5: fec_to_wire(fec1) & 0x1F}
 
     def execute(self, x):
         self._pending = np.concatenate(
@@ -244,19 +265,18 @@ class OFDMFlexStreamRX:
         return self.execute(np.zeros(pad, np.complex64))
 
     def _finish(self, out):
+        # every decode product (bytes, CRC, header config check) arrived
+        # from the device; the host only formats frames + fires callbacks
         valid = np.asarray(out.valid)
+        hdr_bytes = np.asarray(out.hdr_bytes).astype(np.uint8)
+        pay_bytes = np.asarray(out.pay_bytes).astype(np.uint8)
+        hdr_ok = np.asarray(out.hdr_ok)
+        pay_ok = np.asarray(out.pay_ok)
         res = []
         for p in np.nonzero(valid)[0]:
             self.num_frames_detected += 1
-            hdr_full, h_ok = self._hdr_finish(
-                np.asarray(out.hdr_msgs[p]))
-            h_ok = bool(h_ok)
-            if h_ok:
-                for pos, want in self._expect.items():
-                    if int(hdr_full[pos]) != want:
-                        h_ok = False
-                        break
-            header = hdr_full[:OFDMFLEXFRAME_H_USER]
+            h_ok = bool(hdr_ok[p])
+            header = hdr_bytes[p, :OFDMFLEXFRAME_H_USER]
             stats = {"rxy": float(np.asarray(out.rxy[p])),
                      "cfo": float(np.asarray(out.cfo[p])),
                      "evm_db": float(np.asarray(out.evm_db[p])),
@@ -265,9 +285,8 @@ class OFDMFlexStreamRX:
             if not h_ok:
                 frame = (header, False, None, False, stats)
             else:
-                payload, p_ok = self._pay_finish(
-                    np.asarray(out.pay_msgs[p]))
-                frame = (header, True, payload, bool(p_ok), stats)
+                frame = (header, True, pay_bytes[p], bool(pay_ok[p]),
+                         stats)
             self.frames.append(frame)
             if self.callback is not None:
                 self.callback(*frame)

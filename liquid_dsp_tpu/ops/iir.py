@@ -78,26 +78,167 @@ def iir_apply_sos(B, A, carry, x):
     return jnp.moveaxis(yt, 0, -1), s
 
 
-def iirfilt(b, a, name: str = "iirfilt") -> Proc:
+def _df2t_ss(b, a):
+    """DF2T state-space realization in float64/complex128:
+    s' = A s + Bv x,  y = s[0] + D x  (C = e0).
+
+    The state vector IS the DF2T internal state used by iir_apply_tf, so
+    carries are value-compatible across the scan and block backends.
+    """
+    n = max(len(b), len(a))
+    dt = np.complex128 if (np.iscomplexobj(b) or np.iscomplexobj(a)) \
+        else np.float64
+    bp = np.zeros(n, dt)
+    ap = np.zeros(n, dt)
+    bp[:len(b)] = b
+    ap[:len(a)] = a
+    p = n - 1
+    A = np.zeros((p, p), dt)
+    A[:, 0] = -ap[1:]
+    A[np.arange(p - 1), np.arange(1, p)] = 1.0
+    Bv = bp[1:] - ap[1:] * bp[0]
+    C = np.zeros(p, dt)
+    C[0] = 1.0
+    return A, Bv, C, dt(bp[0])
+
+
+def _ss_cascade(sections):
+    """Series-compose state-space systems; the composite state is the
+    CONCATENATION of the per-section states (so an SOS cascade's block
+    carry is exactly the stacked per-section DF2T states)."""
+    A1, B1, C1, D1 = sections[0]
+    for A2, B2, C2, D2 in sections[1:]:
+        p1, p2 = A1.shape[0], A2.shape[0]
+        dt = np.result_type(A1, A2)
+        A = np.zeros((p1 + p2, p1 + p2), dt)
+        A[:p1, :p1] = A1
+        A[p1:, p1:] = A2
+        A[p1:, :p1] = np.outer(B2, C1)
+        B1 = np.concatenate([B1, B2 * D1])
+        C1 = np.concatenate([C1 * D2, C2])
+        A1, D1 = A, D1 * D2
+    return A1, B1, C1, D1
+
+
+def _block_mats(A, Bv, C, D, L):
+    """Precompute the exact block-processing operators for one L-block:
+    y = Th @ u + Obs @ s0  (intra-block Toeplitz of the impulse response
+    plus the zero-input response), s' = A^L s0 + K @ u.  All float64 on
+    the host, cast to f32/c64 for the device (axon cannot device_put
+    wide dtypes)."""
+    p = A.shape[0]
+    Apow = np.empty((L + 1, p, p), A.dtype)
+    Apow[0] = np.eye(p, dtype=A.dtype)
+    for k in range(1, L + 1):
+        Apow[k] = Apow[k - 1] @ A
+    h = np.empty(L, A.dtype)
+    h[0] = D
+    if L > 1:
+        h[1:] = np.einsum("j,ijk,k->i", C, Apow[:L - 1], Bv)
+    ii, kk = np.meshgrid(np.arange(L), np.arange(L), indexing="ij")
+    Th = np.where(ii >= kk, h[np.clip(ii - kk, 0, L - 1)], 0.0)
+    Obs = np.einsum("j,ijk->ik", C, Apow[:L])              # [L, p]
+    K = np.einsum("ijk,k->ji", Apow[L - 1::-1], Bv)        # [p, L]
+    cplx = np.iscomplexobj(A)
+    cast = (lambda m: np.asarray(m, np.complex64 if cplx else np.float32))
+    return {"Th": cast(Th), "Obs": cast(Obs), "K": cast(K),
+            "Apow": cast(Apow)}
+
+
+def iir_apply_block(params, carry, x):
+    """Exact block-processed IIR: intra-block outputs are one
+    lower-triangular Toeplitz matmul of the impulse response (MXU),
+    inter-block state flows through a lax.scan of length T/L with an
+    O(order)-dim state — the TPU-native formulation of the sequential
+    recurrence (the intra-block part is NOT a truncation: the carried
+    state supplies the entire past exactly).  Reference analog:
+    src/filter/src/iirfilt.c:49+ executes the same filter per-sample.
+
+    Matmuls are pinned HIGHEST: the outputs feed golden accuracy
+    contracts (CLAUDE.md precision rule)."""
+    Th = jnp.asarray(params["Th"])
+    Obs = jnp.asarray(params["Obs"])
+    K = jnp.asarray(params["K"])
+    Apow = jnp.asarray(params["Apow"])
+    L, p = Obs.shape
+    HI = lax.Precision.HIGHEST
+    batch = x.shape[:-1]
+    s = carry.reshape(batch + (p,))
+    T = x.shape[-1]
+    nb, r = divmod(T, L)
+    outs = []
+    if nb:
+        xb = x[..., :nb * L].reshape(batch + (nb, L))
+        w = jnp.einsum("...nl,pl->...np", xb, K, precision=HI)
+        wt = jnp.moveaxis(w, -2, 0)
+        ALT = Apow[L].T
+
+        def step(si, wn):
+            return jnp.matmul(si, ALT.astype(si.dtype),
+                              precision=HI) + wn, si
+
+        s, s_pre = lax.scan(step, s, wt, unroll=scan_unroll(8))
+        s_pre = jnp.moveaxis(s_pre, 0, -2)
+        yb = (jnp.einsum("...nl,ml->...nm", xb, Th, precision=HI)
+              + jnp.einsum("...np,mp->...nm", s_pre, Obs, precision=HI))
+        outs.append(yb.reshape(batch + (nb * L,)))
+    if r:
+        xr = x[..., nb * L:]
+        yr = (jnp.einsum("...l,ml->...m", xr, Th[:r, :r], precision=HI)
+              + jnp.einsum("...p,mp->...m", s, Obs[:r], precision=HI))
+        outs.append(yr)
+        s = (jnp.einsum("...p,qp->...q", s, Apow[r], precision=HI)
+             + jnp.einsum("...l,ql->...q", xr, K[:, L - r:], precision=HI))
+    y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    return y, s.reshape(carry.shape)
+
+
+def _resolve_iir_backend(backend: str, A) -> str:
+    """'auto' picks the block formulation off-CPU (the CPU default stays
+    the bit-compatible scan); unstable/overflowing systems (spectral
+    radius > ~1) fall back to scan — A^L is not representable."""
+    if backend not in ("auto", "scan", "block", "pscan"):
+        raise ValueError(f"unknown iir backend {backend!r}")
+    if backend == "auto":
+        backend = "block" if jax.default_backend() != "cpu" else "scan"
+    if backend == "block" and A.shape[0] > 0:
+        if np.abs(np.linalg.eigvals(A)).max() > 1.0 + 1e-9:
+            backend = "scan"
+    return backend
+
+
+def iirfilt(b, a, name: str = "iirfilt", backend: str = "auto",
+            block_size: int = 128) -> Proc:
     """IIR filter from transfer-function coefficients (reference
-    iirfilt_crcf_create)."""
+    iirfilt_crcf_create).
+
+    backend: 'scan' (sequential lax.scan, CPU default), 'block' (exact
+    block state-space processing, off-CPU default — see iir_apply_block),
+    or 'auto'."""
+    if backend == "pscan":
+        raise ValueError("pscan backend is SOS-only (iirfilt_sos)")
     b, a = _norm_ba(b, a)
     n = max(len(b), len(a))
-    bj = jnp.asarray(b.astype(np.complex64 if np.iscomplexobj(b)
-                              else np.float32))
-    aj = jnp.asarray(a.astype(np.complex64 if np.iscomplexobj(a)
-                              else np.float32))
+    cplx = np.iscomplexobj(b) or np.iscomplexobj(a)
+    bj = jnp.asarray(b.astype(np.complex64 if cplx else np.float32))
+    aj = jnp.asarray(a.astype(np.complex64 if cplx else np.float32))
+    ss = _df2t_ss(b, a)
+    backend = _resolve_iir_backend(backend, ss[0])
+    params = ({"b": bj, "a": aj} if backend != "block"
+              else _block_mats(*ss, block_size))
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return jnp.zeros(batch_shape + (n - 1,), dtype)
 
     def apply(params, carry, x):
+        if backend == "block":
+            return iir_apply_block(params, carry.astype(x.dtype), x)
         return iir_apply_tf(params["b"], params["a"],
                             carry.astype(x.dtype), x)
 
-    pa, pi = ((None, None) if np.iscomplexobj(b) or np.iscomplexobj(a)
+    pa, pi = ((None, None) if cplx
               else planar_per_plane(apply, init))
-    return Proc(params={"b": bj, "a": aj}, init=init, apply=apply, name=name,
+    return Proc(params=params, init=init, apply=apply, name=name,
                 planar_apply=pa, planar_init=pi)
 
 
@@ -145,12 +286,16 @@ def iir_apply_sos_pscan(B, A, carry, x):
 
 
 def iirfilt_sos(B, A, name: str = "iirfilt_sos",
-                backend: str = "scan") -> Proc:
+                backend: str = "auto", block_size: int = 128) -> Proc:
     """IIR filter as a second-order-section cascade (reference
     iirfilt_crcf_create_sos); B, A: [n_sections, 3] with A[:,0]=1.
 
-    backend: 'scan' (sequential lax.scan) or 'pscan' (parallel
-    associative scan, O(log T) depth)."""
+    backend: 'scan' (sequential lax.scan, CPU default), 'block' (exact
+    block state-space processing of the composed cascade, off-CPU
+    default — the carry stays the stacked per-section DF2T states, so
+    it is value-compatible with scan), 'pscan' (parallel associative
+    scan; kept for reference — measured 23x slower than scan on TPU),
+    or 'auto'."""
     B = np.atleast_2d(np.asarray(B, np.float32))
     A = np.atleast_2d(np.asarray(A, np.float32))
     A0 = A[:, :1]
@@ -163,18 +308,26 @@ def iirfilt_sos(B, A, name: str = "iirfilt_sos",
     cplx = np.iscomplexobj(B) or np.iscomplexobj(A)
     Bj = jnp.asarray(B.astype(np.complex64 if cplx else np.float32))
     Aj = jnp.asarray(A.astype(np.complex64 if cplx else np.float32))
-    if backend not in ("scan", "pscan"):
-        raise ValueError(f"unknown iirfilt_sos backend {backend!r}")
+    ss = _ss_cascade([_df2t_ss(np.asarray(B[k], np.float64 if not cplx
+                                          else np.complex128),
+                               np.asarray(A[k], np.float64 if not cplx
+                                          else np.complex128))
+                      for k in range(ns)])
+    backend = _resolve_iir_backend(backend, ss[0])
+    params = ({"B": Bj, "A": Aj} if backend != "block"
+              else _block_mats(*ss, block_size))
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return jnp.zeros(batch_shape + (ns, 2), dtype)
 
     def apply(params, carry, x):
+        if backend == "block":
+            return iir_apply_block(params, carry.astype(x.dtype), x)
         fn = iir_apply_sos_pscan if backend == "pscan" else iir_apply_sos
         return fn(params["B"], params["A"], carry.astype(x.dtype), x)
 
     pa, pi = (None, None) if cplx else planar_per_plane(apply, init)
-    return Proc(params={"B": Bj, "A": Aj}, init=init, apply=apply, name=name,
+    return Proc(params=params, init=init, apply=apply, name=name,
                 planar_apply=pa, planar_init=pi)
 
 

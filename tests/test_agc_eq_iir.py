@@ -174,6 +174,77 @@ class TestEqualizers:
         assert err < 0.05, err
 
 
+class TestBlockIIR:
+    """backend='block' (exact block state-space processing, the off-CPU
+    default) must match the sequential scan to float32 rounding — output
+    AND carry (the block carry is the same DF2T state vector)."""
+
+    @pytest.mark.parametrize("ftype,order", [("butter", 3), ("butter", 7),
+                                             ("ellip", 5), ("cheby2", 4)])
+    def test_block_matches_scan_sos(self, ftype, order):
+        from liquid_dsp_tpu.design.iirdes import iirdes_sos
+        B, A = iirdes_sos(ftype, order, 0.17)
+        rng = np.random.default_rng(order)
+        x = (rng.standard_normal((2, 1000)) +
+             1j * rng.standard_normal((2, 1000))).astype(np.complex64)
+        q1 = iirfilt_sos(B, A, backend="scan")
+        q2 = iirfilt_sos(B, A, backend="block")
+        y1, c1 = q1(jnp.asarray(x), batch_shape=(2,))
+        y2, c2 = q2(jnp.asarray(x), batch_shape=(2,))
+        assert_close(np.asarray(y2), np.asarray(y1), tol=1e-4)
+        assert_close(np.asarray(c2), np.asarray(c1), tol=1e-4)
+
+    def test_block_matches_scan_tf(self):
+        b = np.array([0.2, 0.3, 0.1, 0.05])
+        a = np.array([1.0, -0.5, 0.2, -0.04])
+        rng = np.random.default_rng(3)
+        # T=100 < block_size exercises the remainder-only path
+        for T in (100, 1000):
+            x = rng.standard_normal(T).astype(np.float32)
+            y1, c1 = iirfilt(b, a, backend="scan")(
+                jnp.asarray(x), batch_shape=(), dtype=jnp.float32)
+            y2, c2 = iirfilt(b, a, backend="block")(
+                jnp.asarray(x), batch_shape=(), dtype=jnp.float32)
+            assert_close(np.asarray(y2), np.asarray(y1), tol=1e-5)
+            assert_close(np.asarray(c2), np.asarray(c1), tol=1e-5)
+
+    def test_block_streaming_odd_splits(self):
+        from liquid_dsp_tpu.design.iirdes import iirdes_sos
+        B, A = iirdes_sos("butter", 5, 0.2)
+        q = iirfilt_sos(B, A, backend="block")
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal(1000).astype(np.float32)
+        y_once, _ = q(jnp.asarray(x), batch_shape=(), dtype=jnp.float32)
+        c = q.init(batch_shape=(), dtype=jnp.float32)
+        ys = []
+        for blk in np.split(x, [130, 390, 517]):   # none a multiple of L
+            yb, c = q.apply(q.params, c, jnp.asarray(blk))
+            ys.append(np.asarray(yb))
+        assert_close(np.concatenate(ys), np.asarray(y_once), tol=1e-5)
+
+    def test_unstable_falls_back_to_scan(self):
+        # pole outside the unit circle: A^L overflows, resolver must
+        # keep the sequential scan
+        q = iirfilt([1.0], [1.0, -1.5], backend="block")
+        assert "b" in q.params          # scan params, not block mats
+
+    def test_carry_cross_backend(self):
+        # a carry saved under one backend restores under the other
+        from liquid_dsp_tpu.design.iirdes import iirdes_sos
+        B, A = iirdes_sos("butter", 4, 0.1)
+        rng = np.random.default_rng(11)
+        x1 = rng.standard_normal(300).astype(np.float32)
+        x2 = rng.standard_normal(300).astype(np.float32)
+        qs = iirfilt_sos(B, A, backend="scan")
+        qb = iirfilt_sos(B, A, backend="block")
+        _, c = qs.apply(qs.params, qs.init(batch_shape=(),
+                                           dtype=jnp.float32),
+                        jnp.asarray(x1))
+        y_b, _ = qb.apply(qb.params, c, jnp.asarray(x2))
+        y_s, _ = qs.apply(qs.params, c, jnp.asarray(x2))
+        assert_close(np.asarray(y_b), np.asarray(y_s), tol=1e-5)
+
+
 class TestPScan:
     @pytest.mark.parametrize("order", [3, 5, 7])
     def test_pscan_matches_scan(self, order):

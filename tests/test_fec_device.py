@@ -258,3 +258,62 @@ class TestConvDeviceDecoder:
         # the decoder actually used was the device conv path
         key = (40, "crc32", "v27", "none", "qpsk")
         assert fs._dev_fec_cache.get(key) is not None
+
+
+class TestDevicePacketFinish:
+    """device_packet_finish must be byte- and verdict-exact vs the host
+    finish (byte pack + reference-exact CRC) for every crc scheme and
+    both decoder families."""
+
+    @pytest.mark.parametrize("crc", ["none", "checksum", "crc8",
+                                     "crc16", "crc24", "crc32"])
+    @pytest.mark.parametrize("fec1", ["golay2412", "hamming74",
+                                      "hamming1511"])
+    def test_block_matches_host(self, crc, fec1):
+        from liquid_dsp_tpu.fec.device import (packetizer_soft_decoder,
+                                               device_packet_finish)
+        from liquid_dsp_tpu.fec.packetizer import packetizer_encode
+        rng = np.random.default_rng(hash((crc, fec1)) % 2**31)
+        pl = 29
+        dfn, fin = packetizer_soft_decoder(pl, crc, "none", fec1)
+        dev_fin = jax.jit(device_packet_finish(pl, crc, "none", fec1))
+        payloads = rng.integers(0, 256, (4, pl), dtype=np.uint8)
+        llr = np.stack([
+            2.0 * np.unpackbits(packetizer_encode(row, crc, "none", fec1))
+            .astype(np.float32) - 1.0 for row in payloads])
+        # clean + corrupted (first 40 llrs flipped) slots together
+        llr = np.concatenate([llr, -llr[:, :]* np.where(
+            np.arange(llr.shape[1]) < 40, 1.0, -1.0)], axis=0)
+        msgs = np.asarray(dfn(jnp.asarray(llr)))
+        pay_h, ok_h = fin(msgs)
+        pay_d, ok_d = dev_fin(jnp.asarray(msgs))
+        np.testing.assert_array_equal(np.asarray(pay_d), pay_h)
+        np.testing.assert_array_equal(np.asarray(ok_d), ok_h)
+        assert ok_h[:4].all()          # clean slots decode
+
+    @pytest.mark.parametrize("crc,fec0", [("crc32", "v27"),
+                                          ("crc16", "v29p34"),
+                                          ("checksum", "v27p78")])
+    def test_conv_matches_host(self, crc, fec0):
+        from liquid_dsp_tpu.fec.device import (conv_packet_soft_decoder,
+                                               device_packet_finish)
+        from liquid_dsp_tpu.fec.packetizer import packetizer_encode
+        rng = np.random.default_rng(5)
+        pl = 21
+        dfn, fin = conv_packet_soft_decoder(pl, crc, fec0, "none")
+        dev_fin = jax.jit(device_packet_finish(pl, crc, fec0, "none"))
+        payloads = rng.integers(0, 256, (3, pl), dtype=np.uint8)
+        llr = np.stack([
+            2.0 * np.unpackbits(packetizer_encode(row, crc, fec0, "none"))
+            .astype(np.float32) - 1.0 for row in payloads])
+        bits = np.asarray(dfn(jnp.asarray(llr)))
+        pay_h, ok_h = fin(bits)
+        pay_d, ok_d = dev_fin(jnp.asarray(bits))
+        np.testing.assert_array_equal(np.asarray(pay_d), pay_h)
+        np.testing.assert_array_equal(np.asarray(ok_d), ok_h)
+        assert ok_h.all()
+
+    def test_rejects_unknown_config(self):
+        from liquid_dsp_tpu.fec.device import device_packet_finish
+        with pytest.raises(ValueError):
+            device_packet_finish(16, "crc16", "golay2412", "golay2412")

@@ -70,6 +70,57 @@ def check_firfilt(jax, jnp):
     return worst, 1e-3
 
 
+def check_iir_block(jax, jnp):
+    """Block state-space IIR (the off-CPU default) vs the reference
+    golden: its Toeplitz/Obs/K matmuls are pinned HIGHEST — verify the
+    contract holds on hardware (r4)."""
+    from liquid_dsp_tpu.ops.iir import iirfilt
+    worst = 0.0
+    for stem in ("iirfilt_crcf_data_h5x64", "iirfilt_rrrf_data_h7x64"):
+        d = _load(stem)
+        q = iirfilt(d["b"], d["a"], backend="block")
+        xr, xi = _split(d["x"])
+
+        @jax.jit
+        def run(p, r, i):
+            cplx = i is not None
+            x = jax.lax.complex(r, i) if cplx else r
+            y, _ = q.apply(p, q.init(
+                dtype=jnp.complex64 if cplx else jnp.float32), x)
+            return (jnp.real(y), jnp.imag(y)) if cplx else (y, y * 0)
+
+        yr, yi = run(q.params, jnp.asarray(xr),
+                     None if xi is None else jnp.asarray(xi))
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        worst = max(worst, float(np.abs(got - d["y"]).max()))
+    return worst, 1e-3
+
+
+def check_crc_finish(jax, jnp):
+    """Device byte pack + GF(2) CRC parity matmul vs the host CRC on
+    real encoded packets: verdicts must agree bit-for-bit on hardware
+    (the parity sums are exact small integers only at HIGHEST)."""
+    from liquid_dsp_tpu.fec.device import (packetizer_soft_decoder,
+                                           device_packet_finish)
+    from liquid_dsp_tpu.fec.packetizer import packetizer_encode
+    rng = np.random.default_rng(7)
+    pl, crc, fec1 = 29, "crc32", "golay2412"
+    dfn, fin = packetizer_soft_decoder(pl, crc, "none", fec1)
+    dev_fin = device_packet_finish(pl, crc, "none", fec1)
+    payloads = rng.integers(0, 256, (4, pl), dtype=np.uint8)
+    llr = np.stack([
+        2.0 * np.unpackbits(packetizer_encode(row, crc, "none", fec1))
+        .astype(np.float32) - 1.0 for row in payloads])
+    llr = np.concatenate([llr, -llr], axis=0)     # 4 clean + 4 corrupt
+    run = jax.jit(lambda v: dev_fin(dfn(v)))
+    pay_d, ok_d = run(jnp.asarray(llr))
+    msgs = np.asarray(jax.jit(dfn)(jnp.asarray(llr)))
+    pay_h, ok_h = fin(msgs)
+    same = (np.asarray(pay_d) == pay_h).all() and \
+        (np.asarray(ok_d) == ok_h).all() and ok_h[:4].all()
+    return (0.0 if same else 1.0), 0.5
+
+
 def check_channelizer(jax, jnp):
     from liquid_dsp_tpu.multichannel.channelizer import firpfbch2_analyzer
     cg = _load("channelizer_golden")
@@ -191,7 +242,8 @@ def main():
 
     families = [("firfilt", check_firfilt), ("channelizer", check_channelizer),
                 ("modem", check_modem), ("frame64", check_frame64),
-                ("fft", check_fft)]
+                ("fft", check_fft), ("iir_block", check_iir_block),
+                ("crc_finish", check_crc_finish)]
     all_ok = True
     for name, fn in families:
         try:

@@ -15,7 +15,9 @@ plans within float32 tolerance — the *plan selection* semantics are
 replicated, not the butterfly code): composite n with odd factor <= 2048
 runs the four-step mixed-radix split (odd-factor DFT as ONE MXU matmul
 x 2^m XLA FFT, ~2x Bluestein); small odd/prime n runs the matmul DFT
-outright; everything else falls back to Bluestein's chirp-z identity.
+outright; primes > 2048 run the Rader index-permutation plan (padded
+2^m cyclic convolution); the residual odd-composite cases fall back to
+Bluestein's chirp-z identity.
 All transforms operate over the LAST axis and broadcast leading batch
 axes.
 """
@@ -71,6 +73,88 @@ def _bluestein(x, sign: int):
     return y * w
 
 
+def _is_prime(n: int) -> bool:
+    if n < 2:
+        return False
+    f = 2
+    while f * f <= n:
+        if n % f == 0:
+            return False
+        f += 1
+    return True
+
+
+def _primitive_root(p: int) -> int:
+    """Smallest primitive root mod prime p (host, plan time)."""
+    fac = []
+    m = p - 1
+    f = 2
+    while f * f <= m:
+        if m % f == 0:
+            fac.append(f)
+            while m % f == 0:
+                m //= f
+        f += 1
+    if m > 1:
+        fac.append(m)
+    g = 2
+    while True:
+        if all(pow(g, (p - 1) // q, p) != 1 for q in fac):
+            return g
+        g += 1
+
+
+@functools.lru_cache(maxsize=16)
+def _rader_consts(p: int, sign: int):
+    """Rader plan constants for prime p (reference analog: the Rader
+    prime plans, src/fft/src/fft_rader.c / fft_rader2.c — studied, not
+    copied; this realization computes the length-(p-1) cyclic
+    convolution with a padded power-of-two FFT, the TPU-native form).
+
+    X[g^{-q}] = x[0] + (a (*) b)[q],  a[r] = x[g^r],  b[t] = W^{g^{-t}}
+    (cyclic convolution over r, W = exp(sign*2j*pi/p)).
+    """
+    g = _primitive_root(p)
+    ginv = pow(g, p - 2, p)
+    L = p - 1
+    perm_in = np.empty(L, np.int32)      # a[r] = x[perm_in[r]]
+    iperm = np.empty(L, np.int64)        # g^{-q} mod p
+    v, w = 1, 1
+    for r in range(L):
+        perm_in[r] = v
+        iperm[r] = w
+        v = (v * g) % p
+        w = (w * ginv) % p
+    tab = np.empty(p, np.int32)          # X[k] = x0 + conv[tab[k]], k>0
+    tab[iperm] = np.arange(L)
+    b = np.exp(sign * 2j * np.pi * iperm.astype(np.float64) / p)
+    m = 1
+    while m < 2 * L - 1:
+        m <<= 1
+    bpad = np.zeros(m, np.complex128)
+    bpad[:L] = b
+    bpad[m - L + 1:] = b[1:]
+    B = np.fft.fft(bpad).astype(np.complex64)
+    return perm_in, tab[1:].copy(), B, m
+
+
+def _rader(x, sign: int):
+    """Prime-size DFT via Rader's index permutation: two static
+    permutation gathers around one padded 2^m convolution — the same
+    live-FFT count as Bluestein, but the reference's actual prime plan
+    family (its plan chooser sends primes > the codelet range here,
+    src/fft/src/fft_utilities.c)."""
+    p = x.shape[-1]
+    perm_in, tabk, B, m = _rader_consts(p, sign)
+    a = x[..., jnp.asarray(perm_in)]
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, m - (p - 1))]
+    conv = jnp.fft.ifft(jnp.fft.fft(jnp.pad(a, pad)) *
+                        jnp.asarray(B))[..., :p - 1]
+    Xk = x[..., 0:1] + conv[..., jnp.asarray(tabk)]
+    X0 = jnp.sum(x, axis=-1, keepdims=True)
+    return jnp.concatenate([X0, Xk], axis=-1)
+
+
 _DFT_MAX = 2048    # largest odd factor handled by the matmul DFT:
                    # measured 14.0 Gsps at n=2043 vs Bluestein's ~2.1
                    # (crossover ~n=8000); bounds the cached matrix at
@@ -118,8 +202,8 @@ def _ct_consts(n: int, a: int, sign: int):
 @functools.lru_cache(maxsize=64)
 def _largest_odd_divisor(n1: int) -> int:
     """Largest divisor of (odd) n1 that fits the matmul DFT, or 0 when
-    n1 is prime / has no divisor in (1, _DFT_MAX] — those sizes fall to
-    Bluestein (the intentional Rader substitution, API_PARITY.md)."""
+    n1 is prime / has no divisor in (1, _DFT_MAX] — primes go to the
+    Rader plan, the rest to Bluestein (API_PARITY.md)."""
     divs = {1}
     m, f, fac = n1, 3, {}
     while f * f <= m:
@@ -175,6 +259,12 @@ def _fft_any(x, sign: int):
         a = _largest_odd_divisor(n1)
         if a:
             return _cooley_tukey(x, sign, a)
+        if n2 > 1 and n2 <= _DFT_MAX and _is_prime(n1):
+            # 2^k * prime: split off the pow2 part; the recursion's odd
+            # remainder hits the Rader branch below
+            return _cooley_tukey(x, sign, n2)
+    if n > _DFT_MAX and _is_prime(n):
+        return _rader(x, sign)
     return _bluestein(x, sign)
 
 

@@ -48,10 +48,13 @@ def test_fft_batched():
 
 # one size per method-chooser branch (ops/fft.py _fft_any): four-step
 # mixed-radix (odd factor <= 2048 x 2^m), matmul DFT (odd n <= 2048),
-# Bluestein (larger); forward vs numpy + unnormalized-backward round trip
+# Rader (prime > 2048, also as the odd part of 2^k*p), Bluestein
+# (remaining); forward vs numpy + unnormalized-backward round trip
 @pytest.mark.parametrize("n", [96, 384, 1200, 638,     # CT
                                127, 509, 1021, 2043,   # matmul DFT
-                               4099, 6138])            # Bluestein
+                               2053, 4099, 8191,       # Rader prime
+                               4106, 16396,            # 2^k * prime
+                               6138])                  # CT peel
 def test_fft_method_chooser_vs_numpy(n):
     rng = np.random.default_rng(n)
     x = (rng.standard_normal((3, n)) +

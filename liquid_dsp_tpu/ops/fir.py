@@ -73,25 +73,39 @@ def fir_apply(h, carry, x, stride: int = 1):
 
 
 def firfilt(h, scale: float | complex = 1.0, name: str = "firfilt",
-            backend: str = "xla") -> Proc:
+            backend: str = "auto") -> Proc:
     """Direct-form FIR filter over blocks (reference firfilt_crcf).
 
     Block length T in -> T out; carry: [..., L-1] input tail.
-    backend: 'xla' (lax.conv, default), 'matmul' (banded-tap matrix
-    framed as [tiles, TILE+L-1] @ [TILE+L-1, TILE] — MXU-shaped; the
-    feature-dim-1 convolution never reaches the systolic array), or
+    backend: 'xla' (lax.conv, the CPU default), 'matmul' (banded-tap
+    matrix framed as [tiles, TILE+L-1] @ [TILE+L-1, TILE] — MXU-shaped;
+    the feature-dim-1 convolution never reaches the systolic array),
     'pallas' (the same banding inside a hand-tiled kernel; see
-    ops/kernels/pallas_fir.py).
+    ops/kernels/pallas_fir.py), 'fft' (delegate to the overlap-save
+    fftfilt apply — SAME carry, the last L-1 input samples), or 'auto'
+    (the default: banded matmul off CPU — it beats the conv form at
+    EVERY tap count on chip, 105 -> 1740 Msps at 257 taps, 397 -> 2879
+    at 64, PERF.md late r4; 'xla' on CPU for golden bit-compat).
     """
     h_np = _np_taps(h, scale)
     L = int(h_np.shape[-1])
     h = jnp.asarray(h_np)
     params = {"h": h}
+    if backend == "auto":
+        import jax as _jax_
+        backend = ("matmul" if _jax_.default_backend() != "cpu"
+                   else "xla")
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return jnp.zeros(batch_shape + (L - 1,), dtype=dtype)
 
-    if backend == "matmul":
+    if backend == "fft":
+        from .fftfilt import fftfilt as _fftfilt
+        _ff = _fftfilt(h_np, name=name)      # h_np already scaled
+
+        def apply(params, carry, x):
+            return _ff.apply(params, carry, x)
+    elif backend == "matmul":
         def apply(params, carry, x):
             return fir_apply_matmul(params["h"], _coerce(carry, x.dtype), x)
     elif backend == "pallas":
@@ -185,7 +199,11 @@ def _banded_matmul(h, xp, T, tile):
         if blk.shape[0] < tile:
             blk = jnp.pad(blk, [(0, tile - blk.shape[0]), (0, 0)])
         seg = lax.slice_in_dim(xpt, b, b + nt, axis=-2)
-        contrib = seg @ blk.astype(seg.dtype)
+        # HIGHEST: firfilt output feeds golden accuracy contracts (1e-3
+        # autotest convention); the op is HBM-bound so true-f32 passes
+        # cost <= 9% at 257 taps and nothing at 64 (PERF.md late r4)
+        contrib = jnp.matmul(seg, blk.astype(seg.dtype),
+                             precision=lax.Precision.HIGHEST)
         y = contrib if y is None else y + contrib
     return y.reshape(y.shape[:-2] + (nt * tile,))[..., :T]
 

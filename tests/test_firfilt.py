@@ -98,3 +98,24 @@ def test_firinterp_is_zero_stuffed_conv():
     xz[::k] = x
     ref = np.convolve(xz, h)[: 20 * k]
     assert_close(y, ref, msg="zero-stuffed equivalence")
+
+
+def test_firfilt_fft_backend_matches_xla():
+    """backend='fft' (the off-CPU auto route for taps >= 128) delegates
+    to overlap-save with the SAME carry (last L-1 input samples): output
+    and carry must match the direct form; a carry produced by one
+    backend must restore under the other."""
+    from liquid_dsp_tpu.design.firdes import firdes_kaiser
+    rng = np.random.default_rng(3)
+    h = firdes_kaiser(257, 0.1, 80.0)
+    x = (rng.standard_normal((2, 700)) +
+         1j * rng.standard_normal((2, 700))).astype(np.complex64)
+    q1 = firfilt(h, backend="xla")
+    q2 = firfilt(h, backend="fft")
+    y1, c1 = q1(jnp.asarray(x), batch_shape=(2,))
+    y2, c2 = q2(jnp.asarray(x), batch_shape=(2,))
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(c1))
+    y1b, _ = q1.apply(q1.params, c2, jnp.asarray(x))
+    y2b, _ = q2.apply(q2.params, c1, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y2b), np.asarray(y1b), atol=2e-5)

@@ -157,47 +157,50 @@ def firfilt(h, scale: float | complex = 1.0, name: str = "firfilt",
                 planar_apply=planar_apply, planar_init=planar_init)
 
 
-def _banded_matmul(h, xp, T, tile):
-    """[.., Tp] -> [.., T] banded-tap matmul; xp already carries the
-    L-1 history prefix.
+def _banded_matmul(h, xp, T, tile, stride: int = 1):
+    """[.., Tp] -> [.., T] banded-tap matmul (T OUTPUT samples, one per
+    `stride` inputs); xp already carries the L-1 history prefix.
 
     Gather-free formulation: the overlapping frames
-    ``frames[k] = xp[k*tile : k*tile + tile+L-1]`` are never
-    materialized.  Instead xp is reshaped into non-overlapping tiles and
-    the [tile+L-1, tile] band matrix is split into ceil((tile+L-1)/tile)
-    square [tile, tile] blocks, so
-    ``y[k] = sum_b xpt[k+b] @ band_block[b]`` — pure reshapes + square
-    MXU matmuls.  The im2col gather this replaces measured 5-10x slower
-    on the TPU (PERF.md)."""
+    ``frames[k] = xp[k*S*tile : k*S*tile + S*tile+L-1]`` are never
+    materialized.  Instead xp is reshaped into non-overlapping input
+    tiles and the [S*tile+L-1, tile] band matrix is split into
+    ceil-many [S*tile, tile] blocks, so
+    ``y[k] = sum_b xpt[k+b] @ band_block[b]`` — pure reshapes + MXU
+    matmuls; stride > 1 folds the decimation into the band's column
+    spacing (band[f, k] = h[k*S + L-1 - f]).  The im2col gather this
+    replaces measured 5-10x slower on the TPU (PERF.md)."""
     L = int(h.shape[-1])
+    S = int(stride)
     nt = -(-T // tile)
-    rows = tile + L - 1
-    nb = -(-rows // tile)                       # square blocks per frame
-    tot = (nt + nb - 1) * tile
+    tile_in = tile * S
+    rows = tile_in + L - 1
+    nb = -(-rows // tile_in)                    # input blocks per frame
+    tot = (nt + nb - 1) * tile_in
     pad_r = tot - xp.shape[-1]
     if pad_r > 0:
         xp = jnp.pad(xp, [(0, 0)] * (xp.ndim - 1) + [(0, pad_r)])
     elif pad_r < 0:
         xp = xp[..., :tot]
-    # banded tap matrix: band[f, j] = h[L-1-(f-j)] for 0 <= f-j < L
-    d = np.arange(rows)[:, None] - np.arange(tile)[None, :]
+    # banded tap matrix: band[f, k] = h[k*S + L-1 - f] for a valid tap
+    j = (np.arange(tile)[None, :] * S + (L - 1)
+         - np.arange(rows)[:, None])
     if isinstance(h, np.ndarray):
         # host taps (params closed over as numpy constants): build the
         # band on host so it enters the jaxpr as one folded constant
-        band = jnp.asarray(np.where((d >= 0) & (d < L),
-                                    h[::-1][np.clip(d, 0, L - 1)],
+        band = jnp.asarray(np.where((j >= 0) & (j < L),
+                                    h[np.clip(j, 0, L - 1)],
                                     np.zeros((), h.dtype)))
     else:
-        mask = jnp.asarray((d >= 0) & (d < L))
-        hr = h[::-1]
-        band = jnp.where(mask, hr[jnp.asarray(np.clip(d, 0, L - 1))],
+        mask = jnp.asarray((j >= 0) & (j < L))
+        band = jnp.where(mask, h[jnp.asarray(np.clip(j, 0, L - 1))],
                          jnp.zeros((), h.dtype))
-    xpt = xp.reshape(xp.shape[:-1] + (nt + nb - 1, tile))
+    xpt = xp.reshape(xp.shape[:-1] + (nt + nb - 1, tile_in))
     y = None
     for b in range(nb):
-        blk = band[b * tile:(b + 1) * tile]
-        if blk.shape[0] < tile:
-            blk = jnp.pad(blk, [(0, tile - blk.shape[0]), (0, 0)])
+        blk = band[b * tile_in:(b + 1) * tile_in]
+        if blk.shape[0] < tile_in:
+            blk = jnp.pad(blk, [(0, tile_in - blk.shape[0]), (0, 0)])
         seg = lax.slice_in_dim(xpt, b, b + nt, axis=-2)
         # HIGHEST: firfilt output feeds golden accuracy contracts (1e-3
         # autotest convention); the op is HBM-bound so true-f32 passes
@@ -208,7 +211,7 @@ def _banded_matmul(h, xp, T, tile):
     return y.reshape(y.shape[:-2] + (nt * tile,))[..., :T]
 
 
-def fir_apply_matmul(h, carry, x, tile: int = 256):
+def fir_apply_matmul(h, carry, x, tile: int = 256, stride: int = 1):
     """FIR as a banded-tap matmul: frames [.., nt, tile+L-1] times band
     [tile+L-1, tile], so each tile of outputs is one MXU-shaped matmul
     (the [B,1,T] convolution has feature dimension 1 and cannot use the
@@ -219,26 +222,27 @@ def fir_apply_matmul(h, carry, x, tile: int = 256):
     complex-dtype matmul lowers to 3-4 real MXU passes, while filtering
     the planes needs exactly 2 and rides the batch tiling instead."""
     L = int(h.shape[-1])
-    T = int(x.shape[-1])
+    T = int(x.shape[-1]) // int(stride)
     xp = jnp.concatenate([carry.astype(x.dtype), x], axis=-1)
     new_carry = xp[..., xp.shape[-1] - (L - 1):] if L > 1 else carry
     if jnp.iscomplexobj(h) and not jnp.iscomplexobj(xp):
         xp = xp.astype(h.dtype)  # the band cast below must not drop imag
     if jnp.iscomplexobj(xp) and not jnp.iscomplexobj(h):
         planes = jnp.stack([jnp.real(xp), jnp.imag(xp)], axis=0)
-        y2 = _banded_matmul(h, planes, T, tile)
+        y2 = _banded_matmul(h, planes, T, tile, stride)
         return lax.complex(y2[0], y2[1]), new_carry
-    return _banded_matmul(h, xp, T, tile), new_carry
+    return _banded_matmul(h, xp, T, tile, stride), new_carry
 
 
 def fir_apply_auto(h, carry, x, stride: int = 1):
     """fir_apply with a trace-time backend pick: the banded matmul on
     accelerators (the feature-dim-1 conv cannot use the MXU and the
-    matmul form measures ~5x faster on the TPU tunnel — PERF.md), the
-    XLA conv on CPU where it wins."""
+    matmul form measures ~5x faster on the TPU tunnel — PERF.md; the
+    strided band covers decimators too), the XLA conv on CPU where it
+    wins."""
     import jax as _jax
-    if stride == 1 and _jax.default_backend() != "cpu":
-        return fir_apply_matmul(h, carry, x)
+    if _jax.default_backend() != "cpu" and x.shape[-1] % stride == 0:
+        return fir_apply_matmul(h, carry, x, stride=stride)
     return fir_apply(h, carry, x, stride)
 
 
@@ -261,7 +265,8 @@ def firdecim(m: int, h, scale=1.0, name: str = "firdecim") -> Proc:
         return jnp.zeros(batch_shape + (L - 1,), dtype=dtype)
 
     def apply(params, carry, x):
-        return fir_apply(params["h"], _coerce(carry, x.dtype), x, stride=m)
+        return fir_apply_auto(params["h"], _coerce(carry, x.dtype), x,
+                              stride=m)
 
     pa, pi = ((None, None) if np.iscomplexobj(h_np) else
               planar_per_plane(apply, init))

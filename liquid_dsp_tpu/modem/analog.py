@@ -16,7 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core import Proc
-from ..ops.fir import fir_apply
+from ..ops.fir import fir_apply_auto
 
 __all__ = ["freq_modulator", "freq_demodulator", "amp_modulator",
            "amp_demodulator"]
@@ -115,7 +115,7 @@ def amp_modulator(mod_index: float = 0.1, kind: str = "dsb",
             x_hat = x.astype(jnp.complex64)
             new_carry = carry
         else:
-            x_hat, tail_h = fir_apply(params["hh"],
+            x_hat, tail_h = fir_apply_auto(params["hh"],
                                       carry["tail_h"].astype(x.dtype), x)
             new_carry = {"tail_h": tail_h}
             if kind == "lsb":

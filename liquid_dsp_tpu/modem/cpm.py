@@ -26,7 +26,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core import Proc
-from ..ops.fir import fir_apply
+from ..ops.fir import fir_apply_auto
 from ..design.firdes import firdes_gmsktx, firdes_gmskrx
 
 __all__ = ["fsk_modulator", "fsk_demodulator", "fsk_fft_size",
@@ -168,7 +168,7 @@ def _interp_phase(ht, carry, x, k: int):
     T = x.shape[-1]
     up = jnp.zeros(x.shape[:-1] + (T * k,), x.dtype)
     up = up.at[..., ::k].set(x)
-    return fir_apply(ht, carry, up)
+    return fir_apply_auto(ht, carry, up)
 
 
 def gmsk_modulator(k: int = 2, m: int = 3, bt: float = 0.3,
@@ -216,7 +216,7 @@ def gmsk_demodulator(k: int = 2, m: int = 3, bt: float = 0.3,
         prev = jnp.concatenate([carry["x_prime"][..., None], x[..., :-1]],
                                axis=-1)
         phi = jnp.angle(jnp.conj(prev) * x + 1e-20)
-        d, tail = fir_apply(params["hr"], carry["tail"], phi)
+        d, tail = fir_apply_auto(params["hr"], carry["tail"], phi)
         out = d[..., ::k] if soft else (d[..., ::k] > 0).astype(jnp.int32)
         new_carry = {"x_prime": x[..., -1], "tail": tail}
         return out, new_carry
@@ -305,7 +305,7 @@ def cpfsk_demodulator(bps: int, h: float, k: int, m: int = 3,
         prev = jnp.concatenate([carry["x_prime"][..., None], x[..., :-1]],
                                axis=-1)
         phi = jnp.angle(jnp.conj(prev) * x + 1e-20)
-        d, tail = fir_apply(params["hr"], carry["tail"], phi)
+        d, tail = fir_apply_auto(params["hr"], carry["tail"], phi)
         # instantaneous frequency scaled back to NRZ units
         v_hat = d[..., offset::k] * (k / (np.pi * h))
         s = jnp.clip(jnp.round((v_hat + (M - 1)) / 2.0), 0, M - 1)

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import Proc, scan_unroll
-from .fir import fir_apply
+from .fir import fir_apply_auto
 from ..utils.random import jax_crandn
 
 __all__ = ["channel"]
@@ -59,7 +59,7 @@ def channel(snr_db: float | None = None, noise_floor_db: float = -60.0,
         new_carry = dict(carry)
         # multipath
         if h is not None:
-            y, new_carry["mp_tail"] = fir_apply(
+            y, new_carry["mp_tail"] = fir_apply_auto(
                 params["h"], carry["mp_tail"].astype(y.dtype), y)
         # shadowing: slow log-normal gain fluctuation
         if shadowing_std:

@@ -39,17 +39,28 @@ def freq_modulator(kf: float, name: str = "freqmod") -> Proc:
         return jnp.zeros(batch_shape, jnp.int32)
 
     def apply(params, carry, m):
+        import jax as _jax
         x = ref * m
         # C roundf: round half away from zero
         steps = jnp.trunc(x + jnp.sign(x) * 0.5).astype(jnp.int32)
         # int32 cumsum wraps mod 2^32, which preserves the value mod 2^16
         ph = (carry[..., None] + jnp.cumsum(steps, axis=-1)) & 0xFFFF
         idx = ((ph + 0x0020) >> 6) & 0x03FF
-        y = params["table"][idx]
+        if _jax.default_backend() == "cpu":
+            y = jnp.asarray(table)[idx]        # bit-exact table lookup
+        else:
+            # the table IS exp(2j*pi*i/1024): evaluate the trig of the
+            # QUANTIZED phase directly — a complex-table gather by a
+            # traced index is UNIMPLEMENTED on the axon tunnel (and
+            # gathers serialize on TPU anyway); values match the f32
+            # table entries to transcendental rounding (~1e-7)
+            th = idx.astype(jnp.float32) * jnp.float32(2 * np.pi / 1024)
+            y = _jax.lax.complex(jnp.cos(th), jnp.sin(th))
         return y, ph[..., -1]
 
-    return Proc(params={"table": jnp.asarray(table)}, init=init,
-                apply=apply, name=name)
+    # table stays a NUMPY closure: a complex device-constant param is
+    # unmaterializable on the axon tunnel (CLAUDE.md params rule)
+    return Proc(params={}, init=init, apply=apply, name=name)
 
 
 def freq_demodulator(kf: float, name: str = "freqdem") -> Proc:

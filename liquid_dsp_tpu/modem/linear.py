@@ -195,8 +195,27 @@ def constellation(scheme: str) -> np.ndarray:
 
 
 def modulate(table, syms):
-    """Map integer symbols [..., T] -> constellation points (a gather)."""
-    return jnp.take(jnp.asarray(table), syms, axis=0)
+    """Map integer symbols [..., T] -> constellation points.
+
+    Off CPU this is a one-hot matmul against the table planes, not a
+    gather: traced-index gathers serialize on TPU (qam16 TX measured
+    63 Msps as a gather vs the banned-pattern rule, CLAUDE.md), and a
+    complex-table gather is UNIMPLEMENTED on the axon tunnel outright.
+    The selection is exact (every product is value*1 or value*0;
+    HIGHEST so the one-pass bf16 default cannot round table values).
+    CPU keeps the gather (fastest there, bit-identical)."""
+    import jax as _jax
+    table = jnp.asarray(table)
+    M = table.shape[0]
+    if _jax.default_backend() == "cpu" or M > 4096:
+        return jnp.take(table, syms, axis=0)
+    from jax import lax as _lax
+    onehot = (syms[..., None] == jnp.arange(M)).astype(jnp.float32)
+    re = jnp.einsum("...tm,m->...t", onehot, jnp.real(table),
+                    precision=_lax.Precision.HIGHEST)
+    im = jnp.einsum("...tm,m->...t", onehot, jnp.imag(table),
+                    precision=_lax.Precision.HIGHEST)
+    return _lax.complex(re, im)
 
 
 def demodulate(table, y):

@@ -25,26 +25,33 @@ AGC_DEFAULT_BW = 1e-2
 
 
 def agc_scan(alpha, carry, x, locked: bool = False):
-    """Run the AGC recurrence over a block.  carry = {g, y2_prime}."""
+    """Run the AGC recurrence over a block.  carry = {g, y2_prime}.
 
-    def step(c, xt):
+    The scan body is ALL-REAL: the loop only needs the instantaneous
+    power p = |x|^2 (y2 = g^2 p — identical recurrence), so per-sample
+    gains come out of a real scalar scan and the complex input is
+    scaled elementwise OUTSIDE the scan.  The complex-body form
+    measured ~10x slower on chip (PERF.md agc rows: the scan step is
+    the whole cost and a complex multiply per step triples it)."""
+    p = (x * jnp.conj(x)).real if jnp.iscomplexobj(x) else x * x
+    pt = jnp.moveaxis(p, -1, 0)
+
+    def step(c, pp):
         g, y2p = c
-        y = xt * g.astype(xt.dtype)
-        y2 = (y * jnp.conj(y)).real if jnp.iscomplexobj(y) else y * y
-        y2p = (1.0 - alpha) * y2p + alpha * y2
+        y2p = (1.0 - alpha) * y2p + alpha * (g * g) * pp
+        g_out = g
         if not locked:
             g = jnp.where(y2p > 1e-6,
                           g * jnp.exp(-0.5 * alpha * jnp.log(y2p)), g)
             g = jnp.minimum(g, 1e6)
-        return (g, y2p), y
+        return (g, y2p), g_out
 
-    # scan over the LAST axis: move time to the front
-    xt = jnp.moveaxis(x, -1, 0)
-    (g, y2p), yt = lax.scan(step, (carry["g"], carry["y2_prime"]), xt,
+    (g, y2p), gt = lax.scan(step, (carry["g"], carry["y2_prime"]), pt,
                             unroll=scan_unroll(16))
+    s = jnp.moveaxis(gt, 0, -1)
     from .. import debug
     debug.tap("agc.gain", g)          # converged gain per block
-    return jnp.moveaxis(yt, 0, -1), {"g": g, "y2_prime": y2p}
+    return x * s.astype(x.dtype), {"g": g, "y2_prime": y2p}
 
 
 def agc(bandwidth: float = AGC_DEFAULT_BW, locked: bool = False,

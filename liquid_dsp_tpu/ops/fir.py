@@ -275,6 +275,52 @@ def firdecim(m: int, h, scale=1.0, name: str = "firdecim") -> Proc:
                 planar_apply=pa, planar_init=pi)
 
 
+def _interp_banded(hp, xp, T, k, Lp, tile: int = 512):
+    """Interpolating banded matmul emitting the INTERLEAVED stream
+    directly: each output tile of `tile` samples covers tile/k input
+    samples x k phases, so column c of the band is phase c%k at input
+    offset c//k — band[f, c] = hp[c%k, c//k + Lp-1 - f].  No output
+    transpose (an explicit phase-major layout + swapaxes measured a
+    full relayout of the 4x output stream).
+    y[i*k + p] = sum_m hp[p, m] * xp[i + Lp-1 - m] (the conv1d
+    convention of the CPU path)."""
+    if tile % k:
+        tile = k * (-(-tile // k))
+    ti = tile // k                              # input samples per tile
+    rows = ti + Lp - 1
+    nt = -(-T // ti)
+    nb = -(-rows // ti)
+    tot = (nt + nb - 1) * ti
+    pad_r = tot - xp.shape[-1]
+    if pad_r > 0:
+        xp = jnp.pad(xp, [(0, 0)] * (xp.ndim - 1) + [(0, pad_r)])
+    elif pad_r < 0:
+        xp = xp[..., :tot]
+    if jnp.iscomplexobj(xp) and not jnp.iscomplexobj(hp):
+        planes = jnp.stack([jnp.real(xp), jnp.imag(xp)], axis=0)
+        y2 = _interp_banded(hp, planes, T, k, Lp, tile)
+        return lax.complex(y2[0], y2[1])
+    c = np.arange(tile)[None, :]
+    f = np.arange(rows)[:, None]
+    j = (c // k) + (Lp - 1) - f
+    valid = (j >= 0) & (j < Lp)
+    idx = (c % k) * Lp + np.clip(j, 0, Lp - 1)
+    band = jnp.where(jnp.asarray(valid),
+                     jnp.ravel(hp)[jnp.asarray(idx)],
+                     jnp.zeros((), hp.dtype))
+    xpt = xp.reshape(xp.shape[:-1] + (nt + nb - 1, ti))
+    y = None
+    for b in range(nb):
+        blk = band[b * ti:(b + 1) * ti]
+        if blk.shape[0] < ti:
+            blk = jnp.pad(blk, [(0, ti - blk.shape[0]), (0, 0)])
+        seg = lax.slice_in_dim(xpt, b, b + nt, axis=-2)
+        contrib = jnp.matmul(seg, blk.astype(seg.dtype),
+                             precision=lax.Precision.HIGHEST)
+        y = contrib if y is None else y + contrib
+    return y.reshape(y.shape[:-2] + (nt * tile,))[..., :T * k]
+
+
 def firinterp(k: int, h, scale=1.0, name: str = "firinterp") -> Proc:
     """1:K interpolating FIR (reference firinterp.c): zero-stuff by k then
     filter.  T in -> T*k out; carry: last ceil((L-1)/k) input samples.
@@ -299,13 +345,22 @@ def firinterp(k: int, h, scale=1.0, name: str = "firinterp") -> Proc:
             jnp.zeros(batch_shape + (0,), dtype=dtype)
 
     def apply(params, carry, x):
+        import jax as _jax
         hp_ = params["hp"]
         xp = jnp.concatenate([carry, x], axis=-1) if Lp > 1 else x
+        new_carry = xp[..., xp.shape[-1] - (Lp - 1):] if Lp > 1 else carry
+        if _jax.default_backend() != "cpu":
+            # ONE banded matmul for ALL k phases: the per-phase bands
+            # concatenate column-wise into [tile+Lp-1, k*tile] (the k
+            # feature-dim-1 convs below never reach the MXU; measured
+            # 191 -> see PERF.md firinterp row).  Output tiles come out
+            # phase-major [.., nt, k, tile] and transpose to interleave.
+            y = _interp_banded(hp_, xp, x.shape[-1], k, Lp)
+            return y, new_carry
         # per-phase valid convolution of x with branch p -> [..., k, T]
         ys = [conv1d(xp, hp_[p]) for p in range(k)]
         y = jnp.stack(ys, axis=-1)  # [..., T, k]
         y = y.reshape(y.shape[:-2] + (y.shape[-2] * k,))
-        new_carry = xp[..., xp.shape[-1] - (Lp - 1):] if Lp > 1 else carry
         return y, new_carry
 
     pa, pi = ((None, None) if np.iscomplexobj(h_np) else

@@ -148,6 +148,24 @@ def main():
     add("firpfbch2_64", lambda: firpfbch2_analyzer(64, 4))
     add("qam16_demod", lambda: modem_demodulator("qam16"))
 
+    # bench-parity rows for the remaining reference benchmark families
+    # (firinterp/firhilb/resamp2/modulate/freqmod/freqdem sweeps in
+    # reference src/*/bench/)
+    from liquid_dsp_tpu.ops.fir import firinterp, firhilb
+    from liquid_dsp_tpu.ops.resample import resamp2_decim
+    from liquid_dsp_tpu.modem.linear import modem_modulator
+    from liquid_dsp_tpu.modem.analog import (freq_modulator,
+                                             freq_demodulator)
+    add("firinterp4", lambda: firinterp(4, firdes_kaiser(48, 0.1, 60.0)))
+    add("firhilb_decim", lambda: firhilb(5), xr)
+    add("resamp2_decim", lambda: resamp2_decim(7))
+    add("qam16_mod",
+        lambda: modem_modulator("qam16"),
+        lambda: jnp.asarray(rng.integers(0, 16, (batch, T))
+                            .astype(np.int32)))
+    add("freqmod", lambda: freq_modulator(0.1), xr)
+    add("freqdem", lambda: freq_demodulator(0.1))
+
     _print_results(cases)
     return 0
 

@@ -121,6 +121,30 @@ def check_crc_finish(jax, jnp):
     return (0.0 if same else 1.0), 0.5
 
 
+def check_ldpc(jax, jnp):
+    """Device BP decoder on hardware: the round that added it found the
+    tunnel compiler SIGSEGVs on reduce-multiply fused with its gathers
+    (worked around with log-domain sums) — keep the compile + decode
+    verified on-chip every round."""
+    from liquid_dsp_tpu.fec.ldpc import (make_regular_ldpc,
+                                         ldpc_encode_systematic,
+                                         ldpc_decoder_device)
+    rng = np.random.default_rng(5)
+    H = make_regular_ldpc(96, 48, col_weight=3, seed=1)  # has w-1 rows
+    dec = jax.jit(ldpc_decoder_device(H, max_iters=25, min_sum=True))
+    cws, llrs = [], []
+    for _ in range(8):
+        msg = rng.integers(0, 2, 48).astype(np.uint8)
+        cw, _ = ldpc_encode_systematic(H, msg)
+        cws.append(cw)
+        y = 1.0 - 2.0 * cw + 0.5 * rng.standard_normal(96)
+        llrs.append((2 * y / 0.25).astype(np.float32))
+    hard, ok = dec(jnp.asarray(np.stack(llrs)))
+    good = (np.asarray(hard) == np.stack(cws)).all() and \
+        np.asarray(ok).all()
+    return (0.0 if good else 1.0), 0.5
+
+
 def check_channelizer(jax, jnp):
     from liquid_dsp_tpu.multichannel.channelizer import firpfbch2_analyzer
     cg = _load("channelizer_golden")
@@ -243,7 +267,7 @@ def main():
     families = [("firfilt", check_firfilt), ("channelizer", check_channelizer),
                 ("modem", check_modem), ("frame64", check_frame64),
                 ("fft", check_fft), ("iir_block", check_iir_block),
-                ("crc_finish", check_crc_finish)]
+                ("crc_finish", check_crc_finish), ("ldpc", check_ldpc)]
     all_ok = True
     for name, fn in families:
         try:

@@ -78,8 +78,11 @@ def symsync_run(mf_bank, dmf_bank, carry, x, k: int, k_out: int = 1,
     rate_adj = 0.5 * bw
     max_out = int(np.ceil(k / k_out)) + 1
 
-    mf_j = jnp.asarray(mf_bank[:, ::-1])    # newest-first window dot
-    dmf_j = jnp.asarray(dmf_bank[:, ::-1])
+    # ONE stacked bank [npfb, 2*Lb]: a single branch selection yields
+    # BOTH the MF and dMF taps (halves the one-hot matmul work in the
+    # scan body — the body cost IS the symsync throughput)
+    both_j = jnp.asarray(np.concatenate(
+        [mf_bank[:, ::-1], dmf_bank[:, ::-1]], axis=1))
     iota = jnp.arange(npfb, dtype=jnp.int32)
     on_tpu = jax.default_backend() == "tpu"
 
@@ -100,20 +103,34 @@ def symsync_run(mf_bank, dmf_bank, carry, x, k: int, k_out: int = 1,
         outs = jnp.zeros(xt.shape + (max_out,), win.dtype)
         valid = jnp.zeros(xt.shape + (max_out,), jnp.bool_)
         state = dict(c, win=win)
+        cplx = jnp.iscomplexobj(win)
+        # real-plane window dots: taps are REAL, so mf/dmf split into
+        # two real dots per plane instead of complex-promoted einsums
+        # (the same all-real-body trick as agc_scan, PERF.md late r4)
+        wr = jnp.real(win) if cplx else win
+        wi = jnp.imag(win) if cplx else None
 
         def emit(i, st):
             tau, bf, b = st["tau"], st["bf"], st["b"]
             active = b < npfb
 
             bc = jnp.clip(b, 0, npfb - 1)
-            mf = jnp.einsum("...j,...j->...", win,
-                            bank_sel(mf_j, bc).astype(win.dtype))
+            taps = bank_sel(both_j, bc)
+            tmf, tdmf = taps[..., :Lb], taps[..., Lb:]
+            mf_re = jnp.einsum("...j,...j->...", wr, tmf)
+            dmf_re = jnp.einsum("...j,...j->...", wr, tdmf)
+            if cplx:
+                mf_im = jnp.einsum("...j,...j->...", wi, tmf)
+                dmf_im = jnp.einsum("...j,...j->...", wi, tdmf)
+                mf = lax.complex(mf_re, mf_im)
+                q_raw = mf_re * dmf_re + mf_im * dmf_im
+            else:
+                mf = mf_re
+                q_raw = mf_re * dmf_re
             ymf = mf / k
-            dmf = jnp.einsum("...j,...j->...", win,
-                             bank_sel(dmf_j, bc).astype(win.dtype))
             # decimator: run the loop only every k_out-th output
             run_loop = (st["decim"] == k_out) & active & (not locked)
-            q = jnp.clip((jnp.conj(mf) * dmf).real, -1.0, 1.0)
+            q = jnp.clip(q_raw, -1.0, 1.0)
             # one-pole loop filter == iirfiltsos with B=[B0,0,0],
             # A=[A0,A1,0] normalized by A0 (DF2T)
             q_hat = (B0 / A0) * q + st["v0"]

@@ -135,6 +135,24 @@ def main():
         row(f"symtrack_B{B}",
             lambda B=B: bench_proc(symtrack_stream(ms="qpsk"), cplx(B, T),
                                    out_sel=lambda y: y[0]))
+    # eqrls: O(h^2) per-sample state (the [L, L] P update); bench the
+    # smaller batches only (reference eqrls_cccf_benchmark analog)
+    from liquid_dsp_tpu.ops.equalize import eqrls
+    for B in (16, 64):
+        def run_rls(B=B):
+            proc = eqrls(h_len=13)
+            x = cplx(B, T)
+
+            @jax.jit
+            def step_chk(params, c, xb, chk):
+                y, c2 = proc.apply(params, c, (xb, xb))
+                return y, c2, chk + jnp.sum(jnp.real(jnp.ravel(y)[:16]))
+
+            carry = jax.jit(lambda: proc.init(batch_shape=(B,)))()
+            _, c, chk = step_chk((), carry, x, jnp.float32(0))
+            float(np.asarray(chk))
+            return _bench(step_chk, (), carry, x)
+        row(f"eqrls13_trained_B{B}", run_rls)
 
     print(json.dumps({"T": T, "msps": results}))
     return 0

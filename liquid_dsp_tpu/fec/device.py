@@ -423,7 +423,12 @@ def device_packet_finish(payload_len: int, crc: str = "crc24",
     width = 8 * crc_sizeof_key(crc) if crc.startswith("crc") else 0
 
     msgs_mode = fec0 == "none" and fec1 in _GCOLS
-    if msgs_mode:
+    if fec0 == "none" and fec1 == "none":
+        # uncoded (or already-decoded) packet: bits input, identity map
+        k = ncw = 0
+        nsrc = 8 * dec_len
+        relabel = np.arange(8 * dec_len, dtype=np.int64)
+    elif msgs_mode:
         if _GCOLS[fec1][1] > 16:
             raise ValueError(f"{fec1!r} codebook too large (k > 16)")
         _, n, k = block_codebook(fec1)
@@ -499,3 +504,118 @@ def device_packet_finish(payload_len: int, crc: str = "crc24",
         return payload, ok
 
     return finish_fn
+
+
+def packetizer2_soft_decoder(payload_len: int, crc: str = "crc32",
+                             fec0: str = "secded7264",
+                             fec1: str = "hamming84"):
+    """TWO-stage block packetizer decode fully on device — the
+    flexframe HEADER configuration (crc32, secded7264, hamming84,
+    reference flexframegen.c header encoder).  Returns
+    decode_fn(llr [..., >= 8*enc_len], positive = bit 1) ->
+    (buf_bytes [..., dec_len] int32, crc_ok [...] bool), jittable.
+
+    TPU design:
+      * outer stage (fec1): bit deinterleave (static gather) + soft
+        codebook matmul + argmax (the packetizer_soft_decoder path);
+      * inner stage (fec0 SECDED): byte deinterleave (static bit
+        relabel), then per 72-bit block the syndrome is a GF(2) parity
+        MATMUL of the data bits against the column matrix xor the
+        received parity bits, the error position a one-hot row of a
+        [2^p, m] flip table selected by the syndrome value, and the
+        correction a mod-2 add — no gathers, no per-block loops
+        (reference fec_secded7264.c decodes byte-at-a-time on the CPU);
+      * byte pack + CRC: the GF(2)-affine parity matmul of
+        device_packet_finish.
+    """
+    from .block import _SECDED, _secded_cols
+    from .packetizer import _plan
+    if fec0 not in _SECDED:
+        raise ValueError(f"fec0 {fec0!r} is not a SECDED scheme")
+    if fec1 not in _GCOLS or _GCOLS[fec1][1] > 16:
+        raise ValueError(f"fec1 {fec1!r} needs a small block codebook")
+    k_tot, stages = _plan(payload_len, crc, fec0, fec1)
+    (fs0, d0, e0, _), (fs1, d1, e1, _) = stages
+    assert fs0 == fec0 and fs1 == fec1 and d1 == e0
+    dec_len = d0
+    bip, n1, k1 = block_codebook(fec1)
+    ncw = -(-(8 * d1) // k1)
+    perm_out = _deint_perm(e1)                  # [8*e1]
+    perm_in = _deint_perm(e0)                   # [8*e0]
+    need = 8 * e1
+
+    p, m, _ = _SECDED[fec0]
+    cols, table_pos = _secded_cols(fec0)
+    nbytes = m // 8
+    nblk = -(-d0 // nbytes)
+    # static layout: deinterleaved stage-0 bit index for each block's
+    # parity byte and data bytes (-1 = zero pad in the final block).
+    # The parity byte carries p <= 8 syndrome bits in its LOW bits
+    # (fec_secded2216.c packs v[0] & 0x3f), i.e. byte bits (8-p)..7.
+    lay_par = np.zeros((nblk, 8), np.int64)
+    lay_dat = np.full((nblk, m), -1, np.int64)
+    pos_e = pos_d = 0
+    out_take = []
+    for b in range(nblk):
+        take = min(nbytes, d0 - pos_d)
+        lay_par[b] = 8 * pos_e + np.arange(8)
+        for j in range(take):
+            lay_dat[b, 8 * j: 8 * j + 8] = \
+                8 * (pos_e + 1 + j) + np.arange(8)
+        out_take.append(take)
+        pos_e += 1 + take
+        pos_d += take
+    # gather maps into the deinterleaved bit vector (append one zero
+    # slot for the -1 pads)
+    gp = np.where(lay_par >= 0, lay_par, 8 * e0).astype(np.int32)[:, 8 - p:]
+    gd = np.where(lay_dat >= 0, lay_dat, 8 * e0).astype(np.int32)
+    COLS = ((cols[:, None] >> (p - 1 - np.arange(p))[None, :]) & 1
+            ).astype(np.float32)                # [m, p]
+    FLIP = np.zeros((1 << p, m), np.float32)
+    for s in range(1, 1 << p):
+        pos = table_pos[s]
+        if 0 <= pos < m:
+            FLIP[s, pos] = 1.0
+    pow2 = (1 << (p - 1 - np.arange(p))).astype(np.float32)
+    # corrected data bits -> buf bits (first 8*d0 of the concatenated
+    # per-block data bits, skipping final-block pads)
+    sel = []
+    for b in range(nblk):
+        sel.extend(range(b * m, b * m + 8 * out_take[b]))
+    sel = np.asarray(sel, np.int32)
+    fin = device_packet_finish(payload_len, crc, "none", "none")
+    HI = lax.Precision.HIGHEST
+
+    def decode_fn(llr):
+        flat = jnp.asarray(llr)
+        if flat.shape[-1] < need:
+            pad = [(0, 0)] * (flat.ndim - 1) + [(0, need - flat.shape[-1])]
+            flat = jnp.pad(flat, pad)
+        deint = flat[..., :need][..., jnp.asarray(perm_out)]
+        cw = deint[..., :ncw * n1].reshape(deint.shape[:-1] + (ncw, n1))
+        scores = jnp.einsum("...cn,nm->...cm", cw, jnp.asarray(bip),
+                            precision=HI)
+        msgs = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        bits = (msgs[..., None] >> jnp.arange(k1 - 1, -1, -1)) & 1
+        bits = bits.reshape(msgs.shape[:-1] + (ncw * k1,))[..., :8 * d1]
+        bits = bits.astype(jnp.float32)
+        # inner byte deinterleave (bit relabel) + zero pad slot
+        deint0 = bits[..., jnp.asarray(perm_in)]
+        deint0 = jnp.pad(deint0, [(0, 0)] * (deint0.ndim - 1) + [(0, 1)])
+        par_bits = deint0[..., jnp.asarray(gp)]      # [.., nblk, 8]
+        dat_bits = deint0[..., jnp.asarray(gd)]      # [.., nblk, m]
+        synd = jnp.mod(
+            jnp.einsum("...bm,mp->...bp", dat_bits, jnp.asarray(COLS),
+                       precision=HI) + par_bits, 2.0)
+        sval = jnp.einsum("...bp,p->...b", synd, jnp.asarray(pow2),
+                          precision=HI).astype(jnp.int32)
+        onehot = (sval[..., None] ==
+                  jnp.arange(1 << p)).astype(jnp.float32)
+        flip = jnp.einsum("...bs,sm->...bm", onehot, jnp.asarray(FLIP),
+                          precision=HI)
+        fixed = jnp.mod(dat_bits + flip, 2.0)
+        buf_bits = fixed.reshape(fixed.shape[:-2] + (nblk * m,)
+                                 )[..., jnp.asarray(sel)]
+        return fin(buf_bits.astype(jnp.int32))
+
+    return decode_fn

@@ -29,7 +29,8 @@ from .frame64 import frame64_preamble, np_interp2
 from .detector import qdetector_detect
 
 __all__ = ["flexframegen", "flexframesync", "FlexFrameResult",
-           "FLEXFRAME_H_USER", "flexframesync_stream", "FlexFrameSync"]
+           "FLEXFRAME_H_USER", "flexframesync_stream", "FlexFrameSync",
+           "flexframe_rx_stream", "FlexStreamBlock"]
 
 _K = 2
 _M = 7
@@ -260,6 +261,112 @@ def flexframesync_stream(block_len: int, threshold: float = 0.5,
         k=_K)
     return preamble_stream(int(block_len), cfg, threshold=threshold,
                            max_frames=max_frames, name=name)
+
+
+class FlexStreamBlock(NamedTuple):
+    """Full-device fixed-config flexframe RX result per block; leading
+    axis = candidate slot."""
+    valid: jnp.ndarray        # [..., P] bool
+    sample_index: jnp.ndarray # [..., P] int32
+    rxy: jnp.ndarray          # [..., P] detection correlation
+    evm_db: jnp.ndarray       # [..., P] pilot-referenced gain proxy
+    hdr_bytes: jnp.ndarray    # [..., P, 20] int32 decoded header
+    hdr_ok: jnp.ndarray       # [..., P] bool CRC + config field check
+    pay_bytes: jnp.ndarray    # [..., P, payload_len] int32
+    pay_ok: jnp.ndarray       # [..., P] bool payload CRC
+
+
+def flexframe_rx_stream(block_len: int, payload_len: int,
+                        crc: str = "crc32", fec0: str = "none",
+                        fec1: str = "golay2412", ms: str = "qpsk",
+                        threshold: float = 0.5,
+                        max_frames: int = 4) -> Proc:
+    """FULL-device streaming flexframe receiver for one payload
+    configuration (the deployed-link case; arbitrary per-frame configs
+    stay with the host-loop FlexFrameSync).  One jitted block step runs
+    detect-everywhere, refine, mix + polyphase MF, pilot sync, the
+    TWO-stage header decode (hamming84 codebook matmul + SECDED
+    syndrome-matmul correction, fec/device.packetizer2_soft_decoder),
+    payload soft decode, AND byte pack + CRC — only the user callback
+    is host work.  Reference analog: flexframesync.c runs the same
+    stages per-sample on the CPU.
+
+    The sync REGION covers header + payload (the header-pilot carrier
+    correction extends across the payload as a linear phase ramp, the
+    same extension the host path's _payload_gather_jit applies)."""
+    from ..modem.linear import bits_per_symbol, constellation
+    from ..fec.packetizer import packetizer_compute_enc_msg_len
+    from ..fec.device import (packetizer2_soft_decoder,
+                              qpacket_soft_decoder,
+                              qpacket_conv_soft_decoder,
+                              device_packet_finish)
+    from .stream_rx import STREAM_HIST
+
+    h_sym_len, h_mod_len = _header_syms_len()
+    p_enc = packetizer_compute_enc_msg_len(payload_len, crc, fec0, fec1)
+    bps = bits_per_symbol(ms)
+    p_syms = -(-8 * p_enc // bps)
+    region = h_sym_len + p_syms
+    need_hist = _K * (_n_lead() + region) + 2
+    pilots = np.asarray(qpilot_pilots(h_mod_len, 16))
+    cfg = StreamRxConfig(
+        template=_detector_template(), bank=_mf_bank(),
+        region_start=_n_lead(), region_len=region,
+        pilots=pilots, pilot_spacing=16,
+        pilot_nfft=_pilot_nfft(len(pilots)),
+        suppress_span=_K * (64 + region) - 8, k=_K)
+    base = preamble_stream(int(block_len), cfg, threshold=threshold,
+                           max_frames=max_frames, name="flexframe_rx",
+                           hist=max(STREAM_HIST, need_hist))
+    # header: non-pilot positions of the first h_sym_len region symbols
+    pil_mask = np.zeros(h_sym_len, bool)
+    pil_pos = np.nonzero(np.arange(h_sym_len) % 16 == 0)[0][:len(pilots)]
+    pil_mask[pil_pos] = True
+    nonpil_idx = np.nonzero(~pil_mask)[0].astype(np.int32)
+    assert len(nonpil_idx) == h_mod_len, (len(nonpil_idx), h_mod_len)
+    hdr_dec = packetizer2_soft_decoder(FLEXFRAME_H_USER + 6, _H_CRC,
+                                       _H_FEC0, _H_FEC1)
+    bpsk_like = np.asarray(constellation(_H_MOD), np.complex64)
+    pay_tab = np.asarray(constellation(ms), np.complex64)
+    try:
+        pay_dfn, _ = qpacket_soft_decoder(payload_len, crc, fec0, fec1,
+                                          ms)
+    except ValueError:
+        pay_dfn, _ = qpacket_conv_soft_decoder(payload_len, crc, fec0,
+                                               fec1, ms)
+    pay_fin = device_packet_finish(payload_len, crc, fec0, fec1)
+    ku = FLEXFRAME_H_USER
+    _exp = {ku + 0: _PROTOCOL,
+            ku + 1: (payload_len >> 8) & 0xFF,
+            ku + 2: payload_len & 0xFF,
+            ku + 3: modem_to_wire(ms),
+            ku + 4: ((crc_to_wire(crc) & 0x07) << 5) |
+                    (fec_to_wire(fec0) & 0x1F),
+            ku + 5: fec_to_wire(fec1) & 0x1F}
+    exp_idx = np.asarray(sorted(_exp), np.int32)
+    exp_val = np.asarray([_exp[i] for i in sorted(_exp)], np.int32)
+
+    def apply(params, carry, x):
+        from ..modem.linear import demodulate_soft
+        out, c2 = base.apply(params, carry, x)
+        rsy = out.region_syms                     # [..., P, region]
+        hdr_syms = rsy[..., :h_sym_len][..., jnp.asarray(nonpil_idx)]
+        llr_h = demodulate_soft(jnp.asarray(bpsk_like), hdr_syms)
+        llr_h = llr_h.reshape(llr_h.shape[:-2] + (-1,))
+        hdr_bytes, h_crc_ok = hdr_dec(llr_h)
+        hdr_ok = h_crc_ok & jnp.all(
+            hdr_bytes[..., jnp.asarray(exp_idx)] == jnp.asarray(exp_val),
+            axis=-1)
+        pay_bytes, pay_ok = pay_fin(pay_dfn(rsy[..., h_sym_len:]))
+        evm_db = 20.0 * jnp.log10(jnp.maximum(out.g2, 1e-12))
+        return FlexStreamBlock(
+            valid=out.valid, sample_index=out.sample_index,
+            rxy=out.rxy, evm_db=evm_db,
+            hdr_bytes=hdr_bytes[..., :FLEXFRAME_H_USER + 6],
+            hdr_ok=hdr_ok, pay_bytes=pay_bytes, pay_ok=pay_ok), c2
+
+    return Proc(params=(), init=base.init, apply=apply, rate=(1, 1),
+                name="flexframe_rx_stream")
 
 
 @partial(jax.jit, static_argnums=(0, 1))

@@ -453,18 +453,23 @@ def detector_stream(block_len: int, template: np.ndarray,
 
 def preamble_stream(block_len: int, cfg: StreamRxConfig,
                     threshold: float = 0.5, max_frames: int = 4,
-                    name: str = "preamble_stream") -> Proc:
+                    name: str = "preamble_stream",
+                    hist: int | None = None) -> Proc:
     """Streaming preamble-sync receiver as a jittable block Proc.
 
     apply(params, carry, x[..., block_len]) -> (StreamRxBlock, carry').
     block_len must be a multiple of the detection hop so the absolute
-    segment grid is block-invariant.
+    segment grid is block-invariant.  hist overrides the STREAM_HIST
+    history length for long frame regions (full-frame flexframe sync);
+    it is rounded up to a _DET_HOP multiple.
     """
     T = int(block_len)
     if T % _DET_HOP != 0:
         raise ValueError("block_len must be a multiple of %d" % _DET_HOP)
     P = int(max_frames)
-    hist = STREAM_HIST
+    if hist is None:
+        hist = STREAM_HIST
+    hist = -(-int(hist) // _DET_HOP) * _DET_HOP
     n_sym_tot = cfg.region_start + cfg.region_len
     if hist < cfg.k * n_sym_tot + 2 or hist < _DET_NFFT:
         raise ValueError("history window too short for this frame region")

@@ -195,3 +195,88 @@ class TestStreamProcDirect:
                             int(o.sample_index[ch, s]))
         assert len(hits[0]) == 1 and abs(hits[0][0] - 300) <= 2
         assert len(hits[1]) == 1 and abs(hits[1][0] - 2500) <= 2
+
+
+class TestFlexFullDeviceRX:
+    """flexframe_rx_stream: the FULL fixed-config receiver in one jitted
+    block step — detect, sync, two-stage header decode (hamming84
+    codebook + SECDED syndrome matmuls), payload decode, byte pack +
+    CRC all on device."""
+
+    def _drain(self, proc, stream, block):
+        import jax
+        c = proc.init()
+        step = jax.jit(proc.apply)
+        found = []
+        nb = len(stream) // block
+        for b in range(nb):
+            out, c = step((), c, jnp.asarray(stream[b*block:(b+1)*block]))
+            v = np.asarray(out.valid)
+            for p in np.nonzero(v)[0]:
+                found.append((int(np.asarray(out.sample_index[p])),
+                              bool(np.asarray(out.hdr_ok[p])),
+                              np.asarray(out.hdr_bytes[p]).astype(np.uint8),
+                              bool(np.asarray(out.pay_ok[p])),
+                              np.asarray(out.pay_bytes[p]).astype(np.uint8)))
+        return found
+
+    def test_frames_straddle_blocks_decode_once(self):
+        from liquid_dsp_tpu.framing.flexframe import flexframe_rx_stream
+        rng = np.random.default_rng(0)
+        T, PL = 2048, 64
+        proc = flexframe_rx_stream(T, PL)
+        frames = [_mkframe(rng, PL) for _ in range(3)]
+        # place one frame straddling each block boundary
+        x, starts = _stream(rng, frames, gaps=[1500, 900, 1100],
+                            tail=4000, noise=0.003)
+        pad = (-len(x)) % T
+        x = np.concatenate([x, np.zeros(pad + 2 * T, np.complex64)])
+        found = self._drain(proc, x, T)
+        assert len(found) == 3, [f[0] for f in found]
+        for (idx, hok, hdr, pok, pay), (h, p, _), s in zip(found, frames,
+                                                          starts):
+            assert abs(idx - s) <= 2
+            assert hok and pok
+            assert (hdr[:FLEXFRAME_H_USER] == h).all()
+            assert (pay == p).all()
+
+    def test_cfo_noise_margin(self):
+        from liquid_dsp_tpu.framing.flexframe import flexframe_rx_stream
+        rng = np.random.default_rng(1)
+        T, PL = 2048, 40
+        proc = flexframe_rx_stream(T, PL)
+        h, p, f = _mkframe(rng, PL)
+        n = np.arange(len(f))
+        f = (f * np.exp(1j * (0.002 * n + 0.7))).astype(np.complex64)
+        x, _ = _stream(rng, [(h, p, f)], gaps=[700], tail=3000,
+                       noise=0.01)            # ~20 dB SNR
+        pad = (-len(x)) % T
+        x = np.concatenate([x, np.zeros(pad + 2 * T, np.complex64)])
+        found = self._drain(proc, x, T)
+        assert len(found) == 1
+        _, hok, hdr, pok, pay = found[0]
+        assert hok and pok and (pay == p).all()
+
+    def test_wrong_config_header_rejected(self):
+        # a frame announcing a DIFFERENT payload config must come back
+        # hdr_ok=False (deployed-link semantics), not crash
+        from liquid_dsp_tpu.framing.flexframe import flexframe_rx_stream
+        rng = np.random.default_rng(2)
+        T, PL = 2048, 40
+        proc = flexframe_rx_stream(T, PL, ms="qpsk")
+        h = rng.integers(0, 256, FLEXFRAME_H_USER).astype(np.uint8)
+        p = rng.integers(0, 256, PL).astype(np.uint8)
+        f = flexframegen(h, p, ms="qam16")      # wrong modulation
+        x, _ = _stream(rng, [(h, p, f)], gaps=[700], tail=3000,
+                       noise=0.003)
+        pad = (-len(x)) % T
+        x = np.concatenate([x, np.zeros(pad + 2 * T, np.complex64)])
+        found = self._drain(proc, x, T)
+        assert len(found) >= 1
+        assert not found[0][1]                  # hdr_ok False
+
+    def test_too_long_config_raises(self):
+        from liquid_dsp_tpu.framing.flexframe import flexframe_rx_stream
+        # hist override covers long frames: a 256-byte payload builds
+        proc = flexframe_rx_stream(2048, 256)
+        assert proc is not None

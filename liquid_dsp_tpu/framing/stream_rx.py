@@ -387,13 +387,18 @@ class DetStreamBlock(NamedTuple):
 def detector_stream(block_len: int, template: np.ndarray,
                     threshold: float = 0.5, max_frames: int = 4,
                     suppress_span: int | None = None,
-                    name: str = "detector_stream") -> Proc:
+                    name: str = "detector_stream",
+                    hist: int | None = None) -> Proc:
     """Streaming preamble DETECTOR as a jittable block Proc: the
     detect-everywhere + refine front half of preamble_stream, without a
     matched-filter/pilot back end — for framers whose demodulation is
     not a linear MF chain (GMSK's phase-derivative demod, custom PHYs).
 
     apply(params, carry, x[..., block_len]) -> (DetStreamBlock, carry').
+    hist overrides STREAM_HIST: detections lag the newest sample by at
+    least `hist`, so a consumer holding a same-geometry sample buffer
+    can extract full frame windows up to `hist` samples long behind
+    each detection (gmskframe_rx_stream).
     Reference analog: qdetector_cccf run persistently over a stream
     (reference qdetector_cccf.c:373-441) with re-arm semantics.
     """
@@ -401,7 +406,9 @@ def detector_stream(block_len: int, template: np.ndarray,
     if T % _DET_HOP != 0:
         raise ValueError("block_len must be a multiple of %d" % _DET_HOP)
     P = int(max_frames)
-    hist = STREAM_HIST
+    if hist is None:
+        hist = STREAM_HIST
+    hist = -(-int(hist) // _DET_HOP) * _DET_HOP
     dc = _detect_consts(np.asarray(template))
     span = int(suppress_span if suppress_span is not None
                else dc["s_len"])

@@ -326,7 +326,7 @@ def flexframe_rx_stream(block_len: int, payload_len: int,
     assert len(nonpil_idx) == h_mod_len, (len(nonpil_idx), h_mod_len)
     hdr_dec = packetizer2_soft_decoder(FLEXFRAME_H_USER + 6, _H_CRC,
                                        _H_FEC0, _H_FEC1)
-    bpsk_like = np.asarray(constellation(_H_MOD), np.complex64)
+    hdr_tab = np.asarray(constellation(_H_MOD), np.complex64)   # qpsk
     pay_tab = np.asarray(constellation(ms), np.complex64)
     try:
         pay_dfn, _ = qpacket_soft_decoder(payload_len, crc, fec0, fec1,
@@ -351,7 +351,7 @@ def flexframe_rx_stream(block_len: int, payload_len: int,
         out, c2 = base.apply(params, carry, x)
         rsy = out.region_syms                     # [..., P, region]
         hdr_syms = rsy[..., :h_sym_len][..., jnp.asarray(nonpil_idx)]
-        llr_h = demodulate_soft(jnp.asarray(bpsk_like), hdr_syms)
+        llr_h = demodulate_soft(jnp.asarray(hdr_tab), hdr_syms)
         llr_h = llr_h.reshape(llr_h.shape[:-2] + (-1,))
         hdr_bytes, h_crc_ok = hdr_dec(llr_h)
         hdr_ok = h_crc_ok & jnp.all(

@@ -456,3 +456,78 @@ def test_ofdmflex_stream_channel_dp():
             np.asarray(oa.pay_msgs)[va], np.asarray(ob.pay_msgs)[vb])
     valids = np.stack([np.asarray(o.valid) for o in got])
     assert (valids.sum(axis=(0, 2)) == 1).all()
+
+
+def test_flexframe_full_rx_channel_dp():
+    """The full-device fixed-config flexframe receiver sharded over 8
+    channel devices: identical decode products (bytes + CRC verdicts)
+    vs single-device."""
+    from liquid_dsp_tpu.framing.flexframe import (flexframegen,
+                                                  flexframe_rx_stream)
+    rng = np.random.default_rng(41)
+    T, n_ch, PL = 2048, 8, 40
+    proc = flexframe_rx_stream(T, PL)
+    x = np.zeros((n_ch, 6 * T), np.complex64)
+    sent = []
+    for c in range(n_ch):
+        h = rng.integers(0, 256, 14).astype(np.uint8)
+        p = rng.integers(0, 256, PL).astype(np.uint8)
+        f = flexframegen(h, p)
+        s0 = int(rng.integers(200, 3 * T))
+        x[c, s0:s0 + len(f)] += f
+        sent.append((h, p))
+    x += (0.003 * (rng.standard_normal(x.shape) +
+                   1j * rng.standard_normal(x.shape))).astype(np.complex64)
+    carry0 = proc.init(batch_shape=(n_ch,))
+    ref = _run_stream_blocks(proc, carry0, jnp.asarray(x), T)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("ch",))
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("ch", None)))
+    cs = jax.tree_util.tree_map(
+        lambda l: jax.device_put(l, NamedSharding(
+            mesh, P("ch", *([None] * (np.ndim(l) - 1))))), carry0)
+    got = _run_stream_blocks(proc, cs, xs, T)
+    _assert_block_trees_equal(ref, got, tol=1e-3)
+    valids = np.stack([np.asarray(o.valid) for o in got])
+    assert (valids.sum(axis=(0, 2)) == 1).all()
+    # every channel's frame decoded with device CRC verdicts
+    for c in range(n_ch):
+        for o in got:
+            v = np.asarray(o.valid)[c]
+            for s in np.nonzero(v)[0]:
+                assert bool(np.asarray(o.hdr_ok)[c, s])
+                assert bool(np.asarray(o.pay_ok)[c, s])
+                assert (np.asarray(o.pay_bytes)[c, s].astype(np.uint8)
+                        == sent[c][1]).all()
+
+
+def test_gmsk_full_rx_channel_dp():
+    """The full-device GMSK receiver sharded over 8 channel devices."""
+    from liquid_dsp_tpu.framing.gmskframe import (gmskframegen,
+                                                  gmskframe_rx_stream)
+    rng = np.random.default_rng(42)
+    T, n_ch, PL = 2048, 8, 40
+    proc = gmskframe_rx_stream(T, PL, fec1="golay2412")
+    x = np.zeros((n_ch, 8 * T), np.complex64)
+    sent = []
+    for c in range(n_ch):
+        h = rng.integers(0, 256, 8).astype(np.uint8)
+        p = rng.integers(0, 256, PL).astype(np.uint8)
+        f = gmskframegen(h, p, fec1="golay2412")
+        s0 = int(rng.integers(200, 3 * T))
+        x[c, s0:s0 + len(f)] += f
+        sent.append((h, p))
+    x += (0.003 * (rng.standard_normal(x.shape) +
+                   1j * rng.standard_normal(x.shape))).astype(np.complex64)
+    carry0 = proc.init(batch_shape=(n_ch,))
+    ref = _run_stream_blocks(proc, carry0, jnp.asarray(x), T)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("ch",))
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("ch", None)))
+    cs = jax.tree_util.tree_map(
+        lambda l: jax.device_put(l, NamedSharding(
+            mesh, P("ch", *([None] * (np.ndim(l) - 1))))), carry0)
+    got = _run_stream_blocks(proc, cs, xs, T)
+    _assert_block_trees_equal(ref, got, tol=1e-3)
+    valids = np.stack([np.asarray(o.valid) for o in got])
+    assert (valids.sum(axis=(0, 2)) == 1).all()

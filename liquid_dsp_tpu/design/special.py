@@ -108,9 +108,35 @@ def marcumq1(alpha, beta, iterations: int | None = None):
         # cut gave percent-level CDF error for ab > ~400 (ADVICE r3)
         ab_max = float(np.max(a_mul_b)) if a_mul_b.size else 0.0
         iterations = max(64, int(ab_max + 10.0 * math.sqrt(ab_max + 1.0)) + 1)
-    terms = np.stack(
-        [(k * ln_ab_ratio if k else np.zeros_like(ln_ab_ratio))
-         + lnbesseli(float(k), a_mul_b) for k in range(iterations)], axis=0)
+    # ln I_k over ALL orders k with ONE shared log-factorial table:
+    # calling lnbesseli per order rebuilds its own lgamma table per
+    # call, which makes the host cost O((ab)^2) lgamma evaluations
+    # (3.3 s at ab ~ 3500); the shared-table form is the identical sum.
+    half = 0.5 * (float(np.max(a_mul_b)) if a_mul_b.size else 0.0)
+    J = max(64, int(half + 9.0 * math.sqrt(half + 1.0)) + 8)
+    # lgamma(n + 1) for n = 0 .. iterations + J via cumulative log sums
+    lgt = np.concatenate([[0.0], np.cumsum(
+        np.log(np.arange(1.0, iterations + J + 1.0)))])
+    ab_safe = np.where(a_mul_b > 0, a_mul_b, 1.0)
+    zl = np.log(0.5 * ab_safe).reshape(-1)          # [Z]
+    js = np.arange(J, dtype=np.float64)[:, None]    # [J, 1]
+    lnI = np.empty((iterations,) + zl.shape, np.float64)
+    for k in range(iterations):
+        t = (2.0 * js + k) * zl[None, :] - lgt[:J, None] \
+            - lgt[k: k + J, None]
+        tm = np.max(t, axis=0)
+        lnI[k] = tm + np.log(np.sum(np.exp(t - tm), axis=0))
+    lnI = lnI.reshape((iterations,) + a_mul_b.shape)
+    lnI = np.where((a_mul_b == 0)[None],
+                   np.where(np.arange(iterations).reshape(
+                       (-1,) + (1,) * a_mul_b.ndim) == 0, 0.0, -np.inf),
+                   lnI)                              # I_0(0)=1, I_k(0)=0
+    ks_col = np.arange(iterations, dtype=np.float64).reshape(
+        (-1,) + (1,) * ln_ab_ratio.ndim)
+    with np.errstate(invalid="ignore"):
+        kterm = np.where(ks_col == 0, 0.0, ks_col * ln_ab_ratio[None])
+    terms = kterm + lnI
+    terms = np.where(np.isnan(terms), -np.inf, terms)
     tmax = np.max(terms, axis=0)
     y = np.exp(tmax + np.log(np.sum(np.exp(terms - tmax), axis=0)) + t0)
     # Q1(a, 0) = 1 exactly (integral over an empty lower tail)

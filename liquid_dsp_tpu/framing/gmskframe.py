@@ -438,7 +438,8 @@ def gmskframe_rx_stream(block_len: int, payload_len: int,
     latency as the other streaming receivers."""
     from ..core import Proc
     from .stream_rx import (_detect_consts, _detect_refine,
-                            _advance_watermark, _DET_HOP, STREAM_HIST)
+                            _advance_watermark, _DET_HOP, STREAM_HIST,
+                            batched_apply)
     from ..fec.device import packetizer_soft_decoder, \
         conv_packet_soft_decoder, device_packet_finish
     from ..utils.random import _MASKS
@@ -544,19 +545,7 @@ def gmskframe_rx_stream(block_len: int, payload_len: int,
                      "last_end": _advance_watermark(carry, det, span, T)}
         return out, new_carry
 
-    def apply(params, carry, x):
-        if x.ndim == 1:
-            return _apply_1d(carry, x)
-        batch = x.shape[:-1]
-        xf = x.reshape((-1, T))
-        cf = jax.tree_util.tree_map(
-            lambda a: a.reshape((-1,) + a.shape[len(batch):]), carry)
-        out, nc = jax.vmap(_apply_1d)(cf, xf)
-        out = jax.tree_util.tree_map(
-            lambda a: a.reshape(batch + a.shape[1:]), out)
-        nc = jax.tree_util.tree_map(
-            lambda a: a.reshape(batch + a.shape[1:]), nc)
-        return out, nc
+    apply = batched_apply(_apply_1d, T)
 
     return Proc(params=(), init=init, apply=apply, rate=(1, 1),
                 name="gmskframe_rx_stream")

@@ -202,19 +202,8 @@ def ofdmflex_rx_stream(block_len: int, payload_len: int,
                      "last_end": jnp.maximum(new_last, -(1 << 30))}
         return out, new_carry
 
-    def apply(params_, carry, x):
-        if x.ndim == 1:
-            return _apply_1d(carry, x)
-        batch = x.shape[:-1]
-        xf = x.reshape((-1, T))
-        cf = jax.tree_util.tree_map(
-            lambda a: a.reshape((-1,) + a.shape[len(batch):]), carry)
-        out, nc = jax.vmap(_apply_1d)(cf, xf)
-        out = jax.tree_util.tree_map(
-            lambda a: a.reshape(batch + a.shape[1:]), out)
-        nc = jax.tree_util.tree_map(
-            lambda a: a.reshape(batch + a.shape[1:]), nc)
-        return out, nc
+    from .stream_rx import batched_apply
+    apply = batched_apply(_apply_1d, T)
 
     return Proc(params=(), init=init, apply=apply, rate=(1, 1),
                 name="ofdmflex_rx_stream")
@@ -272,15 +261,19 @@ class OFDMFlexStreamRX:
         pay_bytes = np.asarray(out.pay_bytes).astype(np.uint8)
         hdr_ok = np.asarray(out.hdr_ok)
         pay_ok = np.asarray(out.pay_ok)
+        # one transfer per array, not four scalar readbacks per frame
+        rxy = np.asarray(out.rxy)
+        cfo = np.asarray(out.cfo)
+        evm = np.asarray(out.evm_db)
+        sidx = np.asarray(out.sample_index)
         res = []
         for p in np.nonzero(valid)[0]:
             self.num_frames_detected += 1
             h_ok = bool(hdr_ok[p])
             header = hdr_bytes[p, :OFDMFLEXFRAME_H_USER]
-            stats = {"rxy": float(np.asarray(out.rxy[p])),
-                     "cfo": float(np.asarray(out.cfo[p])),
-                     "evm_db": float(np.asarray(out.evm_db[p])),
-                     "sample_index": int(np.asarray(out.sample_index[p])),
+            stats = {"rxy": float(rxy[p]), "cfo": float(cfo[p]),
+                     "evm_db": float(evm[p]),
+                     "sample_index": int(sidx[p]),
                      "payload_len": self.cfg[0], "ms": self.cfg[4]}
             if not h_ok:
                 frame = (header, False, None, False, stats)

@@ -49,7 +49,8 @@ from jax import lax
 from ..core import Proc
 
 __all__ = ["StreamRxBlock", "StreamRxConfig", "preamble_stream",
-           "quad_peak", "mf_symbol_gather", "STREAM_HIST"]
+           "quad_peak", "mf_symbol_gather", "STREAM_HIST",
+           "batched_apply"]
 
 STREAM_HIST = 1536            # history samples carried between blocks
 _DET_NFFT = 512               # detection segment size (2*next_pow2(s_len))
@@ -373,6 +374,29 @@ def _advance_watermark(carry, det, span: int, T: int):
     return jnp.maximum(new_last, -(1 << 30))
 
 
+def batched_apply(apply_1d, T: int):
+    """Wrap a 1-D streaming ``apply_1d(carry, x[T])`` into the Proc
+    apply signature with arbitrary leading batch axes (vmap over the
+    flattened batch, reshape back) — the shared wrapper for every
+    streaming receiver in this package."""
+
+    def apply(params, carry, x):
+        if x.ndim == 1:
+            return apply_1d(carry, x)
+        batch = x.shape[:-1]
+        xf = x.reshape((-1, T))
+        cf = jax.tree_util.tree_map(
+            lambda a: a.reshape((-1,) + a.shape[len(batch):]), carry)
+        out, nc = jax.vmap(apply_1d)(cf, xf)
+        out = jax.tree_util.tree_map(
+            lambda a: a.reshape(batch + a.shape[1:]), out)
+        nc = jax.tree_util.tree_map(
+            lambda a: a.reshape(batch + a.shape[1:]), nc)
+        return out, nc
+
+    return apply
+
+
 class DetStreamBlock(NamedTuple):
     """Streaming detector output: candidate-slot batched estimates."""
     valid: jnp.ndarray        # [..., P] bool
@@ -409,6 +433,11 @@ def detector_stream(block_len: int, template: np.ndarray,
     if hist is None:
         hist = STREAM_HIST
     hist = -(-int(hist) // _DET_HOP) * _DET_HOP
+    if hist < _DET_NFFT:
+        # a shorter history clamps the segment gathers / refine slices
+        # at the buffer edge and silently shifts windows near the block
+        # tail (same guard preamble_stream enforces)
+        raise ValueError(f"hist must be >= {_DET_NFFT}")
     dc = _detect_consts(np.asarray(template))
     span = int(suppress_span if suppress_span is not None
                else dc["s_len"])
@@ -441,19 +470,7 @@ def detector_stream(block_len: int, template: np.ndarray,
                      "last_end": _advance_watermark(carry, det, span, T)}
         return out, new_carry
 
-    def apply(params, carry, x):
-        if x.ndim == 1:
-            return _apply_1d(carry, x)
-        batch = x.shape[:-1]
-        xf = x.reshape((-1, T))
-        cf = jax.tree_util.tree_map(
-            lambda a: a.reshape((-1,) + a.shape[len(batch):]), carry)
-        out, nc = jax.vmap(_apply_1d)(cf, xf)
-        out = jax.tree_util.tree_map(
-            lambda a: a.reshape(batch + a.shape[1:]), out)
-        nc = jax.tree_util.tree_map(
-            lambda a: a.reshape(batch + a.shape[1:]), nc)
-        return out, nc
+    apply = batched_apply(_apply_1d, T)
 
     return Proc(params=(), init=init, apply=apply, rate=(1, 1), name=name)
 
@@ -574,18 +591,6 @@ def preamble_stream(block_len: int, cfg: StreamRxConfig,
                      "last_end": _advance_watermark(carry, det, span, T)}
         return out, new_carry
 
-    def apply(params, carry, x):
-        if x.ndim == 1:
-            return _apply_1d(carry, x)
-        batch = x.shape[:-1]
-        xf = x.reshape((-1, T))
-        cf = jax.tree_util.tree_map(
-            lambda a: a.reshape((-1,) + a.shape[len(batch):]), carry)
-        out, nc = jax.vmap(_apply_1d)(cf, xf)
-        out = jax.tree_util.tree_map(
-            lambda a: a.reshape(batch + a.shape[1:]), out)
-        nc = jax.tree_util.tree_map(
-            lambda a: a.reshape(batch + a.shape[1:]), nc)
-        return out, nc
+    apply = batched_apply(_apply_1d, T)
 
     return Proc(params=(), init=init, apply=apply, rate=(1, 1), name=name)

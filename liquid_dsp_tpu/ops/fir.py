@@ -157,6 +157,51 @@ def firfilt(h, scale: float | complex = 1.0, name: str = "firfilt",
                 planar_apply=planar_apply, planar_init=planar_init)
 
 
+def banded_blocks_apply(band, xp, T_out, tile_in, tile_out):
+    """Shared banded-matmul skeleton (used by the FIR/decimator band,
+    the interpolator band, and the rational resampler's branch band):
+    pad xp to (nt+nb-1)*tile_in, reshape into non-overlapping input
+    tiles, and accumulate the per-block
+    ``[.., nt, tile_in] @ [tile_in, tile_out]`` matmuls at HIGHEST
+    precision; returns [.., nt*tile_out][..., :T_out].
+
+    band: [rows, tile_out], numpy (constant-folded) or jnp (traced
+    params).  Dtype mixes are handled here: complex input x real band
+    splits into planes (2 real matmuls instead of a 3-4-pass complex
+    one); real input x complex band upcasts the input so the band's
+    imaginary part is not silently dropped by the cast."""
+    rows = int(band.shape[0])
+    band_cplx = (np.iscomplexobj(band) if isinstance(band, np.ndarray)
+                 else jnp.iscomplexobj(band))
+    nt = -(-T_out // tile_out)
+    nb = -(-rows // tile_in)
+    tot = (nt + nb - 1) * tile_in
+    pad_r = tot - xp.shape[-1]
+    if pad_r > 0:
+        xp = jnp.pad(xp, [(0, 0)] * (xp.ndim - 1) + [(0, pad_r)])
+    elif pad_r < 0:
+        xp = xp[..., :tot]
+    if band_cplx and not jnp.iscomplexobj(xp):
+        xp = xp.astype(jnp.complex64)
+    if jnp.iscomplexobj(xp) and not band_cplx:
+        planes = jnp.stack([jnp.real(xp), jnp.imag(xp)], axis=0)
+        y2 = banded_blocks_apply(band, planes, T_out, tile_in, tile_out)
+        return lax.complex(y2[0], y2[1])
+    xpt = xp.reshape(xp.shape[:-1] + (nt + nb - 1, tile_in))
+    y = None
+    for b in range(nb):
+        blk = band[b * tile_in:(b + 1) * tile_in]
+        if blk.shape[0] < tile_in:
+            pad_b = [(0, tile_in - blk.shape[0]), (0, 0)]
+            blk = (np.pad(blk, pad_b) if isinstance(blk, np.ndarray)
+                   else jnp.pad(blk, pad_b))
+        seg = lax.slice_in_dim(xpt, b, b + nt, axis=-2)
+        contrib = jnp.matmul(seg, jnp.asarray(blk).astype(seg.dtype),
+                             precision=lax.Precision.HIGHEST)
+        y = contrib if y is None else y + contrib
+    return y.reshape(y.shape[:-2] + (nt * tile_out,))[..., :T_out]
+
+
 def _banded_matmul(h, xp, T, tile, stride: int = 1):
     """[.., Tp] -> [.., T] banded-tap matmul (T OUTPUT samples, one per
     `stride` inputs); xp already carries the L-1 history prefix.
@@ -172,43 +217,24 @@ def _banded_matmul(h, xp, T, tile, stride: int = 1):
     replaces measured 5-10x slower on the TPU (PERF.md)."""
     L = int(h.shape[-1])
     S = int(stride)
-    nt = -(-T // tile)
     tile_in = tile * S
     rows = tile_in + L - 1
-    nb = -(-rows // tile_in)                    # input blocks per frame
-    tot = (nt + nb - 1) * tile_in
-    pad_r = tot - xp.shape[-1]
-    if pad_r > 0:
-        xp = jnp.pad(xp, [(0, 0)] * (xp.ndim - 1) + [(0, pad_r)])
-    elif pad_r < 0:
-        xp = xp[..., :tot]
-    # banded tap matrix: band[f, k] = h[k*S + L-1 - f] for a valid tap
+    # banded tap matrix: band[f, k] = h[k*S + L-1 - f] for a valid tap.
+    # HIGHEST in the shared skeleton: firfilt output feeds golden
+    # accuracy contracts (1e-3 autotest convention); the op is
+    # HBM-bound so true-f32 passes cost <= 9% at 257 taps (PERF.md)
     j = (np.arange(tile)[None, :] * S + (L - 1)
          - np.arange(rows)[:, None])
     if isinstance(h, np.ndarray):
         # host taps (params closed over as numpy constants): build the
         # band on host so it enters the jaxpr as one folded constant
-        band = jnp.asarray(np.where((j >= 0) & (j < L),
-                                    h[np.clip(j, 0, L - 1)],
-                                    np.zeros((), h.dtype)))
+        band = np.where((j >= 0) & (j < L), h[np.clip(j, 0, L - 1)],
+                        np.zeros((), h.dtype))
     else:
         mask = jnp.asarray((j >= 0) & (j < L))
         band = jnp.where(mask, h[jnp.asarray(np.clip(j, 0, L - 1))],
                          jnp.zeros((), h.dtype))
-    xpt = xp.reshape(xp.shape[:-1] + (nt + nb - 1, tile_in))
-    y = None
-    for b in range(nb):
-        blk = band[b * tile_in:(b + 1) * tile_in]
-        if blk.shape[0] < tile_in:
-            blk = jnp.pad(blk, [(0, tile_in - blk.shape[0]), (0, 0)])
-        seg = lax.slice_in_dim(xpt, b, b + nt, axis=-2)
-        # HIGHEST: firfilt output feeds golden accuracy contracts (1e-3
-        # autotest convention); the op is HBM-bound so true-f32 passes
-        # cost <= 9% at 257 taps and nothing at 64 (PERF.md late r4)
-        contrib = jnp.matmul(seg, blk.astype(seg.dtype),
-                             precision=lax.Precision.HIGHEST)
-        y = contrib if y is None else y + contrib
-    return y.reshape(y.shape[:-2] + (nt * tile,))[..., :T]
+    return banded_blocks_apply(band, xp, T, tile_in, tile)
 
 
 def fir_apply_matmul(h, carry, x, tile: int = 256, stride: int = 1):
@@ -288,18 +314,6 @@ def _interp_banded(hp, xp, T, k, Lp, tile: int = 512):
         tile = k * (-(-tile // k))
     ti = tile // k                              # input samples per tile
     rows = ti + Lp - 1
-    nt = -(-T // ti)
-    nb = -(-rows // ti)
-    tot = (nt + nb - 1) * ti
-    pad_r = tot - xp.shape[-1]
-    if pad_r > 0:
-        xp = jnp.pad(xp, [(0, 0)] * (xp.ndim - 1) + [(0, pad_r)])
-    elif pad_r < 0:
-        xp = xp[..., :tot]
-    if jnp.iscomplexobj(xp) and not jnp.iscomplexobj(hp):
-        planes = jnp.stack([jnp.real(xp), jnp.imag(xp)], axis=0)
-        y2 = _interp_banded(hp, planes, T, k, Lp, tile)
-        return lax.complex(y2[0], y2[1])
     c = np.arange(tile)[None, :]
     f = np.arange(rows)[:, None]
     j = (c // k) + (Lp - 1) - f
@@ -308,17 +322,7 @@ def _interp_banded(hp, xp, T, k, Lp, tile: int = 512):
     band = jnp.where(jnp.asarray(valid),
                      jnp.ravel(hp)[jnp.asarray(idx)],
                      jnp.zeros((), hp.dtype))
-    xpt = xp.reshape(xp.shape[:-1] + (nt + nb - 1, ti))
-    y = None
-    for b in range(nb):
-        blk = band[b * ti:(b + 1) * ti]
-        if blk.shape[0] < ti:
-            blk = jnp.pad(blk, [(0, ti - blk.shape[0]), (0, 0)])
-        seg = lax.slice_in_dim(xpt, b, b + nt, axis=-2)
-        contrib = jnp.matmul(seg, blk.astype(seg.dtype),
-                             precision=lax.Precision.HIGHEST)
-        y = contrib if y is None else y + contrib
-    return y.reshape(y.shape[:-2] + (nt * tile,))[..., :T * k]
+    return banded_blocks_apply(band, xp, T * k, ti, tile)
 
 
 def firinterp(k: int, h, scale=1.0, name: str = "firinterp") -> Proc:

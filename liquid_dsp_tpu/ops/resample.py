@@ -320,34 +320,13 @@ def resamp(rate, m: int = 7, fc: float = 0.25, as_db: float = 60.0,
     band_host = _resamp_band() if num <= 64 else None
 
     def _banded_resamp(xp, T, n_out):
-        """xp [.., L+T] (tail prefix included) -> y [.., n_out]."""
-        from jax import lax
-        nt = -(-n_out // tile_out)
-        nb = -(-rs_rows // tile_in)
-        tot = (nt + nb - 1) * tile_in
-        pad_r = tot - xp.shape[-1]
-        if pad_r > 0:
-            xp = jnp.pad(xp, [(0, 0)] * (xp.ndim - 1) + [(0, pad_r)])
-        elif pad_r < 0:
-            xp = xp[..., :tot]
-        if jnp.iscomplexobj(xp):
-            planes = jnp.stack([jnp.real(xp), jnp.imag(xp)], axis=0)
-            y2 = _banded_resamp(planes, T, n_out)
-            return lax.complex(y2[0], y2[1])
-        xpt = xp.reshape(xp.shape[:-1] + (nt + nb - 1, tile_in))
-        y = None
-        for b in range(nb):
-            blk = band_host[b * tile_in:(b + 1) * tile_in]
-            if blk.shape[0] < tile_in:
-                blk = np.pad(blk, [(0, tile_in - blk.shape[0]), (0, 0)])
-            seg = lax.slice_in_dim(xpt, b, b + nt, axis=-2)
-            # HIGHEST: the resamp goldens are sample-exact and the TPU
-            # default matmul is a one-pass bf16 multiply (CLAUDE.md)
-            contrib = jnp.einsum("...tf,fo->...to", seg,
-                                 jnp.asarray(blk).astype(seg.dtype),
-                                 precision=jax.lax.Precision.HIGHEST)
-            y = contrib if y is None else y + contrib
-        return y.reshape(y.shape[:-2] + (nt * tile_out,))[..., :n_out]
+        """xp [.., L+T] (tail prefix included) -> y [.., n_out]
+        (the shared banded-matmul skeleton, HIGHEST precision — resamp
+        goldens are sample-exact and the TPU default is a one-pass bf16
+        multiply, CLAUDE.md)."""
+        from .fir import banded_blocks_apply
+        return banded_blocks_apply(band_host, xp, n_out, tile_in,
+                                   tile_out)
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return {"tail": jnp.zeros(batch_shape + (L,), dtype),

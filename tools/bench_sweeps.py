@@ -12,7 +12,8 @@ Mirrors the reference's benchmark machinery (BASELINE.md rows):
     src/fft/bench/fft_runbench.c + bench/fftbench.c.  Batched 1-D
     transforms through the public fft_plan (method chooser: XLA for 2^m,
     four-step mixed-radix matmul-DFT x XLA-FFT for composite N with odd
-    factor <= 2048, matmul DFT for small odd N, Bluestein beyond), batch
+    factor <= 2048, matmul DFT for small odd N, Rader for primes
+beyond, Bluestein for the residual odd composites), batch
     sized so each case moves ~2^22 samples.
 
 Methodology identical to bench.py: checksum chained through K in-jit
@@ -84,13 +85,13 @@ def fft_sweep():
     rng = np.random.default_rng(1)
     K = 8
     # radix-2, composite (2^a*b), prime — the reference's three method
-    # families (chooser: XLA / four-step CT / matmul DFT / Bluestein)
+    # families (chooser: XLA / four-step CT / matmul DFT / Rader / Bluestein)
     sizes = [64, 256, 1024, 4096,      # radix-2
              96, 384, 1200,            # composite
              127, 509, 1021,           # prime
              3069, 4095, 9207,         # odd composite > _DFT_MAX:
                                        # recursive CT (r4; was Bluestein)
-             2053]                     # prime > _DFT_MAX: Bluestein
+             2053]                     # prime > _DFT_MAX: Rader (late r4)
     print("# fft sweep (batched 1-D c64 transforms, Msamples/s)")
     for n in sizes:
         batch = max(1, (1 << 22) // n)

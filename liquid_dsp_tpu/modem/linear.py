@@ -207,9 +207,16 @@ def modulate(table, syms):
     import jax as _jax
     table = jnp.asarray(table)
     M = table.shape[0]
-    if _jax.default_backend() == "cpu" or M > 4096:
+    if _jax.default_backend() == "cpu":
         return jnp.take(table, syms, axis=0)
     from jax import lax as _lax
+    if M > 4096:
+        # one-hot matmul memory scales with M; above the cap gather the
+        # FLOAT planes separately (a complex-table gather is outright
+        # UNIMPLEMENTED on the axon tunnel; per-plane gathers lower)
+        re = jnp.take(jnp.real(table), syms, axis=0)
+        im = jnp.take(jnp.imag(table), syms, axis=0)
+        return _lax.complex(re, im)
     onehot = (syms[..., None] == jnp.arange(M)).astype(jnp.float32)
     re = jnp.einsum("...tm,m->...t", onehot, jnp.real(table),
                     precision=_lax.Precision.HIGHEST)

@@ -102,6 +102,13 @@ def firfilt(h, scale: float | complex = 1.0, name: str = "firfilt",
     if backend == "fft":
         from .fftfilt import fftfilt as _fftfilt
         _ff = _fftfilt(h_np, name=name)      # h_np already scaled
+        # The fft backend forwards firfilt's own params dict into the
+        # nested fftfilt apply; that is only sound while both Procs share
+        # the {'h': identically-scaled-taps} contract — pin it here so a
+        # param rename/rescale in fftfilt fails loudly at build time.
+        assert set(_ff.params) == {"h"} and np.allclose(
+            np.asarray(_ff.params["h"]), h_np), \
+            "fftfilt param contract changed; fix firfilt backend='fft'"
 
         def apply(params, carry, x):
             return _ff.apply(params, carry, x)

@@ -200,11 +200,26 @@ def _resolve_iir_backend(backend: str, A) -> str:
     if backend not in ("auto", "scan", "block", "pscan"):
         raise ValueError(f"unknown iir backend {backend!r}")
     if backend == "auto":
-        backend = "block" if jax.default_backend() != "cpu" else "scan"
-    if backend == "block" and A.shape[0] > 0:
-        if np.abs(np.linalg.eigvals(A)).max() > 1.0 + 1e-9:
-            backend = "scan"
+        # 'auto' stays unresolved until trace time (like fir_apply_auto):
+        # the Proc carries BOTH param sets so a Proc built under one
+        # backend runs correctly under another (ADVICE r4).  Unstable
+        # filters pin scan (the block form's A^L powers overflow).
+        if _iir_stable(A):
+            return "auto"
+        return "scan"
+    if backend == "block" and not _iir_stable(A):
+        backend = "scan"
     return backend
+
+
+def _iir_stable(A) -> bool:
+    return (A.shape[0] == 0
+            or np.abs(np.linalg.eigvals(A)).max() <= 1.0 + 1e-9)
+
+
+def _auto_is_block() -> bool:
+    """Trace-time backend pick for iir backend='auto' (block off CPU)."""
+    return jax.default_backend() != "cpu"
 
 
 def iirfilt(b, a, name: str = "iirfilt", backend: str = "auto",
@@ -224,14 +239,20 @@ def iirfilt(b, a, name: str = "iirfilt", backend: str = "auto",
     aj = jnp.asarray(a.astype(np.complex64 if cplx else np.float32))
     ss = _df2t_ss(b, a)
     backend = _resolve_iir_backend(backend, ss[0])
-    params = ({"b": bj, "a": aj} if backend != "block"
-              else _block_mats(*ss, block_size))
+    if backend == "auto":
+        params = {"b": bj, "a": aj, **_block_mats(*ss, block_size)}
+    elif backend == "block":
+        params = _block_mats(*ss, block_size)
+    else:
+        params = {"b": bj, "a": aj}
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return jnp.zeros(batch_shape + (n - 1,), dtype)
 
     def apply(params, carry, x):
-        if backend == "block":
+        use_block = (backend == "block"
+                     or (backend == "auto" and _auto_is_block()))
+        if use_block:
             return iir_apply_block(params, carry.astype(x.dtype), x)
         return iir_apply_tf(params["b"], params["a"],
                             carry.astype(x.dtype), x)
@@ -314,14 +335,20 @@ def iirfilt_sos(B, A, name: str = "iirfilt_sos",
                                           else np.complex128))
                       for k in range(ns)])
     backend = _resolve_iir_backend(backend, ss[0])
-    params = ({"B": Bj, "A": Aj} if backend != "block"
-              else _block_mats(*ss, block_size))
+    if backend == "auto":
+        params = {"B": Bj, "A": Aj, **_block_mats(*ss, block_size)}
+    elif backend == "block":
+        params = _block_mats(*ss, block_size)
+    else:
+        params = {"B": Bj, "A": Aj}
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return jnp.zeros(batch_shape + (ns, 2), dtype)
 
     def apply(params, carry, x):
-        if backend == "block":
+        use_block = (backend == "block"
+                     or (backend == "auto" and _auto_is_block()))
+        if use_block:
             return iir_apply_block(params, carry.astype(x.dtype), x)
         fn = iir_apply_sos_pscan if backend == "pscan" else iir_apply_sos
         return fn(params["B"], params["A"], carry.astype(x.dtype), x)

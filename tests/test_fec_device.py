@@ -1,6 +1,8 @@
 """Device-resident soft block-FEC decode (fec/device.py): jittable
 LLR -> deinterleave-gather -> codebook-matmul -> argmax pipeline,
 equivalent to the host soft path and wired into Framesync64."""
+import zlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -273,7 +275,8 @@ class TestDevicePacketFinish:
         from liquid_dsp_tpu.fec.device import (packetizer_soft_decoder,
                                                device_packet_finish)
         from liquid_dsp_tpu.fec.packetizer import packetizer_encode
-        rng = np.random.default_rng(hash((crc, fec1)) % 2**31)
+        rng = np.random.default_rng(
+            zlib.crc32(f"{crc}-{fec1}".encode()))
         pl = 29
         dfn, fin = packetizer_soft_decoder(pl, crc, "none", fec1)
         dev_fin = jax.jit(device_packet_finish(pl, crc, "none", fec1))

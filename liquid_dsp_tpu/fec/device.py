@@ -53,6 +53,26 @@ __all__ = ["qpacket_soft_decoder", "packetizer_soft_decoder",
            "device_packet_finish"]
 
 
+def _scores_argmax(cw, bip):
+    """argmax over the codebook-correlation scores.
+
+    Off CPU, large codebooks (K >= 1024: golay2412, hamming1511) run the
+    fused Pallas matmul+argmax kernel — the XLA schedule materializes
+    the [..., ncw, K] scores tensor in HBM (~16 KB per 12 decoded bits
+    at K=4096), capping decode BELOW one C thread's soft decoder
+    (PERF.md r5: 348 -> measured-on-chip Mbit/s).  Identical result:
+    same f32 scores, same first-index tie-breaking.  CPU and small
+    codebooks keep the einsum (compute-bound there)."""
+    import jax as _jax
+    K = bip.shape[1]
+    if _jax.default_backend() != "cpu" and K >= 1024:
+        from ..ops.kernels.pallas_codebook import codebook_argmax
+        return codebook_argmax(cw, jnp.asarray(bip))
+    scores = jnp.einsum("...cn,nm->...cm", cw, jnp.asarray(bip),
+                        precision=lax.Precision.HIGHEST)
+    return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+
 @functools.lru_cache(maxsize=16)
 def block_codebook(scheme: str):
     """(bipolar codebook [n, 2^k] float32, n, k) for a block scheme.
@@ -129,9 +149,7 @@ def packetizer_soft_decoder(payload_len: int, crc: str = "crc24",
         deint = flat[..., :need][..., jnp.asarray(perm)]
         # 8*enc_len may exceed ncw*n by the final byte's pad bits
         cw = deint[..., :ncw * n].reshape(deint.shape[:-1] + (ncw, n))
-        scores = jnp.einsum("...cn,nm->...cm", cw, jnp.asarray(bip),
-                            precision=lax.Precision.HIGHEST)
-        return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        return _scores_argmax(cw, bip)
 
     def finish(msgs):
         msgs = np.asarray(msgs)
@@ -599,9 +617,7 @@ def packetizer2_soft_decoder(payload_len: int, crc: str = "crc32",
             flat = jnp.pad(flat, pad)
         deint = flat[..., :need][..., jnp.asarray(perm_out)]
         cw = deint[..., :ncw * n1].reshape(deint.shape[:-1] + (ncw, n1))
-        scores = jnp.einsum("...cn,nm->...cm", cw, jnp.asarray(bip),
-                            precision=HI)
-        msgs = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        msgs = _scores_argmax(cw, bip)
         bits = (msgs[..., None] >> jnp.arange(k1 - 1, -1, -1)) & 1
         bits = bits.reshape(msgs.shape[:-1] + (ncw * k1,))[..., :8 * d1]
         bits = bits.astype(jnp.float32)

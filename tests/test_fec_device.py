@@ -320,3 +320,34 @@ class TestDevicePacketFinish:
         from liquid_dsp_tpu.fec.device import device_packet_finish
         with pytest.raises(ValueError):
             device_packet_finish(16, "crc16", "golay2412", "golay2412")
+
+
+class TestPallasCodebookArgmax:
+    """The fused Pallas codebook-argmax kernel (ops/kernels/
+    pallas_codebook.py) must be value-identical to the einsum+argmax
+    path it replaces off CPU (same f32 scores, same tie-breaking)."""
+
+    @pytest.mark.parametrize("scheme", ["golay2412", "hamming1511"])
+    def test_matches_einsum(self, scheme):
+        from liquid_dsp_tpu.fec.device import block_codebook
+        from liquid_dsp_tpu.ops.kernels.pallas_codebook import \
+            codebook_argmax
+        bip, n, k = block_codebook(scheme)
+        rng = np.random.default_rng(zlib.crc32(scheme.encode()))
+        # 3 leading-dim shapes incl. a non-multiple of the 128 tile
+        for shape in ((4, 50), (1, 128), (300,)):
+            cw = rng.standard_normal(shape + (n,)).astype(np.float32)
+            want = np.argmax(cw @ bip, axis=-1)
+            got = np.asarray(codebook_argmax(
+                jnp.asarray(cw), jnp.asarray(bip), interpret=True))
+            np.testing.assert_array_equal(got, want)
+
+    def test_ties_pick_first(self):
+        from liquid_dsp_tpu.ops.kernels.pallas_codebook import \
+            codebook_argmax
+        # constant rows make every score equal: argmax must return 0
+        bip = np.ones((8, 2048), np.float32)
+        cw = np.ones((2, 130, 8), np.float32)
+        got = np.asarray(codebook_argmax(
+            jnp.asarray(cw), jnp.asarray(bip), interpret=True))
+        assert (got == 0).all()

@@ -135,10 +135,10 @@ def main():
         row(f"symtrack_B{B}",
             lambda B=B: bench_proc(symtrack_stream(ms="qpsk"), cplx(B, T),
                                    out_sel=lambda y: y[0]))
-    # eqrls: O(h^2) per-sample state (the [L, L] P update); bench the
-    # smaller batches only (reference eqrls_cccf_benchmark analog)
+    # eqrls: O(h^2) per-sample state (the [L, L] P update makes each
+    # scan step ~L times eqlms's; reference eqrls_cccf_benchmark analog)
     from liquid_dsp_tpu.ops.equalize import eqrls
-    for B in (16, 64):
+    for B in BATCHES:
         def run_rls(B=B):
             proc = eqrls(h_len=13)
             x = cplx(B, T)

@@ -28,6 +28,16 @@ from ..modem import constellation
 __all__ = ["SymtrackResult", "symtrack", "symtrack_stream", "Symtrack"]
 
 
+def _use_fused() -> bool:
+    """Trace-time pick of the fused symsync+PLL+LMS scan (off-CPU
+    default; LIQUID_SYMTRACK_FUSED=0/1 overrides for testing)."""
+    import os
+    ov = os.environ.get("LIQUID_SYMTRACK_FUSED")
+    if ov is not None:
+        return ov == "1"
+    return jax.default_backend() != "cpu"
+
+
 class SymtrackResult(NamedTuple):
     symbols: np.ndarray    # recovered (equalized, derotated) symbols
     decisions: np.ndarray  # hard decisions (indices)
@@ -151,57 +161,114 @@ def symtrack_stream(ftype: str = "arkaiser", k: int = 2, m: int = 7,
                 "eq_x2": jnp.full(batch_shape, float(L), jnp.float32),
                 "eq_n": jnp.full(batch_shape, L, jnp.int32)}
 
+    from ..ops.symsync import symsync_banks, _symsync_run_hoisted
+    mf_b, dmf_b = symsync_banks(ftype, k, m, beta, 32)
+
     def apply(params, carry, x):
         y, agc_c = ag.apply(ag.params, carry["agc"], x)
-        (sy, sv), ss_c = ss.apply(ss.params, carry["ss"], y)
-        tab = lax.complex(jnp.asarray(tab_re), jnp.asarray(tab_im))
-        iota = jnp.arange(tab.shape[0], dtype=jnp.int32)
+        trj = jnp.asarray(tab_re)
+        tij = jnp.asarray(tab_im)
+        iota = jnp.arange(tab_re.shape[0], dtype=jnp.int32)
 
-        def slice_pt(idx):
-            """Nearest constellation point WITHOUT a traced-index gather
-            (CLAUDE.md: gathers serialize on TPU): one-hot reduce —
-            exact, since each product is value*1 or value*0."""
+        def nearest(v_re, v_im):
+            """Nearest constellation point on PLANES, gather-free
+            (CLAUDE.md): argmin of |v - t|^2 + one-hot reduce — exact,
+            since each one-hot product is value*1 or value*0."""
+            d2 = ((v_re[..., None] - trj) ** 2
+                  + (v_im[..., None] - tij) ** 2)
+            idx = jnp.argmin(d2, axis=-1)
             oh = (idx[..., None] == iota).astype(jnp.float32)
-            return jnp.sum(oh * tab, axis=-1)
+            return idx, jnp.sum(oh * trj, -1), jnp.sum(oh * tij, -1)
 
-        def step(c, inp):
-            s, valid = inp
-            vm = valid
-            # carrier PLL (2nd-order loop on the slicer phase error)
-            vmix = s * jnp.exp(-1j * c["theta"]).astype(s.dtype)
-            idx = jnp.argmin(jnp.abs(vmix[..., None] - tab) ** 2, axis=-1)
-            e = jnp.angle(vmix * jnp.conj(slice_pt(idx)))
+        def post(c, s, vm):
+            """Carrier PLL + DD-LMS on one symbol slot, ALL-REAL body
+            (the agc/symsync real-plane trick, PERF.md): complex
+            arithmetic is decomposed onto (re, im) planes so the scan
+            body carries no complex ops."""
+            s_re, s_im = jnp.real(s), jnp.imag(s)
+            cth = jnp.cos(c["theta"])
+            sth = jnp.sin(c["theta"])
+            # vmix = s * exp(-j theta)
+            v_re = s_re * cth + s_im * sth
+            v_im = s_im * cth - s_re * sth
+            _, r_re, r_im = nearest(v_re, v_im)
+            # e = angle(vmix * conj(ref))
+            e = jnp.arctan2(v_im * r_re - v_re * r_im,
+                            v_re * r_re + v_im * r_im)
             dtheta_n = c["dtheta"] + beta2 * e
             theta_n = c["theta"] + dtheta_n + alpha * e
             # decision-directed normalized LMS on the mixed symbol
-            buf = jnp.concatenate([c["eq_buf"][..., 1:], vmix[..., None]],
-                                  axis=-1)
-            x2 = (vmix * jnp.conj(vmix)).real
-            x2_sum = c["eq_x2"] + x2 - (c["eq_buf"][..., 0] *
-                                        jnp.conj(c["eq_buf"][..., 0])).real
-            yeq = jnp.sum(jnp.conj(c["eq_w"]) * buf, axis=-1)
-            dec = jnp.argmin(jnp.abs(yeq[..., None] - tab) ** 2, axis=-1)
-            err = slice_pt(dec) - yeq
+            b_re = jnp.concatenate([c["eb_re"][..., 1:], v_re[..., None]],
+                                   axis=-1)
+            b_im = jnp.concatenate([c["eb_im"][..., 1:], v_im[..., None]],
+                                   axis=-1)
+            x2 = v_re * v_re + v_im * v_im
+            x2_sum = c["eq_x2"] + x2 - (c["eb_re"][..., 0] ** 2
+                                        + c["eb_im"][..., 0] ** 2)
+            w_re, w_im = c["ew_re"], c["ew_im"]
+            # yeq = sum(conj(w) * buf)
+            y_re = jnp.sum(w_re * b_re + w_im * b_im, axis=-1)
+            y_im = jnp.sum(w_re * b_im - w_im * b_re, axis=-1)
+            dec, d_re, d_im = nearest(y_re, y_im)
+            e_re = d_re - y_re
+            e_im = d_im - y_im
             n = c["eq_n"] + 1
             gate = (n >= L).astype(jnp.float32)
-            w = c["eq_w"] + (gate * mu)[..., None] * jnp.conj(err)[..., None] \
-                * buf / jnp.maximum(x2_sum, 1e-12)[..., None]
+            g = ((gate * mu) / jnp.maximum(x2_sum, 1e-12))[..., None]
+            # w += g * conj(err) * buf
+            w_re = w_re + g * (e_re[..., None] * b_re
+                               + e_im[..., None] * b_im)
+            w_im = w_im + g * (e_re[..., None] * b_im
+                               - e_im[..., None] * b_re)
             vme = vm[..., None]
             new = {"theta": jnp.where(vm, theta_n, c["theta"]),
                    "dtheta": jnp.where(vm, dtheta_n, c["dtheta"]),
-                   "eq_w": jnp.where(vme, w, c["eq_w"]),
-                   "eq_buf": jnp.where(vme, buf, c["eq_buf"]),
+                   "ew_re": jnp.where(vme, w_re, c["ew_re"]),
+                   "ew_im": jnp.where(vme, w_im, c["ew_im"]),
+                   "eb_re": jnp.where(vme, b_re, c["eb_re"]),
+                   "eb_im": jnp.where(vme, b_im, c["eb_im"]),
                    "eq_x2": jnp.where(vm, x2_sum, c["eq_x2"]),
                    "eq_n": jnp.where(vm, n, c["eq_n"])}
-            return new, (yeq, dec)
+            return new, (y_re, y_im, dec)
 
-        pll_c = {kk: carry[kk] for kk in
-                 ("theta", "dtheta", "eq_w", "eq_buf", "eq_x2", "eq_n")}
+        # planar PLL/LMS carry (the Proc carry keeps the complex form)
+        pll_c = {"theta": carry["theta"], "dtheta": carry["dtheta"],
+                 "ew_re": jnp.real(carry["eq_w"]),
+                 "ew_im": jnp.imag(carry["eq_w"]),
+                 "eb_re": jnp.real(carry["eq_buf"]),
+                 "eb_im": jnp.imag(carry["eq_buf"]),
+                 "eq_x2": carry["eq_x2"], "eq_n": carry["eq_n"]}
+
+        def _repack(pc):
+            return {"theta": pc["theta"], "dtheta": pc["dtheta"],
+                    "eq_w": lax.complex(pc["ew_re"], pc["ew_im"]),
+                    "eq_buf": lax.complex(pc["eb_re"], pc["eb_im"]),
+                    "eq_x2": pc["eq_x2"], "eq_n": pc["eq_n"]}
+
+        if _use_fused():
+            # FUSED path (PERF.md r5): the PLL+LMS stage rides inside
+            # the hoisted symsync scan as its post-emit hook — one pass
+            # over the block instead of symsync scan + a second
+            # max_out*T-slot scan
+            _, sv, ss_c, (yr, yi, dt2), pll_c = _symsync_run_hoisted(
+                mf_b, dmf_b, carry["ss"], y, k, 1, sync_bw,
+                post=post, post_carry=pll_c)
+            return ((lax.complex(yr, yi), dt2, sv),
+                    {"agc": agc_c, "ss": ss_c, **_repack(pll_c)})
+        (sy, sv), ss_c = ss.apply(ss.params, carry["ss"], y)
         st = jnp.moveaxis(sy, -1, 0)
         vt = jnp.moveaxis(sv, -1, 0)
-        pll_c, (yt, dt) = lax.scan(step, pll_c, (st, vt), unroll=scan_unroll(8))
-        out = (jnp.moveaxis(yt, 0, -1), jnp.moveaxis(dt, 0, -1), sv)
-        return out, {"agc": agc_c, "ss": ss_c, **pll_c}
+
+        def step(c, inp):
+            s, valid = inp
+            return post(c, s, valid)
+
+        pll_c, (yr, yi, dt) = lax.scan(step, pll_c, (st, vt),
+                                       unroll=scan_unroll(8))
+        out = (lax.complex(jnp.moveaxis(yr, 0, -1),
+                           jnp.moveaxis(yi, 0, -1)),
+               jnp.moveaxis(dt, 0, -1), sv)
+        return out, {"agc": agc_c, "ss": ss_c, **_repack(pll_c)}
 
     return Proc(params=(), init=init, apply=apply, rate=(1, k), name=name)
 

@@ -64,18 +64,188 @@ def symsync_kaiser_banks(k: int, m: int, npfb: int):
     return _derivative_bank(H, npfb)
 
 
-def symsync_run(mf_bank, dmf_bank, carry, x, k: int, k_out: int = 1,
-                bw: float = 0.01, locked: bool = False):
-    """Run the synchronizer over a block; returns (y, valid, carry')."""
-    npfb, Lb = mf_bank.shape
-    # loop filter coefficients (reference symsync.c set_lf_bw:380-407)
+def _lf_consts(bw: float):
+    """Loop-filter coefficients (reference symsync.c set_lf_bw:380-407)."""
     alpha = 1.0 - bw
     beta = 0.22 * bw
     a_, b_ = 0.5, 0.495
-    B0 = beta
-    A0 = 1.0 - a_ * alpha
-    A1 = -b_ * alpha
-    rate_adj = 0.5 * bw
+    return {"B0": beta, "A0": 1.0 - a_ * alpha, "A1": -b_ * alpha,
+            "rate_adj": 0.5 * bw}
+
+
+def _timing_update(st, q_raw, active, k_out: int, locked: bool, C,
+                   npfb: int):
+    """One emit's timing-loop state update (shared by the scan-body and
+    hoisted formulations — identical arithmetic, so both produce the
+    same loop dynamics)."""
+    run_loop = (st["decim"] == k_out) & active & (not locked)
+    q = jnp.clip(q_raw, -1.0, 1.0)
+    q_hat = (C["B0"] / C["A0"]) * q + st["v0"]
+    v0 = -(C["A1"] / C["A0"]) * q_hat
+    rate = st["rate"] + C["rate_adj"] * q_hat
+    dl = rate + q_hat
+    new = {
+        "tau": st["tau"] + jnp.where(active, st["del"], 0.0),
+        "rate": jnp.where(run_loop, rate, st["rate"]),
+        "del": jnp.where(run_loop, dl, st["del"]),
+        "v0": jnp.where(run_loop, v0, st["v0"]),
+        "v1": jnp.where(run_loop, jnp.zeros_like(v0), st["v1"]),
+        "decim": jnp.where(
+            active, jnp.where(st["decim"] == k_out, 1,
+                              st["decim"] + 1), st["decim"]),
+    }
+    new["bf"] = new["tau"] * npfb
+    new["b"] = jnp.round(new["bf"]).astype(jnp.int32)
+    return {**st, **new}
+
+
+_STATE_KEYS = ("tau", "bf", "b", "rate", "del", "v0", "v1", "decim")
+
+
+def _symsync_run_hoisted(mf_bank, dmf_bank, carry, x, k: int,
+                         k_out: int = 1, bw: float = 0.01,
+                         locked: bool = False,
+                         post=None, post_carry=None):
+    """Hoisted-MF formulation: ALL branch matched-filter outputs are
+    computed OUTSIDE the scan as one multi-channel FIR of the input
+    (HIGHEST-precision conv), so the scan body shrinks to the timing
+    loop plus four one-hot selections of precomputed scalars.  The
+    per-step window maintenance and the in-body tap-selection matmul —
+    the dominant body cost (PERF.md r4 symsync rows) — disappear; the
+    branch outputs themselves are loop-INdependent (the loop only picks
+    WHICH branch to read), which is what makes the hoist exact.
+
+    Value-equivalent to the scan-body formulation (same _timing_update
+    arithmetic; MF dots reassociated by the conv, goldens at 1e-5).
+    Memory: branch outputs are [.., Tc, 2*npfb] per chunk; the block is
+    processed in Tc-sample chunks under an outer scan."""
+    npfb, Lb = mf_bank.shape
+    C = _lf_consts(bw)
+    max_out = int(np.ceil(k / k_out)) + 1
+    T = int(x.shape[-1])
+    Tc = T
+    for cand in (2048, 1024, 512, 256):
+        if T > cand and T % cand == 0:
+            Tc = cand
+            break
+    nch = T // Tc
+    batch = x.shape[:-1]
+    cplx = jnp.iscomplexobj(x)
+    iota = jnp.arange(npfb, dtype=jnp.int32)
+    # correlation kernels: out[t] = sum_j xp[t+j] * bank[b, ::-1][j]
+    # (XLA conv is cross-correlation; rows 0..npfb-1 MF, rest dMF)
+    kern = jnp.asarray(np.concatenate(
+        [mf_bank[:, ::-1], dmf_bank[:, ::-1]], axis=0)[:, None, :])
+
+    def branch_outputs(xp_planes):
+        # [P*batch..., Tc + Lb - 1] planes -> [P..., Tc, 2*npfb]
+        flat = xp_planes.reshape((-1, 1, xp_planes.shape[-1]))
+        y = lax.conv_general_dilated(
+            flat, kern, (1,), "VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=lax.Precision.HIGHEST)          # [N, 2npfb, Tc]
+        y = jnp.moveaxis(y, -2, -1)
+        return y.reshape(xp_planes.shape[:-1] + (Tc, 2 * npfb))
+
+    def emit(st, ma):
+        # ma: [.., 4*npfb] (mf_re | dmf_re | mf_im | dmf_im) or
+        #     [.., 2*npfb] (mf | dmf) for real input
+        active = st["b"] < npfb
+        bc = jnp.clip(st["b"], 0, npfb - 1)
+        oh = (bc[..., None] == iota).astype(jnp.float32)
+        # ONE one-hot reduce selects every plane's mf AND dmf at once
+        sel = jnp.einsum("...b,...gb->...g",
+                         oh, ma.reshape(ma.shape[:-1] + (-1, npfb)))
+        mf_re, dmf_re = sel[..., 0], sel[..., 1]
+        if cplx:
+            mf_im, dmf_im = sel[..., 2], sel[..., 3]
+            mf = lax.complex(mf_re, mf_im)
+            q_raw = mf_re * dmf_re + mf_im * dmf_im
+        else:
+            mf = mf_re
+            q_raw = mf_re * dmf_re
+        st2 = _timing_update(st, q_raw, active, k_out, locked, C, npfb)
+        return st2, (jnp.where(active, mf / k, 0.0), active)
+
+    def inner_step(c, ma):
+        st, pc = c
+        outs, valid, extras = [], [], []
+        for _ in range(max_out):
+            st, (oi, vi) = emit(st, ma)
+            outs.append(oi)
+            valid.append(vi)
+            if post is not None:
+                # fuse the downstream per-symbol stage (symtrack's
+                # PLL+LMS) into the SAME scan: one pass over the block
+                # instead of a second max_out*T-slot scan
+                pc, ex = post(pc, oi, vi)
+                extras.append(ex)
+        st = dict(st, tau=st["tau"] - 1.0, bf=st["bf"] - npfb,
+                  b=st["b"] - npfb)
+        ex_st = (tuple(jnp.stack([e[j] for e in extras], axis=-1)
+                       for j in range(len(extras[0])))
+                 if post is not None else ())
+        return (st, pc), (jnp.stack(outs, axis=-1),
+                          jnp.stack(valid, axis=-1), ex_st)
+
+    def _flatten_t(a):
+        # [Tc, .., max_out] -> [.., Tc*max_out]
+        return jnp.moveaxis(a, 0, -2).reshape(
+            a.shape[1:-1] + (a.shape[0] * max_out,))
+
+    def outer_step(c, xc):
+        st, pc, prefix = c
+        xp = jnp.concatenate([prefix, xc], axis=-1)
+        if cplx:
+            planes = jnp.stack([jnp.real(xp), jnp.imag(xp)], axis=0)
+            ma = branch_outputs(planes)          # [2, .., Tc, 2npfb]
+            ma = jnp.concatenate([ma[0], ma[1]], axis=-1)
+        else:
+            ma = branch_outputs(xp)
+        mt = jnp.moveaxis(ma, -2, 0)             # [Tc, .., G*npfb]
+        (st, pc), (ys, vs, ex) = lax.scan(inner_step, (st, pc), mt,
+                                          unroll=scan_unroll(16))
+        ys = _flatten_t(ys)
+        vs = _flatten_t(vs)
+        ex = tuple(_flatten_t(e) for e in ex)
+        return ((st, pc, xp[..., xp.shape[-1] - (Lb - 1):]),
+                (ys, vs, ex))
+
+    st0 = {kk: carry[kk] for kk in _STATE_KEYS}
+    prefix0 = carry["win"][..., 1:].astype(x.dtype)
+    xcs = jnp.moveaxis(x.reshape(batch + (nch, Tc)), -2, 0)
+    ((st, pc, _), (ys, vs, ex)) = lax.scan(
+        outer_step, (st0, post_carry, prefix0), xcs)
+
+    def _flatten_c(a):
+        # [nch, .., Tc*max_out] -> [.., T*max_out]
+        return jnp.moveaxis(a, 0, -2).reshape(
+            a.shape[1:-1] + (T * max_out,))
+
+    ys = _flatten_c(ys)
+    vs = _flatten_c(vs)
+    win = jnp.concatenate([prefix0, x], axis=-1)[..., -Lb:] \
+        if T >= 1 else carry["win"]
+    new_carry = {**st, "win": win}
+    if post is not None:
+        return ys, vs, new_carry, tuple(_flatten_c(e) for e in ex), pc
+    return ys, vs, new_carry
+
+
+def symsync_run(mf_bank, dmf_bank, carry, x, k: int, k_out: int = 1,
+                bw: float = 0.01, locked: bool = False, hoist=None):
+    """Run the synchronizer over a block; returns (y, valid, carry').
+
+    hoist=None picks the hoisted-MF formulation off CPU (see
+    _symsync_run_hoisted; 62.8 -> measured Msps at B=256, PERF.md r5);
+    the CPU default keeps the original scan body (golden bit-compat)."""
+    if hoist is None:
+        hoist = jax.default_backend() != "cpu"
+    if hoist and x.shape[-1] >= 2:
+        return _symsync_run_hoisted(mf_bank, dmf_bank, carry, x, k,
+                                    k_out, bw, locked)
+    npfb, Lb = mf_bank.shape
+    C = _lf_consts(bw)
     max_out = int(np.ceil(k / k_out)) + 1
 
     # ONE stacked bank [npfb, 2*Lb]: a single branch selection yields
@@ -111,10 +281,9 @@ def symsync_run(mf_bank, dmf_bank, carry, x, k: int, k_out: int = 1,
         wi = jnp.imag(win) if cplx else None
 
         def emit(i, st):
-            tau, bf, b = st["tau"], st["bf"], st["b"]
-            active = b < npfb
+            active = st["b"] < npfb
 
-            bc = jnp.clip(b, 0, npfb - 1)
+            bc = jnp.clip(st["b"], 0, npfb - 1)
             taps = bank_sel(both_j, bc)
             tmf, tdmf = taps[..., :Lb], taps[..., Lb:]
             mf_re = jnp.einsum("...j,...j->...", wr, tmf)
@@ -127,31 +296,12 @@ def symsync_run(mf_bank, dmf_bank, carry, x, k: int, k_out: int = 1,
             else:
                 mf = mf_re
                 q_raw = mf_re * dmf_re
-            ymf = mf / k
-            # decimator: run the loop only every k_out-th output
-            run_loop = (st["decim"] == k_out) & active & (not locked)
-            q = jnp.clip(q_raw, -1.0, 1.0)
             # one-pole loop filter == iirfiltsos with B=[B0,0,0],
-            # A=[A0,A1,0] normalized by A0 (DF2T)
-            q_hat = (B0 / A0) * q + st["v0"]
-            v0 = -(A1 / A0) * q_hat
-            v1 = jnp.zeros_like(v0)
-            rate = st["rate"] + rate_adj * q_hat
-            dl = rate + q_hat
-            new = {
-                "tau": tau + jnp.where(active, st["del"], 0.0),
-                "rate": jnp.where(run_loop, rate, st["rate"]),
-                "del": jnp.where(run_loop, dl, st["del"]),
-                "v0": jnp.where(run_loop, v0, st["v0"]),
-                "v1": jnp.where(run_loop, v1, st["v1"]),
-                "decim": jnp.where(
-                    active, jnp.where(st["decim"] == k_out, 1,
-                                      st["decim"] + 1), st["decim"]),
-            }
-            new["bf"] = new["tau"] * npfb
-            new["b"] = jnp.round(new["bf"]).astype(jnp.int32)
-            out_i = jnp.where(active, ymf, 0.0)
-            return {**st, **new}, (out_i, active)
+            # A=[A0,A1,0] normalized by A0 (DF2T), inside _timing_update
+            st2 = _timing_update(st, q_raw, active, k_out, locked, C,
+                                 npfb)
+            out_i = jnp.where(active, mf / k, 0.0)
+            return st2, (out_i, active)
 
         for i in range(max_out):
             state, (oi, vi) = emit(i, state)

@@ -46,7 +46,8 @@ from jax import lax
 
 from ..core import Proc
 from ..multichannel.ofdm import (OFDMParams, ofdm_params, ofdm_demod_consts,
-                                 ofdm_demod_window, s0_detect_block)
+                                 ofdm_s1_search, ofdm_demod_body,
+                                 s0_detect_block)
 from ..modem.linear import constellation, bits_per_symbol, demodulate_soft
 from ..fec.packetizer import packetizer_compute_enc_msg_len
 from ..fec.device import (packetizer_soft_decoder, qpacket_soft_decoder,
@@ -155,24 +156,40 @@ def ofdmflex_rx_stream(block_len: int, payload_len: int,
         valid, d0, cfo0, peak, cand, pos, n_cand = s0_detect_block(
             buf, carry["last_end"], Mn, threshold, span, T, n_chunk,
             P_, _CH)
-        # ---- extraction: one [2, WIN] stacked-plane window per VALID
-        # candidate (dynamic-trip fori_loop; untouched slots stay zero
-        # and every consumer masks on `valid` — PERF.md extraction) ----
+        # ---- two-stage extraction (PERF.md r5): NO vmapped dynamic
+        # slices anywhere.  Stage A slices the SHORT S1-search window
+        # [2, WA] per valid candidate (dynamic-trip fori_loop, stacked
+        # planes), finds `best` with a batched conv correlation; stage
+        # B slices the S1-aligned [2, M+body_len] window at d0+best and
+        # demodulates without any internal dynamic slice (the old
+        # vmapped ofdm_demod_window lowered its two per-candidate
+        # dynamic slices to SEQUENTIAL while loops — the frame64 r2
+        # pathology — and was ~80% of the full-RX cost, PERF.md r4
+        # ablation) ----
         buf2 = jnp.stack([jnp.real(buf), jnp.imag(buf)])
         need_end = max(0, (T - 1 + WIN) - (hist + T))
         if need_end:
             buf2 = jnp.pad(buf2, ((0, 0), (0, need_end)))
+        WA = dc["W1"] + Mn - 1
+        WB = Mn + dc["body_len"]
+        trip = jnp.minimum(n_cand, P_)
 
-        def _fill(i, acc):
-            w = lax.dynamic_slice(buf2, (0, d0[i]), (2, WIN))
+        def _fill_a(i, acc):
+            w = lax.dynamic_slice(buf2, (0, d0[i]), (2, WA))
             return lax.dynamic_update_slice(acc, w[None], (i, 0, 0))
 
-        win = lax.fori_loop(0, jnp.minimum(n_cand, P_), _fill,
-                            jnp.zeros((P_, 2, WIN), jnp.float32))
-        wc = lax.complex(win[:, 0], win[:, 1])               # [P, WIN]
-        # ---- batched frame demod (S1 matmul + EQ + pilot tracking) ----
-        _, data, perr, cfo_out = jax.vmap(
-            lambda w, c: ofdm_demod_window(dc, w, c))(wc, cfo0)
+        wa = lax.fori_loop(0, trip, _fill_a,
+                           jnp.zeros((P_, 2, WA), jnp.float32))
+        best = ofdm_s1_search(dc, wa, cfo0)                  # [P]
+
+        def _fill_b(i, acc):
+            w = lax.dynamic_slice(buf2, (0, d0[i] + best[i]), (2, WB))
+            return lax.dynamic_update_slice(acc, w[None], (i, 0, 0))
+
+        wb = lax.fori_loop(0, trip, _fill_b,
+                           jnp.zeros((P_, 2, WB), jnp.float32))
+        data, perr, cfo_out = jax.vmap(
+            lambda w, c, b: ofdm_demod_body(dc, w, c, b))(wb, cfo0, best)
         evm_db = 20.0 * jnp.log10(jnp.sqrt(
             jnp.mean(jnp.abs(perr) ** 2, axis=(-2, -1))) + 1e-12)
         # ---- header decode on device ----

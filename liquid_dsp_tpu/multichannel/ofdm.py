@@ -325,6 +325,89 @@ def ofdm_demod_consts(params: OFDMParams, n_syms: int) -> dict:
     }
 
 
+def ofdm_s1_search(dc: dict, wa, cfo0):
+    """Batched S1 timing search over candidate slots (stage A of the
+    frame demod, split out so streaming receivers avoid vmapped
+    dynamic slices — PERF.md r5).
+
+    wa: [..., 2, WA] float planes of the RAW window at the S0 plateau
+    (WA = W1 + M - 1); cfo0: [...] coarse CFO.  Returns best [...,]
+    int32, the S1 offset in [0, W1).  The S1 cross-correlation runs as
+    ONE feature-grouped conv over the planes instead of the [W1, M]
+    im2col gather + matmul (static fancy indexing with a conv closed
+    form — the suspect pattern, CLAUDE.md); argmax of |V|^2 picks the
+    same lag as argmax of |V|/s1_e (monotonic, same ties)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    M, W1 = dc["M"], dc["W1"]
+    WA = W1 + M - 1
+    t = jnp.arange(WA, dtype=jnp.float32)
+    ph = cfo0[..., None] * t
+    c, s = jnp.cos(ph), jnp.sin(ph)
+    xr = wa[..., 0, :] * c + wa[..., 1, :] * s
+    xi = wa[..., 1, :] * c - wa[..., 0, :] * s
+    X = jnp.stack([xr, xi], axis=-2)                  # [..., 2, WA]
+    sr, si = dc["s1c_re"], dc["s1c_im"]
+    kern = jnp.asarray(np.stack([np.stack([sr, -si], 0),
+                                 np.stack([si, sr], 0)], 0))  # [2,2,M]
+    lead = X.shape[:-2]
+    V = lax.conv_general_dilated(
+        X.reshape((-1, 2, WA)), kern, (1,), "VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=lax.Precision.HIGHEST)              # [N, 2, W1]
+    V = V.reshape(lead + (2, W1))
+    mag = V[..., 0, :] ** 2 + V[..., 1, :] ** 2
+    return jnp.argmax(mag, axis=-1).astype(jnp.int32)
+
+
+def ofdm_demod_body(dc: dict, wb, cfo, best):
+    """Stage B of the frame demod: channel estimate + CP-strip FFT +
+    EQ + pilot tracking from an ALREADY-S1-ALIGNED raw window.
+
+    wb: [2, M + body_len] float planes sliced at (plateau + best);
+    cfo scalar; best int32 (the derotation phase index starts at
+    `best`, so outputs are bit-compatible with ofdm_demod_window).
+    Returns (data, perr, cfo_out); vmap-batchable."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    M, cp = dc["M"], dc["cp"]
+    body_len, n_syms = dc["body_len"], dc["n_syms"]
+    t = best.astype(jnp.float32) + jnp.arange(M + body_len,
+                                              dtype=jnp.float32)
+    ph = cfo * t
+    xc = lax.complex(wb[0], wb[1]) * lax.complex(jnp.cos(ph),
+                                                 -jnp.sin(ph))
+    S1_rx = jnp.fft.fft(xc[:M])
+    S1inv = lax.complex(jnp.asarray(dc["S1i_re"]),
+                        jnp.asarray(dc["S1i_im"]))
+    vals = S1_rx[jnp.asarray(dc["on_idx"])] * S1inv
+    sm = jnp.convolve(vals, jnp.ones(3, vals.dtype) / 3.0, mode="same")
+    sm = sm.at[0].set(vals[0]).at[-1].set(vals[-1])
+    Gs = jnp.zeros(M, xc.dtype).at[jnp.asarray(dc["on_idx"])].set(sm)
+    body = xc[M:].reshape(n_syms, M + cp)[:, cp:]
+    Xr = jnp.fft.fft(body, axis=-1) / dc["scale"]
+    nz = jnp.abs(Gs) > 1e-9
+    inv = jnp.where(nz, 1.0 / jnp.where(nz, Gs, 1.0), 0.0)
+    Xeq = Xr * inv[None, :]
+    pilots, order = dc["pilots"], dc["order"]
+    kk, dk, k_signed = dc["kk"], dc["dk"], dc["k_signed"]
+    q = (Xeq[:, jnp.asarray(dc["pil_idx"])] * pilots)[:, order]
+    dphi_n = jnp.angle(q[:, 1:] * jnp.conj(q[:, :-1]))
+    b_s = jnp.sum(dphi_n * dk[None, :], axis=1) / float(np.sum(dk ** 2))
+    rot = b_s[:, None] * kk[None, :]
+    a_s = jnp.angle(jnp.sum(
+        q * lax.complex(jnp.cos(rot), -jnp.sin(rot)), axis=1))
+    ph_all = a_s[:, None] + b_s[:, None] * k_signed[None, :]
+    Xeq = Xeq * lax.complex(jnp.cos(ph_all), -jnp.sin(ph_all))
+    data = Xeq[:, jnp.asarray(dc["dat_idx"])]
+    perr = Xeq[:, jnp.asarray(dc["pil_idx"])] * pilots - 1.0
+    da = jnp.angle(jnp.mean(jnp.exp(1j * (a_s[1:] - a_s[:-1])))) \
+        if n_syms > 1 else jnp.float32(0.0)
+    return data, perr, cfo + da / (M + cp)
+
+
 def ofdm_demod_window(dc: dict, win, cfo):
     """Demodulate one frame from a raw window (position 0 = coarse S0
     plateau index): S1 timing by one matmul cross-correlation, per-

@@ -231,7 +231,8 @@ def _detect_consts(template: np.ndarray) -> dict:
 
 def _detect_refine(buf, last_end, dc: dict, threshold: float, P: int,
                    T: int, starts: np.ndarray, span: int,
-                   front_pad: int = 0, win_len: int | None = None):
+                   front_pad: int = 0, win_len: int | None = None,
+                   prev_peak=None, left_ext=None, suppress_fn=None):
     """Detect-everywhere + per-candidate refinement over one buffer.
 
     buf [H+T] complex; last_end: suppression watermark (buffer coords).
@@ -247,6 +248,15 @@ def _detect_refine(buf, last_end, dc: dict, threshold: float, P: int,
     on TPU, so each extra loop is ~330 us per receiver step
     (tools/profile_device.py); the window is returned as "win" for
     mf_symbol_gather to reuse.
+
+    Time-shard hooks (parallel/rx.py, SURVEY §2.12 sequence
+    parallelism): prev_peak substitutes the left neighbor's last owned
+    segment peak for the -inf edge in the local-peak test; left_ext
+    [2, front_pad] float planes substitute REAL neighbor samples for
+    the front zero-pad (shard 0 keeps zeros — the single-device
+    semantic at the stream head); suppress_fn(last_end, cand, n0_seg,
+    span) -> (keeps, wm_cand, wm_n0) overrides the in-order suppression
+    fold so it can run over the all-gathered GLOBAL candidate sequence.
     """
     n_seg = len(starts)
     s_len, s2_sum = dc["s_len"], dc["s2_sum"]
@@ -286,7 +296,9 @@ def _detect_refine(buf, last_end, dc: dict, threshold: float, P: int,
     from .. import debug
     debug.tap("stream_rx.seg_peak", seg_peak)           # per-segment rxy
     neg = jnp.full((1,), -jnp.inf, seg_peak.dtype)
-    pk_prev = jnp.concatenate([neg, seg_peak[:-1]])
+    first = (neg if prev_peak is None
+             else jnp.reshape(prev_peak, (1,)).astype(seg_peak.dtype))
+    pk_prev = jnp.concatenate([first, seg_peak[:-1]])
     pk_next = jnp.concatenate([seg_peak[1:], neg])
     local = (seg_peak > pk_prev) & (seg_peak >= pk_next)
     cand = (seg_peak > threshold) & (n0_seg < T) & local
@@ -305,7 +317,12 @@ def _detect_refine(buf, last_end, dc: dict, threshold: float, P: int,
     # pure dispatch overhead per step); neutral inside the fused
     # receiver program, kept because it can only shrink the jaxpr's
     # sequential region
-    _, keeps = lax.scan(_suppress, last_end, (cand, n0_seg), unroll=32)
+    if suppress_fn is not None:
+        keeps, wm_cand, wm_n0 = suppress_fn(last_end, cand, n0_seg, span)
+    else:
+        _, keeps = lax.scan(_suppress, last_end, (cand, n0_seg),
+                            unroll=32)
+        wm_cand, wm_n0 = keeps, n0_seg
     cand = keeps
     n_cand = jnp.sum(cand)
     sel = jnp.nonzero(cand, size=P, fill_value=0)[0]    # first P, in order
@@ -325,7 +342,15 @@ def _detect_refine(buf, last_end, dc: dict, threshold: float, P: int,
         # zero padding preserves edge semantics (a clamped slice would
         # silently shift the window); end pad sized so n0 = T-1 fits
         need_end = max(0, (T - 1 - fp + U) - buf2.shape[-1])
-        buf2 = jnp.pad(buf2, ((0, 0), (fp, need_end)))
+        if left_ext is not None and fp:
+            # time-shard: the fp samples before the local buffer head
+            # are REAL neighbor data, not the stream edge
+            buf2 = jnp.concatenate(
+                [left_ext.astype(buf2.dtype), buf2], axis=-1)
+            if need_end:
+                buf2 = jnp.pad(buf2, ((0, 0), (0, need_end)))
+        else:
+            buf2 = jnp.pad(buf2, ((0, 0), (fp, need_end)))
     # extract only the VALID candidate slots: a vmapped dynamic_slice
     # unrolls to P sequential loop iterations regardless of occupancy,
     # and extraction dominated the receiver's device time
@@ -361,7 +386,25 @@ def _detect_refine(buf, last_end, dc: dict, threshold: float, P: int,
     phi = jnp.angle(jnp.take_along_axis(W, i0[:, None], axis=-1)[:, 0])
     return {"valid": valid, "n_cand": n_cand, "n0": n0, "off_i": off_i,
             "peak": peak, "tau": tau, "gamma": gamma, "dphi": dphi,
-            "phi": phi, "cand": cand, "n0_seg": n0_seg, "win": win}
+            "phi": phi, "cand": wm_cand, "n0_seg": wm_n0, "win": win}
+
+
+def _seg_peak_at(buf, dc: dict, start: int):
+    """Detection peak of the ONE segment at static buffer position
+    `start` — the same banded-matmul row _detect_refine computes in its
+    grid (used by the time-sharded receiver to reproduce the left
+    neighbor's last owned segment peak from the shared halo samples,
+    parallel/rx.py)."""
+    seg = buf[..., start:start + _DET_NFFT]
+    Fr, Fi = seg.real[None, :], seg.imag[None, :]
+    Br = jnp.asarray(dc["band_re"])
+    Bi = jnp.asarray(dc["band_im"])
+    Rr = Fr @ Br + Fi @ Bi
+    Ri = Fi @ Br - Fr @ Bi
+    x2 = jnp.sum(Fr ** 2 + Fi ** 2, axis=-1)
+    g0 = jnp.sqrt(jnp.maximum(x2, 1e-20) * (dc["s_len"] / _DET_NFFT))
+    g = 1.0 / (g0 * np.sqrt(dc["s2_sum"]))
+    return jnp.max(jnp.sqrt(Rr ** 2 + Ri ** 2) * g[:, None])
 
 
 def _advance_watermark(carry, det, span: int, T: int):
@@ -497,30 +540,7 @@ def preamble_stream(block_len: int, cfg: StreamRxConfig,
     n_sym_tot = cfg.region_start + cfg.region_len
     if hist < cfg.k * n_sym_tot + 2 or hist < _DET_NFFT:
         raise ValueError("history window too short for this frame region")
-    dc = _detect_consts(cfg.template)
-    bank_np = cfg.bank[:, ::-1].copy()                   # newest-first
-    C = {
-        "bank": bank_np.astype(np.float32),
-        "pil_re": cfg.pilots.real.astype(np.float32),
-        "pil_im": cfg.pilots.imag.astype(np.float32),
-    }
-    npil = len(cfg.pilots)
-    spacing = int(cfg.pilot_spacing)
-    pfft = int(cfg.pilot_nfft)
-    npfb = cfg.bank.shape[0]
-    # segment grid restricted to the EMIT region: only candidates with
-    # n0 < T are ever emitted (and the watermark folds only those), so
-    # segments with start > T are wasted MXU work — one segment past T
-    # is kept for the local-peak neighbor comparison.  At the wideband
-    # scanner's short per-channel blocks this is ~31% of the detection
-    # matmul (hist=1536 vs Tc=2048); the history tail still backs the
-    # refine/MF windows of frames emitted near position 0.
-    n_seg = T // _DET_HOP + 1
-    starts = (np.arange(n_seg) * _DET_HOP).astype(np.int32)
-    span = int(cfg.suppress_span)
-    Lb = int(cfg.bank.shape[1])
-    mf_span = cfg.k * (n_sym_tot - 1) + Lb
-    win_len = max(Lb + _DET_NFFT, mf_span + 1)
+    R = _rx_consts(T, cfg, P, hist)
 
     def init(batch_shape=(), dtype=jnp.complex64):
         return {"buf": jnp.zeros(batch_shape + (hist,), jnp.complex64),
@@ -534,63 +554,110 @@ def preamble_stream(block_len: int, cfg: StreamRxConfig,
     def _apply_1d(carry, x):
         buf = jnp.concatenate([carry["buf"], x.astype(jnp.complex64)],
                               axis=-1)                      # [H+T]
-        pilots = lax.complex(jnp.asarray(C["pil_re"]),
-                             jnp.asarray(C["pil_im"]))
-        det = _detect_refine(buf, carry["last_end"], dc, threshold, P, T,
-                             starts, span, front_pad=Lb, win_len=win_len)
-        valid, n0, peak = det["valid"], det["n0"], det["peak"]
-        tau, gamma = det["tau"], det["gamma"]
-        dphi, phi = det["dphi"], det["phi"]
-
-        # ---- mix + polyphase matched filter + k:1 sample (batched) ----
-        b_idx = jnp.where(
-            tau > 0,
-            jnp.floor(tau * npfb), jnp.floor((1.0 + tau) * npfb)
-        ).astype(jnp.int32) % npfb
-        off_s = jnp.where(tau > 0, 0, -1).astype(jnp.int32)
-        sym = mf_symbol_gather(buf, n0, off_s, dphi, phi, gamma,
-                               jnp.asarray(C["bank"]), b_idx, n_sym_tot,
-                               k=cfg.k, win=det["win"])
-        region_rx = sym[:, cfg.region_start:]               # [P, region_len]
-
-        # ---- pilot sync (qpilotsync_execute, batched) ----
-        pil_idx = np.nonzero(np.arange(cfg.region_len) % spacing == 0)[0]
-        rx_pil = region_rx[:, jnp.asarray(pil_idx[:npil].astype(np.int32))]
-        v = rx_pil * jnp.conj(pilots)[None, :]
-        V = jnp.fft.fft(v, pfft, axis=-1)
-        Vm = jnp.abs(V)
-        j0 = jnp.argmax(Vm, axis=-1)
-        um1 = jnp.take_along_axis(Vm, ((j0 - 1) % pfft)[:, None],
-                                  axis=-1)[:, 0]
-        u0 = jnp.take_along_axis(Vm, j0[:, None], axis=-1)[:, 0]
-        up1 = jnp.take_along_axis(Vm, ((j0 + 1) % pfft)[:, None],
-                                  axis=-1)[:, 0]
-        frac2, _ = quad_peak(um1, u0, up1)
-        jdx = j0 + frac2 - jnp.where(j0 > pfft // 2, pfft, 0)
-        dphi2 = jdx * (2 * np.pi / (pfft * spacing))
-        rot = dphi2[:, None] * (np.arange(npil) * spacing)[None, :]
-        metric = jnp.sum(v * lax.complex(jnp.cos(rot), -jnp.sin(rot)),
-                         axis=-1)
-        phi2 = jnp.angle(metric)
-        g2 = jnp.abs(metric) / npil
-        c2r, c2i = cexp_ramp(dphi2, phi2, cfg.region_len)
-        corr = lax.complex(c2r, c2i) / jnp.maximum(g2, 1e-12)[:, None]
-        region_syms = region_rx * corr
-
-        from .. import debug
-        debug.tap("stream_rx.dphi", dphi)
-        debug.tap("stream_rx.region_syms", region_syms)
-        out = StreamRxBlock(
-            valid=valid,
-            sample_index=carry["base"] + n0.astype(jnp.int32),
-            rxy=peak, gamma=gamma, dphi=dphi, phi=phi, tau=tau,
-            b_idx=b_idx, off_s=off_s, dphi2=dphi2, phi2=phi2, g2=g2,
-            region_syms=region_syms)
+        det = _detect_refine(buf, carry["last_end"], R["dc"], threshold,
+                             P, T, R["starts"], R["span"],
+                             front_pad=R["Lb"], win_len=R["win_len"])
+        out = _rx_sync_block(R, buf, det, carry["base"])
         # advance the suppression watermark into next block's coordinates
         new_carry = {"buf": buf[..., T:], "base": carry["base"] + T,
-                     "last_end": _advance_watermark(carry, det, span, T)}
+                     "last_end": _advance_watermark(carry, det,
+                                                    R["span"], T)}
         return out, new_carry
 
     apply = batched_apply(_apply_1d, T)
 
     return Proc(params=(), init=init, apply=apply, rate=(1, 1), name=name)
+
+
+def _rx_consts(T: int, cfg: StreamRxConfig, P: int, hist: int) -> dict:
+    """Shared numpy constants + geometry for the streaming preamble-sync
+    receiver (single-device preamble_stream and the time-sharded
+    variant, parallel/rx.py)."""
+    n_sym_tot = cfg.region_start + cfg.region_len
+    dc = _detect_consts(cfg.template)
+    bank_np = cfg.bank[:, ::-1].copy()                   # newest-first
+    # segment grid restricted to the EMIT region: only candidates with
+    # n0 < T are ever emitted (and the watermark folds only those), so
+    # segments with start > T are wasted MXU work — one segment past T
+    # is kept for the local-peak neighbor comparison.  At the wideband
+    # scanner's short per-channel blocks this is ~31% of the detection
+    # matmul (hist=1536 vs Tc=2048); the history tail still backs the
+    # refine/MF windows of frames emitted near position 0.
+    n_seg = T // _DET_HOP + 1
+    Lb = int(cfg.bank.shape[1])
+    mf_span = cfg.k * (n_sym_tot - 1) + Lb
+    return {
+        "T": T, "P": P, "hist": hist, "dc": dc, "n_sym_tot": n_sym_tot,
+        "bank": bank_np.astype(np.float32),
+        "pil_re": cfg.pilots.real.astype(np.float32),
+        "pil_im": cfg.pilots.imag.astype(np.float32),
+        "npil": len(cfg.pilots),
+        "spacing": int(cfg.pilot_spacing),
+        "pfft": int(cfg.pilot_nfft),
+        "npfb": int(cfg.bank.shape[0]),
+        "k": int(cfg.k),
+        "region_start": int(cfg.region_start),
+        "region_len": int(cfg.region_len),
+        "n_seg": n_seg,
+        "starts": (np.arange(n_seg) * _DET_HOP).astype(np.int32),
+        "span": int(cfg.suppress_span),
+        "Lb": Lb, "mf_span": mf_span,
+        "win_len": max(Lb + _DET_NFFT, mf_span + 1),
+    }
+
+
+def _rx_sync_block(R: dict, buf, det, base):
+    """Mix + polyphase MF + pilot sync over the refined candidates of
+    one buffer (shared by preamble_stream and the time-sharded RX)."""
+    valid, n0, peak = det["valid"], det["n0"], det["peak"]
+    tau, gamma = det["tau"], det["gamma"]
+    dphi, phi = det["dphi"], det["phi"]
+    npfb, npil = R["npfb"], R["npil"]
+    spacing, pfft = R["spacing"], R["pfft"]
+    pilots = lax.complex(jnp.asarray(R["pil_re"]),
+                         jnp.asarray(R["pil_im"]))
+
+    # ---- mix + polyphase matched filter + k:1 sample (batched) ----
+    b_idx = jnp.where(
+        tau > 0,
+        jnp.floor(tau * npfb), jnp.floor((1.0 + tau) * npfb)
+    ).astype(jnp.int32) % npfb
+    off_s = jnp.where(tau > 0, 0, -1).astype(jnp.int32)
+    sym = mf_symbol_gather(buf, n0, off_s, dphi, phi, gamma,
+                           jnp.asarray(R["bank"]), b_idx, R["n_sym_tot"],
+                           k=R["k"], win=det["win"])
+    region_rx = sym[:, R["region_start"]:]              # [P, region_len]
+
+    # ---- pilot sync (qpilotsync_execute, batched) ----
+    pil_idx = np.nonzero(np.arange(R["region_len"]) % spacing == 0)[0]
+    rx_pil = region_rx[:, jnp.asarray(pil_idx[:npil].astype(np.int32))]
+    v = rx_pil * jnp.conj(pilots)[None, :]
+    V = jnp.fft.fft(v, pfft, axis=-1)
+    Vm = jnp.abs(V)
+    j0 = jnp.argmax(Vm, axis=-1)
+    um1 = jnp.take_along_axis(Vm, ((j0 - 1) % pfft)[:, None],
+                              axis=-1)[:, 0]
+    u0 = jnp.take_along_axis(Vm, j0[:, None], axis=-1)[:, 0]
+    up1 = jnp.take_along_axis(Vm, ((j0 + 1) % pfft)[:, None],
+                              axis=-1)[:, 0]
+    frac2, _ = quad_peak(um1, u0, up1)
+    jdx = j0 + frac2 - jnp.where(j0 > pfft // 2, pfft, 0)
+    dphi2 = jdx * (2 * np.pi / (pfft * spacing))
+    rot = dphi2[:, None] * (np.arange(npil) * spacing)[None, :]
+    metric = jnp.sum(v * lax.complex(jnp.cos(rot), -jnp.sin(rot)),
+                     axis=-1)
+    phi2 = jnp.angle(metric)
+    g2 = jnp.abs(metric) / npil
+    c2r, c2i = cexp_ramp(dphi2, phi2, R["region_len"])
+    corr = lax.complex(c2r, c2i) / jnp.maximum(g2, 1e-12)[:, None]
+    region_syms = region_rx * corr
+
+    from .. import debug
+    debug.tap("stream_rx.dphi", dphi)
+    debug.tap("stream_rx.region_syms", region_syms)
+    return StreamRxBlock(
+        valid=valid,
+        sample_index=base + n0.astype(jnp.int32),
+        rxy=peak, gamma=gamma, dphi=dphi, phi=phi, tau=tau,
+        b_idx=b_idx, off_s=off_s, dphi2=dphi2, phi2=phi2, g2=g2,
+        region_syms=region_syms)

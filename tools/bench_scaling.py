@@ -186,6 +186,61 @@ def main():
         print(json.dumps({"metric": "framesync64_stream_dp",
                           "n_devices": n, "msps": round(m, 2),
                           "vs_1dev_same_work": round(m / rx_base, 3)}))
+
+    # ---- TIME-SHARDED receiver (r5, SURVEY §2.12 sequence parallel):
+    # one stream's time axis split over N devices with the history-halo
+    # ppermute + global suppression all-gather (parallel/rx.py).  Same
+    # total work as one device on the same T; the ratio isolates the
+    # sharding machinery (halo ~38% of payload bytes at T_local=4096 —
+    # see parallel/rx.py docstring — so this axis wants long blocks).
+    from liquid_dsp_tpu.parallel.rx import framesync64_time_sharded
+
+    def bench_rx_ts(n):
+        Tl = 4096
+        T_tot = n * Tl
+        x_ts = jnp.asarray((0.01 * (
+            rng.standard_normal(T_tot) +
+            1j * rng.standard_normal(T_tot))).astype(np.complex64))
+        if n == 1:
+            rx1 = framesync64_stream(T_tot, max_frames=4)
+            c0 = rx1.init()
+            step1 = jax.jit(lambda c, x: rx1.apply((), c, x))
+        else:
+            mesh = Mesh(np.array(devices[:n]), ("t",))
+            init_ts, step_raw = framesync64_time_sharded(T_tot, mesh)
+            c0 = init_ts()
+            step1 = jax.jit(step_raw)
+
+        def step(c, x):
+            out, c2 = step1(c, x)
+            return c2, jnp.sum(out.rxy)
+
+        c2, chk = step(c0, x_ts)
+        float(np.asarray(chk))
+
+        def run_trials(k):
+            t0 = time.perf_counter()
+            c = c0
+            for _ in range(k):
+                c, chk = step(c, x_ts)
+            float(np.asarray(chk))
+            return time.perf_counter() - t0
+
+        k, dt1 = 1, run_trials(1)
+        while dt1 < 0.5 and k < 256:
+            k *= 2
+            dt1 = run_trials(k)
+        dt2 = run_trials(2 * k)
+        if dt2 - dt1 > 0.25 * dt1:
+            return T_tot * k / (dt2 - dt1) / 1e6
+        return T_tot * 2 * k / dt2 / 1e6
+
+    for n in [n for n in sweep if n > 1]:
+        base = max(bench_rx_ts(1) for _ in range(REPS)) * n
+        m = max(bench_rx_ts(n) for _ in range(REPS))
+        print(json.dumps({"metric": "framesync64_stream_time_sp",
+                          "n_devices": n, "msps": round(m, 2),
+                          "vs_n_x_1dev": round(m / base, 3)}))
     return 0
 
 

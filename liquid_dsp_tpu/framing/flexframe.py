@@ -369,6 +369,141 @@ def flexframe_rx_stream(block_len: int, payload_len: int,
                 name="flexframe_rx_stream")
 
 
+class FlexMultiStreamBlock(NamedTuple):
+    """Header-adaptive full-device RX result (registered config set);
+    leading axis = candidate slot.  pay_bytes is padded to the LONGEST
+    registered payload; cfg_idx selects the matched config (-1 = header
+    valid but unregistered, or header CRC failed)."""
+    valid: jnp.ndarray        # [..., P] bool
+    sample_index: jnp.ndarray # [..., P] int32
+    rxy: jnp.ndarray          # [..., P] detection correlation
+    evm_db: jnp.ndarray       # [..., P]
+    hdr_bytes: jnp.ndarray    # [..., P, 20] int32 decoded header
+    hdr_ok: jnp.ndarray       # [..., P] bool CRC + registered config
+    cfg_idx: jnp.ndarray      # [..., P] int32 matched config index
+    pay_bytes: jnp.ndarray    # [..., P, max_payload_len] int32
+    pay_ok: jnp.ndarray       # [..., P] bool payload CRC
+
+
+def flexframe_rx_stream_multi(block_len: int, configs,
+                              threshold: float = 0.5,
+                              max_frames: int = 4) -> Proc:
+    """HEADER-ADAPTIVE full-device streaming flexframe receiver
+    (VERDICT r4 item 4): decodes a REGISTERED SET of payload
+    configurations in one stream at the full-device rate.  The header
+    decodes on device as in flexframe_rx_stream; the payload stage then
+    runs EVERY registered config's decoder over the shared synced
+    region and one-hot selects the result by the header-announced
+    config — compiler-friendly dispatch with static shapes (a traced
+    branch per frame cannot live under jit; the decoders are cheap
+    codebook matmuls, PERF.md device-FEC rows).  Frames announcing an
+    unregistered config report hdr_ok=False (cfg_idx=-1), the same
+    contract the fixed-config receiver applies to every foreign frame.
+
+    configs: sequence of (payload_len, crc, fec0, fec1, ms) tuples.
+    Reference analog: flexframesync.c reconfigures its payload
+    demod/FEC from each header at runtime on the host CPU.
+    """
+    from ..modem.linear import bits_per_symbol, constellation
+    from ..fec.packetizer import packetizer_compute_enc_msg_len
+    from ..fec.device import (packetizer2_soft_decoder,
+                              qpacket_soft_decoder,
+                              qpacket_conv_soft_decoder,
+                              device_packet_finish)
+    from .stream_rx import STREAM_HIST
+
+    configs = [tuple(c) for c in configs]
+    if not configs:
+        raise ValueError("need at least one registered config")
+    h_sym_len, h_mod_len = _header_syms_len()
+    p_syms_list = []
+    for (pl, crc, fec0, fec1, ms) in configs:
+        p_enc = packetizer_compute_enc_msg_len(pl, crc, fec0, fec1)
+        p_syms_list.append(-(-8 * p_enc // bits_per_symbol(ms)))
+    p_syms_max = max(p_syms_list)
+    max_pl = max(c[0] for c in configs)
+    region = h_sym_len + p_syms_max
+    need_hist = _K * (_n_lead() + region) + 2
+    pilots = np.asarray(qpilot_pilots(h_mod_len, 16))
+    cfg = StreamRxConfig(
+        template=_detector_template(), bank=_mf_bank(),
+        region_start=_n_lead(), region_len=region,
+        pilots=pilots, pilot_spacing=16,
+        pilot_nfft=_pilot_nfft(len(pilots)),
+        # re-arm after the SHORTEST registered frame: a longer frame's
+        # interior may then admit spurious candidates, which fail the
+        # header CRC and only occupy a slot (the reference's re-arm is
+        # per-frame exact because it consumes serially)
+        suppress_span=_K * (64 + h_sym_len + min(p_syms_list)) - 8,
+        k=_K)
+    base = preamble_stream(int(block_len), cfg, threshold=threshold,
+                           max_frames=max_frames,
+                           name="flexframe_rx_multi",
+                           hist=max(STREAM_HIST, need_hist))
+    pil_mask = np.zeros(h_sym_len, bool)
+    pil_pos = np.nonzero(np.arange(h_sym_len) % 16 == 0)[0][:len(pilots)]
+    pil_mask[pil_pos] = True
+    nonpil_idx = np.nonzero(~pil_mask)[0].astype(np.int32)
+    hdr_dec = packetizer2_soft_decoder(FLEXFRAME_H_USER + 6, _H_CRC,
+                                       _H_FEC0, _H_FEC1)
+    hdr_tab = np.asarray(constellation(_H_MOD), np.complex64)
+    ku = FLEXFRAME_H_USER
+    # per-config payload decoders + expected header fields
+    pay_stages = []
+    for j, (pl, crc, fec0, fec1, ms) in enumerate(configs):
+        try:
+            dfn, _ = qpacket_soft_decoder(pl, crc, fec0, fec1, ms)
+        except ValueError:
+            dfn, _ = qpacket_conv_soft_decoder(pl, crc, fec0, fec1, ms)
+        fin = device_packet_finish(pl, crc, fec0, fec1)
+        _exp = {ku + 0: _PROTOCOL,
+                ku + 1: (pl >> 8) & 0xFF,
+                ku + 2: pl & 0xFF,
+                ku + 3: modem_to_wire(ms),
+                ku + 4: ((crc_to_wire(crc) & 0x07) << 5) |
+                        (fec_to_wire(fec0) & 0x1F),
+                ku + 5: fec_to_wire(fec1) & 0x1F}
+        exp_idx = np.asarray(sorted(_exp), np.int32)
+        exp_val = np.asarray([_exp[i] for i in sorted(_exp)], np.int32)
+        pay_stages.append((dfn, fin, p_syms_list[j], pl,
+                           exp_idx, exp_val))
+
+    def apply(params, carry, x):
+        out, c2 = base.apply(params, carry, x)
+        rsy = out.region_syms                     # [..., P, region]
+        hdr_syms = rsy[..., :h_sym_len][..., jnp.asarray(nonpil_idx)]
+        from ..modem.linear import demodulate_soft
+        llr_h = demodulate_soft(jnp.asarray(hdr_tab), hdr_syms)
+        llr_h = llr_h.reshape(llr_h.shape[:-2] + (-1,))
+        hdr_bytes, h_crc_ok = hdr_dec(llr_h)
+        lead = hdr_bytes.shape[:-1]
+        pay_all = jnp.zeros(lead + (max_pl,), jnp.int32)
+        ok_all = jnp.zeros(lead, bool)
+        cfg_idx = jnp.full(lead, -1, jnp.int32)
+        for j, (dfn, fin, psy, pl, eidx, evval) in enumerate(pay_stages):
+            match = h_crc_ok & jnp.all(
+                hdr_bytes[..., jnp.asarray(eidx)] == jnp.asarray(evval),
+                axis=-1)
+            pj, okj = fin(dfn(rsy[..., h_sym_len:h_sym_len + psy]))
+            if pl < max_pl:
+                pj = jnp.pad(pj, [(0, 0)] * (pj.ndim - 1)
+                             + [(0, max_pl - pl)])
+            m = match[..., None]
+            pay_all = jnp.where(m, pj, pay_all)
+            ok_all = jnp.where(match, okj, ok_all)
+            cfg_idx = jnp.where(match, j, cfg_idx)
+        evm_db = 20.0 * jnp.log10(jnp.maximum(out.g2, 1e-12))
+        return FlexMultiStreamBlock(
+            valid=out.valid, sample_index=out.sample_index,
+            rxy=out.rxy, evm_db=evm_db,
+            hdr_bytes=hdr_bytes[..., :FLEXFRAME_H_USER + 6],
+            hdr_ok=cfg_idx >= 0, cfg_idx=cfg_idx,
+            pay_bytes=pay_all, pay_ok=ok_all), c2
+
+    return Proc(params=(), init=base.init, apply=apply, rate=(1, 1),
+                name="flexframe_rx_stream_multi")
+
+
 @partial(jax.jit, static_argnums=(0, 1))
 def _payload_gather_jit(n_sym: int, start_sym: int, x_win, bank,
                         n0, off_s, dphi, phi, gamma, b_idx,

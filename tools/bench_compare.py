@@ -89,11 +89,67 @@ def diff(old, new, threshold=0.15):
     return 0
 
 
+# history-key -> tests/baseline_perop.json key, where the names differ
+_CRATIO_ALIASES = {
+    "symsync_B256": "symsync_k2",
+    "symtrack_B256": "symtrack",
+    "eqlms13_trained_B256": "eqlms13_trained",
+    "eqrls13_trained_B256": "eqrls13_trained",
+}
+
+
+def cratio(rnd, floor=1.0):
+    """TPU-vs-reference-C ratio check (VERDICT r4 item 1): every per-op
+    metric recorded for `rnd` that has a reference-C baseline in
+    tests/baseline_perop.json must be >= `floor` x the C number.
+    Exit 1 if any op falls below."""
+    base_path = (pathlib.Path(__file__).resolve().parent.parent /
+                 "tests/baseline_perop.json")
+    base = json.loads(base_path.read_text())
+    hist = _load()
+    if rnd not in hist:
+        print(f"missing round {rnd}: have {sorted(hist)}",
+              file=sys.stderr)
+        return 2
+    vals = hist[rnd]
+    below = []
+    rows = []
+    for name, v in sorted(vals.items()):
+        ckey = _CRATIO_ALIASES.get(name, name)
+        c = base.get(ckey)
+        if c is None or c <= 0:
+            continue
+        ratio = v / c
+        rows.append((name, v, c, ratio))
+        if ratio < floor:
+            below.append((name, ratio))
+    w = max((len(r[0]) for r in rows), default=10)
+    print(f"{'metric':{w}s} {'tpu':>10s} {'ref C':>10s} {'ratio':>9s}")
+    for name, v, c, r in rows:
+        flag = "  BELOW-C" if r < floor else ""
+        print(f"{name:{w}s} {v:>10.1f} {c:>10.3f} {r:>8.1f}x{flag}")
+    if below:
+        print(f"\n{len(below)} op(s) below {floor}x reference C:",
+              file=sys.stderr)
+        for name, r in below:
+            print(f"  {name}: {r:.2f}x", file=sys.stderr)
+        return 1
+    print(f"\nall measured ops >= {floor}x reference C")
+    return 0
+
+
 def main(argv):
     if not argv:
         print(__doc__)
         return 2
     cmd, rest = argv[0], argv[1:]
+    if cmd == "cratio":
+        floor = 1.0
+        if "--floor" in rest:
+            j = rest.index("--floor")
+            floor = float(rest[j + 1])
+            rest = rest[:j] + rest[j + 2:]
+        return cratio(rest[0], floor)
     if cmd == "record":
         rnd = rest[0]
         pairs = {}

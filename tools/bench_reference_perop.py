@@ -205,6 +205,69 @@ int main() {
         freqdem_destroy(d);
     }
 
+    /* ---- GMSK modem (Mbit/s in, Msamples/s in for the demod) */
+    {
+        gmskmod mod = gmskmod_create(2, 3, 0.3f);
+        float complex buf[2];
+        BENCH("gmskmod_bits", N,
+              for (i = 0; i < N; i++)
+                  gmskmod_modulate(mod, i & 1, buf););
+        gmskmod_destroy(mod);
+        gmskdem dem = gmskdem_create(2, 3, 0.3f);
+        unsigned int bit;
+        BENCH("gmskdem_samps", N,
+              for (i = 0; i + 2 <= N; i += 2)
+                  gmskdem_demodulate(dem, &x[i], &bit););
+        gmskdem_destroy(dem);
+    }
+
+    /* ---- M-FSK (Msym/s mod, Msamples/s dem; M=4, k=8) */
+    {
+        fskmod mod = fskmod_create(2, 8, 0.25f);
+        float complex buf[8];
+        BENCH("fskmod4_syms", N / 8,
+              for (i = 0; i < N / 8; i++)
+                  fskmod_modulate(mod, i & 3, buf););
+        fskmod_destroy(mod);
+        fskdem dem = fskdem_create(2, 8, 0.25f);
+        BENCH("fskdem4_samps", N,
+              for (i = 0; i + 8 <= N; i += 8)
+                  (void)fskdem_demodulate(dem, &x[i]););
+        fskdem_destroy(dem);
+    }
+
+    /* ---- IIR decimator / interpolator (default prototype order 4) */
+    {
+        iirdecim_crcf q = iirdecim_crcf_create_default(4, 4);
+        BENCH("iirdecim4", N,
+              for (i = 0; i + 4 <= N; i += 4)
+                  iirdecim_crcf_execute(q, &x[i], &y[i / 4]););
+        iirdecim_crcf_destroy(q);
+        iirinterp_crcf g = iirinterp_crcf_create_default(4, 4);
+        /* INPUT-sample units (N/4 inputs -> N outputs), matching the
+           TPU suite row */
+        BENCH("iirinterp4", N / 4,
+              for (i = 0; i + 4 <= N; i += 4)
+                  iirinterp_crcf_execute(g, x[i / 4], &y[i]););
+        iirinterp_crcf_destroy(g);
+    }
+
+    /* ---- soft demod (Msym/s) + CVSD (Msamples/s) */
+    {
+        modem md = modem_create(LIQUID_MODEM_QAM16);
+        unsigned int so;
+        unsigned char sb[4];
+        BENCH("qam16_demodsoft", N,
+              for (i = 0; i < N; i++)
+                  modem_demodulate_soft(md, x[i], &so, sb););
+        modem_destroy(md);
+        cvsd cv = cvsd_create(3, 1.5f, 0.95f);
+        BENCH("cvsd_enc", N,
+              for (i = 0; i < N; i++)
+                  (void)cvsd_encode(cv, xr[i]););
+        cvsd_destroy(cv);
+    }
+
     /* ---- timing-recovery / adaptive family
        (bench_timing_family.py configs) */
     {
@@ -415,6 +478,12 @@ def main() -> int:
             v = float(m.group(2))
             # keep sub-kbit/s readings (the C LDPC decodes in ~ms/cw)
             vals[m.group(1)] = round(v, 6 if v < 0.01 else 3)
+    # BEST-OF merge with prior runs (host noise only ever slows the
+    # reference down; the stored baseline should favor it)
+    if OUT.exists():
+        prior = json.loads(OUT.read_text())
+        for k, v in prior.items():
+            vals[k] = max(v, vals.get(k, v))
     OUT.write_text(json.dumps(vals, indent=2) + "\n")
     print(json.dumps(vals, indent=2))
     return 0

@@ -166,6 +166,40 @@ def main():
     add("freqmod", lambda: freq_modulator(0.1), xr)
     add("freqdem", lambda: freq_demodulator(0.1))
 
+    # r5 bench-parity rows: the remaining reference bench families
+    # (gmskmodem / fskmod / fskdem / iirdecim / iirinterp / demodsoft
+    # benchmarks in reference src/{modem,filter}/bench/); unit matches
+    # the C row in tests/baseline_perop.json (input elements per call)
+    from liquid_dsp_tpu.modem.cpm import (gmsk_modulator,
+                                          gmsk_demodulator,
+                                          fsk_modulator, fsk_demodulator)
+    from liquid_dsp_tpu.ops.misc_filters import iirdecim, iirinterp
+    add("gmskmod_bits", lambda: gmsk_modulator(2, 3, 0.3),
+        lambda: jnp.asarray(rng.integers(0, 2, (batch, T))
+                            .astype(np.int32)))
+    add("gmskdem_samps", lambda: gmsk_demodulator(2, 3, 0.3))
+    add("fskmod4_syms", lambda: fsk_modulator(2, 8, 0.25),
+        lambda: jnp.asarray(rng.integers(0, 4, (batch, T // 8))
+                            .astype(np.int32)))
+    add("fskdem4_samps", lambda: fsk_demodulator(2, 8, 0.25))
+    add("iirdecim4", lambda: iirdecim(4))
+    add("iirinterp4", lambda: iirinterp(4),
+        lambda: x()[..., : T // 4])
+
+    from liquid_dsp_tpu.modem.linear import demodulate_soft
+
+    class _SoftProc:
+        params = ()
+        def init(self, batch_shape=(), dtype=jnp.complex64):
+            return ()
+        def apply(self, params, carry, y):
+            tab = np.asarray(constellation_tab, np.complex64)
+            return demodulate_soft(jnp.asarray(tab), y), ()
+
+    from liquid_dsp_tpu.modem.linear import constellation as _const
+    constellation_tab = _const("qam16")
+    add("qam16_demodsoft", lambda: _SoftProc())
+
     _print_results(cases)
     return 0
 

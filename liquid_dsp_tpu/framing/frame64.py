@@ -277,6 +277,47 @@ def framesync64_stream(block_len: int, threshold: float = 0.5,
                 name=name)
 
 
+class Frame64FullBlock(NamedTuple):
+    """framesync64_stream_full result: detection + IN-STREAM decode."""
+    valid: jnp.ndarray        # [..., P] bool
+    sample_index: jnp.ndarray # [..., P] int32
+    rxy: jnp.ndarray          # [..., P]
+    cfo: jnp.ndarray          # [..., P]
+    gamma: jnp.ndarray        # [..., P]
+    evm_db: jnp.ndarray       # [..., P]
+    hdr_bytes: jnp.ndarray    # [..., P, 8] int32 decoded header
+    pay_bytes: jnp.ndarray    # [..., P, 64] int32 decoded payload
+    crc_ok: jnp.ndarray       # [..., P] bool
+
+
+def framesync64_stream_full(block_len: int, threshold: float = 0.5,
+                            max_frames: int | None = None,
+                            name: str = "framesync64_full") -> Proc:
+    """framesync64_stream with the payload FEC IN the jitted block step
+    (soft Golay codebook decode + byte pack + CRC on device,
+    fec/device.py) — the same full-pipeline semantics as the
+    flexframe/gmsk/ofdmflex stream receivers; only the user callback
+    remains host work.  Reference analog: framesync64.c:411+ decodes
+    the payload inline in its state machine."""
+    from ..fec.device import qpacket_soft_decoder, device_packet_finish
+    core = framesync64_stream(block_len, threshold, max_frames, name)
+    dev, _ = qpacket_soft_decoder(72, "crc24", "none", "golay2412",
+                                  "qpsk")
+    fin = device_packet_finish(72, "crc24", "none", "golay2412")
+
+    def apply(params, carry, x):
+        out, c2 = core.apply(params, carry, x)
+        buf, ok = fin(dev(out.symbols))
+        return Frame64FullBlock(
+            valid=out.valid, sample_index=out.sample_index, rxy=out.rxy,
+            cfo=out.cfo, gamma=out.gamma, evm_db=out.evm_db,
+            hdr_bytes=buf[..., :8], pay_bytes=buf[..., 8:],
+            crc_ok=ok), c2
+
+    return Proc(params=(), init=core.init, apply=apply, rate=(1, 1),
+                name=name)
+
+
 class Framesync64:
     """Callback-contract wrapper over the streaming Proc: the analog of
     the reference framesync64 object (create/execute/callback-per-frame,

@@ -170,3 +170,41 @@ class TestBatchedChannels:
         x = jnp.zeros(2048, jnp.complex64)
         out, c = f((), c, x)
         assert not bool(np.asarray(out.valid).any())
+
+
+class TestFullInStreamDecode:
+    """framesync64_stream_full: payload FEC + CRC inside the jitted
+    step must reproduce the host-wrapper decode exactly (r5 — same
+    full-pipeline semantics as the other three stream receivers)."""
+
+    def test_decodes_in_stream(self):
+        from liquid_dsp_tpu.framing.frame64 import (
+            framegen64, framesync64_stream_full)
+        rng = np.random.default_rng(21)
+        T = 4096
+        proc = framesync64_stream_full(T)
+        sent = []
+        x = np.zeros(3 * T, np.complex64)
+        for s0 in (900, 5200, 9100):
+            hdr = rng.integers(0, 256, 8, dtype=np.uint8)
+            pay = rng.integers(0, 256, 64, dtype=np.uint8)
+            x[s0:s0 + 1440] += np.asarray(framegen64(hdr, pay))
+            sent.append((hdr, pay))
+        x += (0.004 * (rng.standard_normal(len(x)) +
+                       1j * rng.standard_normal(len(x)))
+              ).astype(np.complex64)
+        c = proc.init()
+        step = jax.jit(proc.apply)
+        got = []
+        for b in range(4):
+            blk = (x[b * T:(b + 1) * T] if b < 3
+                   else np.zeros(T, np.complex64))
+            out, c = step((), c, jnp.asarray(blk))
+            for p in np.nonzero(np.asarray(out.valid))[0]:
+                assert bool(np.asarray(out.crc_ok[p]))
+                got.append((np.asarray(out.hdr_bytes[p]).astype(np.uint8),
+                            np.asarray(out.pay_bytes[p]).astype(np.uint8)))
+        assert len(got) == 3
+        for (gh, gp), (h, p_) in zip(got, sent):
+            np.testing.assert_array_equal(gh, h)
+            np.testing.assert_array_equal(gp, p_)

@@ -11,7 +11,7 @@ cannot device_put complex arrays); the complex reassembly runs inside
 the jit, as in production planar ingest (io.py).
 
 Prints one JSON line:
-  {"metric": "framesync64_stream", "msps": ..., "batch": B, "block": T,
+  {"metric": ("framesync64_full" if os.environ.get("FRAME64_FULL") else "framesync64_stream"), "msps": ..., "batch": B, "block": T,
    "frames_per_block": ...}
 """
 import json
@@ -36,7 +36,11 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     T = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
-    proc = framesync64_stream(T)
+    if os.environ.get("FRAME64_FULL"):
+        from liquid_dsp_tpu.framing.frame64 import framesync64_stream_full
+        proc = framesync64_stream_full(T)
+    else:
+        proc = framesync64_stream(T)
     print(f"backend: {jax.devices()[0].platform}", file=sys.stderr)
 
     # stream containing real frames so the candidate path does real work.
@@ -75,8 +79,13 @@ def main():
     @jax.jit
     def step(c, r, i):
         out, c2 = proc.apply((), c, jax.lax.complex(r, i))
-        chk = (jnp.sum(jnp.real(out.symbols) ** 2) +
-               jnp.sum(out.rxy) + jnp.sum(out.evm_db * 0.0))
+        if hasattr(out, "symbols"):
+            chk = (jnp.sum(jnp.real(out.symbols) ** 2) +
+                   jnp.sum(out.rxy) + jnp.sum(out.evm_db * 0.0))
+        else:   # full in-stream decode: checksum the decoded BYTES
+            chk = (jnp.sum(out.pay_bytes.astype(jnp.float32)) +
+                   jnp.sum(out.hdr_bytes.astype(jnp.float32)) +
+                   jnp.sum(out.rxy))
         nfr = jnp.sum(out.valid)
         return c2, chk, nfr
 
@@ -99,7 +108,7 @@ def main():
     spec.loader.exec_module(bm)
     msps = bm.timed_throughput(run_trials, batch * T) / 1e6
 
-    print(json.dumps({"metric": "framesync64_stream", "msps": round(msps, 2),
+    print(json.dumps({"metric": ("framesync64_full" if os.environ.get("FRAME64_FULL") else "framesync64_stream"), "msps": round(msps, 2),
                       "batch": batch, "block": T,
                       "frames_per_block": frames_per_block}))
     return 0

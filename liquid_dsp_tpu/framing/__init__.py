@@ -27,3 +27,18 @@ from .bpacket import (  # noqa: F401
     bpacketgen, bpacketsync, BPacketResult, bsync_correlate,
     bpresync_detect, detector_cccf_detect,
 )
+
+# streaming block-Proc receivers (detect-everywhere pipelines) + their
+# callback-contract wrappers — the persistent-object API surface
+from .stream_rx import preamble_stream, detector_stream  # noqa: F401
+from .frame64 import (  # noqa: F401
+    framesync64_stream, framesync64_stream_full, Framesync64,
+)
+from .flexframe import (  # noqa: F401
+    flexframe_rx_stream, flexframe_rx_stream_multi, FlexFrameSync,
+)
+from .gmskframe import gmskframe_rx_stream, GMSKFrameSync  # noqa: F401
+from .ofdmflex_stream import (  # noqa: F401
+    ofdmflex_rx_stream, OFDMFlexStreamRX,
+)
+from .symtrack import symtrack_stream, Symtrack  # noqa: F401

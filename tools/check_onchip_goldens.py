@@ -328,6 +328,40 @@ def check_ofdmflex_rx(jax, jnp):
     return _check_stream_rx(jax, jnp, proc, x, hdrs, pls, 8, flush=2), 0.5
 
 
+def check_symsync_hoist(jax, jnp):
+    """r5 hoisted-MF symsync (the TPU default) vs the scan-body
+    formulation ON HARDWARE: same valid pattern, outputs within the
+    reassociation tolerance, carries equal — the hoist moves the MF
+    dots into a HIGHEST conv whose TPU lowering the CPU suite cannot
+    see."""
+    from liquid_dsp_tpu.ops.symsync import (symsync_banks, symsync_run,
+                                            symsync)
+    import numpy as np
+    rng = np.random.default_rng(31)
+    mf, dmf = symsync_banks("arkaiser", 2, 5, 0.3, 32)
+    p = symsync("arkaiser", 2, 5, 0.3, bw=0.02)
+    B, T = 4, 2048
+    xr = rng.standard_normal((B, T)).astype(np.float32)
+    xi = rng.standard_normal((B, T)).astype(np.float32)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("hoist",))
+    def run(r, i, hoist):
+        x = jax.lax.complex(r, i)
+        c0 = p.init((B,))
+        y, v, c = symsync_run(mf, dmf, c0, x, 2, bw=0.02, hoist=hoist)
+        return jnp.real(y), jnp.imag(y), v
+
+    y1r, y1i, v1 = run(jnp.asarray(xr), jnp.asarray(xi), hoist=False)
+    y2r, y2i, v2 = run(jnp.asarray(xr), jnp.asarray(xi), hoist=True)
+    if not (np.asarray(v1) == np.asarray(v2)).all():
+        return 1.0, 1e-4
+    d = np.abs((np.asarray(y1r) - np.asarray(y2r)) +
+               1j * (np.asarray(y1i) - np.asarray(y2i))).max()
+    return float(d), 1e-4
+
+
 def check_fft(jax, jnp):
     from liquid_dsp_tpu.ops.fft import fft
     rng = np.random.default_rng(11)
@@ -365,7 +399,8 @@ def main():
                 ("crc_finish", check_crc_finish), ("ldpc", check_ldpc),
                 ("flexframe_rx", check_flexframe_rx),
                 ("gmskframe_rx", check_gmskframe_rx),
-                ("ofdmflex_rx", check_ofdmflex_rx)]
+                ("ofdmflex_rx", check_ofdmflex_rx),
+                ("symsync_hoist", check_symsync_hoist)]
     all_ok = True
     for name, fn in families:
         try:

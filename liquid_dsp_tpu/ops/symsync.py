@@ -123,11 +123,7 @@ def _symsync_run_hoisted(mf_bank, dmf_bank, carry, x, k: int,
     C = _lf_consts(bw)
     max_out = int(np.ceil(k / k_out)) + 1
     T = int(x.shape[-1])
-    Tc = T
-    for cand in (2048, 1024, 512, 256):
-        if T > cand and T % cand == 0:
-            Tc = cand
-            break
+    Tc = _hoist_chunk(T)
     nch = T // Tc
     batch = x.shape[:-1]
     cplx = jnp.iscomplexobj(x)
@@ -232,15 +228,29 @@ def _symsync_run_hoisted(mf_bank, dmf_bank, carry, x, k: int,
     return ys, vs, new_carry
 
 
+def _hoist_chunk(T: int) -> int:
+    """Largest divisor of T in [256, 4096] for the hoisted path's
+    branch-output chunking (bounds the [.., Tc, 2*npfb] live buffer)."""
+    best = T
+    for cand in range(min(T, 4096), 255, -1):
+        if T % cand == 0:
+            return cand
+    return best
+
+
 def symsync_run(mf_bank, dmf_bank, carry, x, k: int, k_out: int = 1,
                 bw: float = 0.01, locked: bool = False, hoist=None):
     """Run the synchronizer over a block; returns (y, valid, carry').
 
     hoist=None picks the hoisted-MF formulation off CPU (see
-    _symsync_run_hoisted; 62.8 -> measured Msps at B=256, PERF.md r5);
-    the CPU default keeps the original scan body (golden bit-compat)."""
+    _symsync_run_hoisted; 62.8 -> 92.5 Msps at B=256, PERF.md r5);
+    the CPU default keeps the original scan body (golden bit-compat).
+    Blocks with no chunk divisor <= 4096 (large primes) stay on the
+    scan path — a single-chunk hoist would materialize the whole
+    [.., T, 2*npfb] branch-output buffer."""
     if hoist is None:
-        hoist = jax.default_backend() != "cpu"
+        hoist = (jax.default_backend() != "cpu"
+                 and _hoist_chunk(int(x.shape[-1])) <= 4096)
     if hoist and x.shape[-1] >= 2:
         return _symsync_run_hoisted(mf_bank, dmf_bank, carry, x, k,
                                     k_out, bw, locked)

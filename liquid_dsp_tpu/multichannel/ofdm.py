@@ -422,43 +422,21 @@ def ofdm_demod_window(dc: dict, win, cfo):
     import jax.numpy as jnp
     from jax import lax
 
-    M, cp = dc["M"], dc["cp"]
-    W1, body_len, WIN = dc["W1"], dc["body_len"], dc["WIN"]
-    n_syms = dc["n_syms"]
-    t32 = jnp.arange(WIN, dtype=jnp.float32)
-    xc = win * lax.complex(jnp.cos(cfo * t32), -jnp.sin(cfo * t32))
-    w2 = xc[: W1 + M - 1]
-    win2 = w2[np.arange(W1)[:, None] + np.arange(M)[None, :]]
-    s1c = lax.complex(jnp.asarray(dc["s1c_re"]), jnp.asarray(dc["s1c_im"]))
-    V = win2 @ s1c
-    best = jnp.argmax(jnp.abs(V) / dc["s1_e"]).astype(jnp.int32)
-    S1_rx = jnp.fft.fft(lax.dynamic_slice(xc, (best,), (M,)))
-    S1inv = lax.complex(jnp.asarray(dc["S1i_re"]), jnp.asarray(dc["S1i_im"]))
-    vals = S1_rx[jnp.asarray(dc["on_idx"])] * S1inv
-    sm = jnp.convolve(vals, jnp.ones(3, vals.dtype) / 3.0, mode="same")
-    sm = sm.at[0].set(vals[0]).at[-1].set(vals[-1])
-    Gs = jnp.zeros(M, xc.dtype).at[jnp.asarray(dc["on_idx"])].set(sm)
-    body = lax.dynamic_slice(xc, (best + M,), (body_len,))
-    body = body.reshape(n_syms, M + cp)[:, cp:]
-    Xr = jnp.fft.fft(body, axis=-1) / dc["scale"]
-    nz = jnp.abs(Gs) > 1e-9
-    inv = jnp.where(nz, 1.0 / jnp.where(nz, Gs, 1.0), 0.0)
-    Xeq = Xr * inv[None, :]
-    pilots, order = dc["pilots"], dc["order"]
-    kk, dk, k_signed = dc["kk"], dc["dk"], dc["k_signed"]
-    q = (Xeq[:, jnp.asarray(dc["pil_idx"])] * pilots)[:, order]
-    dphi_n = jnp.angle(q[:, 1:] * jnp.conj(q[:, :-1]))
-    b_s = jnp.sum(dphi_n * dk[None, :], axis=1) / float(np.sum(dk ** 2))
-    rot = b_s[:, None] * kk[None, :]
-    a_s = jnp.angle(jnp.sum(
-        q * lax.complex(jnp.cos(rot), -jnp.sin(rot)), axis=1))
-    ph_all = a_s[:, None] + b_s[:, None] * k_signed[None, :]
-    Xeq = Xeq * lax.complex(jnp.cos(ph_all), -jnp.sin(ph_all))
-    data = Xeq[:, jnp.asarray(dc["dat_idx"])]
-    perr = Xeq[:, jnp.asarray(dc["pil_idx"])] * pilots - 1.0
-    da = jnp.angle(jnp.mean(jnp.exp(1j * (a_s[1:] - a_s[:-1])))) \
-        if n_syms > 1 else jnp.float32(0.0)
-    return best, data, perr, cfo + da / (M + cp)
+    M = dc["M"]
+    W1, body_len = dc["W1"], dc["body_len"]
+    # stage A: S1 timing search on the short front window (the r5 split
+    # — ofdm_s1_search replaces the [W1, M] im2col gather + matmul with
+    # a conv; same argmax); stage B: demod from the aligned slice.  The
+    # single dynamic_slice here is fine for this single-candidate path
+    # (streaming receivers slice per candidate in a fori_loop instead —
+    # a VMAPPED dynamic_slice lowers to a sequential loop, PERF.md).
+    WA = W1 + M - 1
+    wa = jnp.stack([jnp.real(win[:WA]), jnp.imag(win[:WA])])
+    best = ofdm_s1_search(dc, wa, jnp.asarray(cfo))
+    planes = jnp.stack([jnp.real(win), jnp.imag(win)])
+    wb = lax.dynamic_slice(planes, (0, best), (2, M + body_len))
+    data, perr, cfo_out = ofdm_demod_body(dc, wb, cfo, best)
+    return best, data, perr, cfo_out
 
 
 def frame_demod_core(params: OFDMParams, n_syms: int):

@@ -362,6 +362,42 @@ def check_symsync_hoist(jax, jnp):
     return float(d), 1e-4
 
 
+def check_symtrack_fused(jax, jnp):
+    """r5 fused symtrack (PLL+LMS inside the hoisted symsync scan, the
+    TPU default) vs the sequential two-scan path ON HARDWARE: same
+    valid slots and decisions, symbols within reassociation
+    tolerance."""
+    import os
+    import numpy as np
+    from liquid_dsp_tpu.framing.symtrack import symtrack_stream
+    rng = np.random.default_rng(33)
+    B, T = 4, 2048
+    xr = rng.standard_normal((B, T)).astype(np.float32)
+    xi = rng.standard_normal((B, T)).astype(np.float32)
+    outs = {}
+    for fused in ("0", "1"):
+        os.environ["LIQUID_SYMTRACK_FUSED"] = fused
+        p = symtrack_stream()
+
+        @jax.jit
+        def run(r, i, p=p):
+            (y, d, v), c = p.apply((), p.init((B,)),
+                                   jax.lax.complex(r, i))
+            return jnp.real(y), jnp.imag(y), d, v
+
+        outs[fused] = [np.asarray(a) for a in
+                       run(jnp.asarray(xr), jnp.asarray(xi))]
+    os.environ.pop("LIQUID_SYMTRACK_FUSED", None)
+    (ar, ai, ad, av), (br, bi, bd, bv) = outs["0"], outs["1"]
+    if not (av == bv).all():
+        return 1.0, 1e-3
+    m = av
+    if (ad[m] != bd[m]).any():
+        return 1.0, 1e-3
+    d = np.abs((ar - br) + 1j * (ai - bi))[m].max()
+    return float(d), 1e-3
+
+
 def check_fft(jax, jnp):
     from liquid_dsp_tpu.ops.fft import fft
     rng = np.random.default_rng(11)
@@ -400,7 +436,8 @@ def main():
                 ("flexframe_rx", check_flexframe_rx),
                 ("gmskframe_rx", check_gmskframe_rx),
                 ("ofdmflex_rx", check_ofdmflex_rx),
-                ("symsync_hoist", check_symsync_hoist)]
+                ("symsync_hoist", check_symsync_hoist),
+                ("symtrack_fused", check_symtrack_fused)]
     all_ok = True
     for name, fn in families:
         try:

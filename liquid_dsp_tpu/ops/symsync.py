@@ -102,6 +102,27 @@ def _timing_update(st, q_raw, active, k_out: int, locked: bool, C,
 _STATE_KEYS = ("tau", "bf", "b", "rate", "del", "v0", "v1", "decim")
 
 
+def _use_scan_kernel(Tc: int, batch, post) -> bool:
+    """The Pallas in-VMEM timing-loop kernel replaces the lax.scan when
+    no post hook rides along, shapes fit its tiling (time steps in 32s)
+    and the channel batch is SMALL: measured crossover on chip is
+    ~B=40 (kernel 12.6/22.5/30.6 vs scan 4.6/9.5/16.1 Msps at
+    B=8/16/32 — 1.9-2.7x — but scan 54.5 vs kernel 37.3 at B=48, and
+    Mosaic's compile helper rejects B>=128; PERF.md r5).  At small B
+    the XLA scan is pure per-step dispatch overhead, which is exactly
+    what the in-VMEM kernel removes.  LIQUID_SYMSYNC_KERNEL=0/1
+    overrides (testing)."""
+    import os
+    Bf = 1
+    for d in batch:
+        Bf *= int(d)
+    fits = post is None and Tc % 32 == 0
+    ov = os.environ.get("LIQUID_SYMSYNC_KERNEL")
+    if ov is not None:
+        return ov == "1" and fits
+    return fits and Bf <= 32 and jax.default_backend() == "tpu"
+
+
 def _symsync_run_hoisted(mf_bank, dmf_bank, carry, x, k: int,
                          k_out: int = 1, bw: float = 0.01,
                          locked: bool = False,
@@ -189,6 +210,37 @@ def _symsync_run_hoisted(mf_bank, dmf_bank, carry, x, k: int,
         return jnp.moveaxis(a, 0, -2).reshape(
             a.shape[1:-1] + (a.shape[0] * max_out,))
 
+    use_kernel = _use_scan_kernel(Tc, batch, post)
+    Bf = int(np.prod(batch)) if batch else 1
+    interp_kernel = jax.default_backend() != "tpu"
+
+    def _kernel_inner(st, mt):
+        """The Pallas in-VMEM timing loop (no post hook): bit-identical
+        update expressions; v1 zeroed iff any loop update ran."""
+        from .kernels.pallas_symsync import symsync_scan_pallas
+        maf = mt.reshape(Tc, Bf, mt.shape[-1])
+        fs = jnp.stack([st["tau"].reshape(Bf), st["rate"].reshape(Bf),
+                        st["del"].reshape(Bf), st["v0"].reshape(Bf),
+                        st["bf"].reshape(Bf),
+                        jnp.zeros(Bf, jnp.float32)])
+        is_ = jnp.stack([st["b"].reshape(Bf),
+                         st["decim"].reshape(Bf)])
+        yre, yim, val, fso, iso = symsync_scan_pallas(
+            maf, fs, is_, npfb=npfb, G=(4 if cplx else 2),
+            max_out=max_out, k=k, k_out=k_out, bw=bw, locked=locked,
+            interpret=interp_kernel)
+        ys = (lax.complex(yre, yim) if cplx else yre).reshape(
+            (Tc,) + batch + (max_out,))
+        vs = (val > 0.5).reshape((Tc,) + batch + (max_out,))
+        ran = fso[5].reshape(batch if batch else ())
+        st2 = {"tau": fso[0].reshape(batch), "rate": fso[1].reshape(batch),
+               "del": fso[2].reshape(batch), "v0": fso[3].reshape(batch),
+               "bf": fso[4].reshape(batch),
+               "v1": jnp.where(ran > 0.5, jnp.zeros_like(st["v1"]),
+                               st["v1"]),
+               "b": iso[0].reshape(batch), "decim": iso[1].reshape(batch)}
+        return st2, ys, vs
+
     def outer_step(c, xc):
         st, pc, prefix = c
         xp = jnp.concatenate([prefix, xc], axis=-1)
@@ -199,8 +251,12 @@ def _symsync_run_hoisted(mf_bank, dmf_bank, carry, x, k: int,
         else:
             ma = branch_outputs(xp)
         mt = jnp.moveaxis(ma, -2, 0)             # [Tc, .., G*npfb]
-        (st, pc), (ys, vs, ex) = lax.scan(inner_step, (st, pc), mt,
-                                          unroll=scan_unroll(16))
+        if use_kernel:
+            st, ys, vs = _kernel_inner(st, mt)
+            ex = ()
+        else:
+            (st, pc), (ys, vs, ex) = lax.scan(inner_step, (st, pc), mt,
+                                              unroll=scan_unroll(16))
         ys = _flatten_t(ys)
         vs = _flatten_t(vs)
         ex = tuple(_flatten_t(e) for e in ex)

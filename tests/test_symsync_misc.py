@@ -414,3 +414,32 @@ class TestIirResampGolden:
         qi = iirinterp(2)
         yi, _ = qi(jnp.asarray(fg["iird_x"]), batch_shape=())
         assert np.abs(np.asarray(yi) - fg["iiri_y"]).max() < 1e-5
+
+
+class TestPallasScanKernel:
+    """The in-VMEM Pallas timing-loop kernel (ops/kernels/
+    pallas_symsync.py) must be BIT-identical to the hoisted scan path
+    (same update expressions; validated in interpret mode here and on
+    hardware by tools/check_onchip_goldens.py)."""
+
+    def test_kernel_matches_scan(self, monkeypatch):
+        from liquid_dsp_tpu.ops.symsync import symsync_banks, symsync_run
+        rng = np.random.default_rng(13)
+        mf, dmf = symsync_banks("arkaiser", 2, 5, 0.3, 32)
+        q = symsync("arkaiser", 2, 5, 0.3, bw=0.02)
+        for batch, T in (((2,), 1024), ((), 2048)):
+            x = (rng.standard_normal(batch + (T,))
+                 + 1j * rng.standard_normal(batch + (T,))
+                 ).astype(np.complex64)
+            c0 = q.init(batch)
+            monkeypatch.setenv("LIQUID_SYMSYNC_KERNEL", "0")
+            y1, v1, c1 = symsync_run(mf, dmf, c0, jnp.asarray(x), 2,
+                                     bw=0.02, hoist=True)
+            monkeypatch.setenv("LIQUID_SYMSYNC_KERNEL", "1")
+            y2, v2, c2 = symsync_run(mf, dmf, c0, jnp.asarray(x), 2,
+                                     bw=0.02, hoist=True)
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+            np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+            for kk in c1:
+                np.testing.assert_allclose(
+                    np.asarray(c1[kk]), np.asarray(c2[kk]), atol=0)

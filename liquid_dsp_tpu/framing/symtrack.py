@@ -28,14 +28,21 @@ from ..modem import constellation
 __all__ = ["SymtrackResult", "symtrack", "symtrack_stream", "Symtrack"]
 
 
-def _use_fused() -> bool:
+def _use_fused(batch=()) -> bool:
     """Trace-time pick of the fused symsync+PLL+LMS scan (off-CPU
-    default; LIQUID_SYMTRACK_FUSED=0/1 overrides for testing)."""
+    default for LARGE channel batches; at B <= 32 the UNfused path wins
+    ~10% because its symsync stage dispatches the Pallas loop kernel,
+    which cannot carry the PLL/LMS post hook — measured B=8/16/32:
+    unfused 1.7/3.2/6.3 vs fused 1.5/3.0/5.6 Msps, PERF.md r5).
+    LIQUID_SYMTRACK_FUSED=0/1 overrides for testing."""
     import os
     ov = os.environ.get("LIQUID_SYMTRACK_FUSED")
     if ov is not None:
         return ov == "1"
-    return jax.default_backend() != "cpu"
+    Bf = 1
+    for d in batch:
+        Bf *= int(d)
+    return jax.default_backend() != "cpu" and Bf > 32
 
 
 class SymtrackResult(NamedTuple):
@@ -245,7 +252,7 @@ def symtrack_stream(ftype: str = "arkaiser", k: int = 2, m: int = 7,
                     "eq_buf": lax.complex(pc["eb_re"], pc["eb_im"]),
                     "eq_x2": pc["eq_x2"], "eq_n": pc["eq_n"]}
 
-        if _use_fused():
+        if _use_fused(x.shape[:-1]):
             # FUSED path (PERF.md r5): the PLL+LMS stage rides inside
             # the hoisted symsync scan as its post-emit hook — one pass
             # over the block instead of symsync scan + a second

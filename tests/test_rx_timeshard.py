@@ -125,3 +125,15 @@ class TestFrame64TimeShard:
             hdr, pay = sent_by_si[si]
             np.testing.assert_array_equal(buf[:8], hdr)
             np.testing.assert_array_equal(buf[8:], pay)
+
+    def test_single_shard_mesh_degenerates_cleanly(self):
+        # n=1: ppermute is a self-loop and the all-gather is size 1 —
+        # the sharded step must equal the plain receiver exactly
+        rng = np.random.default_rng(3)
+        T = 4096
+        x, sent = _capture(T, 2, rng, [1000, T + 2000])
+        ref = _run_single(x, T)
+        got, _ = _run_sharded(x, T, 1)
+        assert set(got) == set(ref) and len(ref) == 2
+        for si in ref:
+            np.testing.assert_allclose(got[si], ref[si], atol=2e-5)

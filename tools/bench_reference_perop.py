@@ -414,6 +414,96 @@ int main() {
         }
     }
 
+    /* ---- framing detectors (Msamples/s in) */
+    {
+        float complex h[64];
+        for (i = 0; i < 64; i++)
+            h[i] = cexpf(_Complex_I * (0.3f * i * i));
+        detector_cccf q = detector_cccf_create(h, 64, 0.5f, 0.01f);
+        float tau, dphi, gam;
+        BENCH("detector_cccf", N,
+              for (i = 0; i < N; i++)
+                  (void)detector_cccf_correlate(q, x[i], &tau, &dphi,
+                                                &gam););
+        detector_cccf_destroy(q);
+    }
+    {
+        msequence ms = msequence_create_default(6);
+        bsequence bs = bsequence_create(64);
+        for (i = 0; i < 64; i++)
+            bsequence_push(bs, msequence_advance(ms));
+        msequence_destroy(ms);
+        bsync_crcf q = bsync_crcf_create_msequence(6, 1);
+        float complex rxy;
+        BENCH("bsync_crcf", N,
+              for (i = 0; i < N; i++)
+                  bsync_crcf_correlate(q, x[i], &rxy););
+        bsync_crcf_destroy(q);
+        bsequence_destroy(bs);
+    }
+
+    /* ---- OFDM frame sync acquisition (M=64 cp=16, seek over noise):
+       the C analog of the s0 detect-everywhere stage */
+    {
+        ofdmframesync fs = ofdmframesync_create(64, 16, 4, NULL, NULL,
+                                                NULL);
+        BENCH("ofdmframesync_acquire", N,
+              ofdmframesync_execute(fs, x, N);
+              ofdmframesync_reset(fs););
+        ofdmframesync_destroy(fs);
+    }
+
+    /* ---- VCO-mode mixer (exact sincos per sample) */
+    {
+        nco_crcf q = nco_crcf_create(LIQUID_VCO);
+        nco_crcf_set_frequency(q, 0.125f);
+        BENCH("vco_mix", N, nco_crcf_mix_block_down(q, x, y, N););
+        nco_crcf_destroy(q);
+    }
+
+    /* ---- DCT (r2r REDFT10, n=256) */
+    {
+        unsigned int n = 256;
+        float *ra = malloc(n * sizeof(float));
+        float *rb = malloc(n * sizeof(float));
+        for (i = 0; i < n; i++) ra[i] = xr[i];
+        fftplan pl = fft_create_plan_r2r_1d(n, ra, rb,
+                                            LIQUID_FFT_REDFT10, 0);
+        BENCH("dct_256", n, fft_execute(pl););
+        fft_destroy_plan(pl);
+        free(ra); free(rb);
+    }
+
+    /* ---- dense matrix multiply n=64 (M MAC/s) */
+    {
+        unsigned int n = 64;
+        float *A = malloc(n * n * sizeof(float));
+        float *Bm = malloc(n * n * sizeof(float));
+        float *Cm = malloc(n * n * sizeof(float));
+        for (i = 0; i < n * n; i++) { A[i] = i * 0.01f; Bm[i] = 1.0f - A[i]; }
+        BENCH("matrixf_mul_64", (unsigned long)n * n * n,
+              matrixf_mul(A, n, n, Bm, n, n, Cm, n, n););
+        free(A); free(Bm); free(Cm);
+    }
+
+    /* ---- random normal + msequence + window (host support ops) */
+    {
+        float acc = 0.0f;
+        BENCH("randnf", N, for (i = 0; i < N; i++) acc += randnf(););
+        if (acc == 1.0f) printf("# %f\n", acc);
+        msequence ms = msequence_create_default(14);
+        unsigned int bit = 0;
+        BENCH("msequence_bits", N,
+              for (i = 0; i < N; i++) bit ^= msequence_advance(ms););
+        msequence_destroy(ms);
+        windowcf w = windowcf_create(64);
+        float complex *rp;
+        BENCH("windowcf_push_read", N,
+              for (i = 0; i < N; i++) windowcf_push(w, x[i]);
+              windowcf_read(w, &rp););
+        windowcf_destroy(w);
+    }
+
     /* ---- dotprod sweep (reference dotprod_crcf_benchmark.c:74-77)
        unit: M MAC/s */
     {

@@ -440,8 +440,9 @@ def device_packet_finish(payload_len: int, crc: str = "crc24",
     dec_len = payload_len + crc_sizeof_key(crc)
     # Exactness precondition (ADVICE r4): the f32 HIGHEST matmuls below
     # are exact only while every integer sum stays < 2^24.  Parity sums
-    # are bounded by the 8*dec_len contributing bits; the checksum
-    # byte-sum by 255 per byte.  Realistic packets (~2 MB) are inside.
+    # are bounded by the 8*dec_len contributing bits (~2 MB bound); the
+    # checksum byte-sum by 255 per byte — the BINDING bound, admitting
+    # dec_len < ~64 KB.  Frame payloads are hundreds of bytes.
     assert 8 * dec_len < 2 ** 24 and 255 * dec_len < 2 ** 24, \
         f"payload_len {payload_len} exceeds f32-exact CRC matmul bound"
     width = 8 * crc_sizeof_key(crc) if crc.startswith("crc") else 0

@@ -263,6 +263,49 @@ def flexframesync_stream(block_len: int, threshold: float = 0.5,
                            max_frames=max_frames, name=name)
 
 
+def _flex_stream_common(region: int, suppress_region_syms: int):
+    """Shared full-device receiver geometry: detector StreamRxConfig,
+    header non-pilot index map, two-stage header decoder, header
+    constellation (single source of truth for flexframe_rx_stream AND
+    the multi-config variant — r5 review finding)."""
+    from ..modem.linear import constellation
+    from ..fec.device import packetizer2_soft_decoder
+
+    h_sym_len, h_mod_len = _header_syms_len()
+    pilots = np.asarray(qpilot_pilots(h_mod_len, 16))
+    cfg = StreamRxConfig(
+        template=_detector_template(), bank=_mf_bank(),
+        region_start=_n_lead(), region_len=region,
+        pilots=pilots, pilot_spacing=16,
+        pilot_nfft=_pilot_nfft(len(pilots)),
+        suppress_span=_K * (64 + suppress_region_syms) - 8, k=_K)
+    pil_mask = np.zeros(h_sym_len, bool)
+    pil_pos = np.nonzero(np.arange(h_sym_len) % 16 == 0)[0][:len(pilots)]
+    pil_mask[pil_pos] = True
+    nonpil_idx = np.nonzero(~pil_mask)[0].astype(np.int32)
+    assert len(nonpil_idx) == h_mod_len, (len(nonpil_idx), h_mod_len)
+    hdr_dec = packetizer2_soft_decoder(FLEXFRAME_H_USER + 6, _H_CRC,
+                                       _H_FEC0, _H_FEC1)
+    hdr_tab = np.asarray(constellation(_H_MOD), np.complex64)
+    return h_sym_len, cfg, nonpil_idx, hdr_dec, hdr_tab
+
+
+def _exp_header_fields(pl: int, crc: str, fec0: str, fec1: str, ms: str):
+    """Expected wire header bytes for one payload config (the static
+    compare the device receivers apply after the header CRC)."""
+    ku = FLEXFRAME_H_USER
+    _exp = {ku + 0: _PROTOCOL,
+            ku + 1: (pl >> 8) & 0xFF,
+            ku + 2: pl & 0xFF,
+            ku + 3: modem_to_wire(ms),
+            ku + 4: ((crc_to_wire(crc) & 0x07) << 5) |
+                    (fec_to_wire(fec0) & 0x1F),
+            ku + 5: fec_to_wire(fec1) & 0x1F}
+    exp_idx = np.asarray(sorted(_exp), np.int32)
+    exp_val = np.asarray([_exp[i] for i in sorted(_exp)], np.int32)
+    return exp_idx, exp_val
+
+
 class FlexStreamBlock(NamedTuple):
     """Full-device fixed-config flexframe RX result per block; leading
     axis = candidate slot."""
@@ -302,32 +345,17 @@ def flexframe_rx_stream(block_len: int, payload_len: int,
                               device_packet_finish)
     from .stream_rx import STREAM_HIST
 
-    h_sym_len, h_mod_len = _header_syms_len()
     p_enc = packetizer_compute_enc_msg_len(payload_len, crc, fec0, fec1)
     bps = bits_per_symbol(ms)
     p_syms = -(-8 * p_enc // bps)
+    h_sym_len, _hm = _header_syms_len()
     region = h_sym_len + p_syms
     need_hist = _K * (_n_lead() + region) + 2
-    pilots = np.asarray(qpilot_pilots(h_mod_len, 16))
-    cfg = StreamRxConfig(
-        template=_detector_template(), bank=_mf_bank(),
-        region_start=_n_lead(), region_len=region,
-        pilots=pilots, pilot_spacing=16,
-        pilot_nfft=_pilot_nfft(len(pilots)),
-        suppress_span=_K * (64 + region) - 8, k=_K)
+    h_sym_len, cfg, nonpil_idx, hdr_dec, hdr_tab = _flex_stream_common(
+        region, region)
     base = preamble_stream(int(block_len), cfg, threshold=threshold,
                            max_frames=max_frames, name="flexframe_rx",
                            hist=max(STREAM_HIST, need_hist))
-    # header: non-pilot positions of the first h_sym_len region symbols
-    pil_mask = np.zeros(h_sym_len, bool)
-    pil_pos = np.nonzero(np.arange(h_sym_len) % 16 == 0)[0][:len(pilots)]
-    pil_mask[pil_pos] = True
-    nonpil_idx = np.nonzero(~pil_mask)[0].astype(np.int32)
-    assert len(nonpil_idx) == h_mod_len, (len(nonpil_idx), h_mod_len)
-    hdr_dec = packetizer2_soft_decoder(FLEXFRAME_H_USER + 6, _H_CRC,
-                                       _H_FEC0, _H_FEC1)
-    hdr_tab = np.asarray(constellation(_H_MOD), np.complex64)   # qpsk
-    pay_tab = np.asarray(constellation(ms), np.complex64)
     try:
         pay_dfn, _ = qpacket_soft_decoder(payload_len, crc, fec0, fec1,
                                           ms)
@@ -335,16 +363,8 @@ def flexframe_rx_stream(block_len: int, payload_len: int,
         pay_dfn, _ = qpacket_conv_soft_decoder(payload_len, crc, fec0,
                                                fec1, ms)
     pay_fin = device_packet_finish(payload_len, crc, fec0, fec1)
-    ku = FLEXFRAME_H_USER
-    _exp = {ku + 0: _PROTOCOL,
-            ku + 1: (payload_len >> 8) & 0xFF,
-            ku + 2: payload_len & 0xFF,
-            ku + 3: modem_to_wire(ms),
-            ku + 4: ((crc_to_wire(crc) & 0x07) << 5) |
-                    (fec_to_wire(fec0) & 0x1F),
-            ku + 5: fec_to_wire(fec1) & 0x1F}
-    exp_idx = np.asarray(sorted(_exp), np.int32)
-    exp_val = np.asarray([_exp[i] for i in sorted(_exp)], np.int32)
+    exp_idx, exp_val = _exp_header_fields(payload_len, crc, fec0, fec1,
+                                          ms)
 
     def apply(params, carry, x):
         from ..modem.linear import demodulate_soft
@@ -415,39 +435,25 @@ def flexframe_rx_stream_multi(block_len: int, configs,
     configs = [tuple(c) for c in configs]
     if not configs:
         raise ValueError("need at least one registered config")
-    h_sym_len, h_mod_len = _header_syms_len()
     p_syms_list = []
     for (pl, crc, fec0, fec1, ms) in configs:
         p_enc = packetizer_compute_enc_msg_len(pl, crc, fec0, fec1)
         p_syms_list.append(-(-8 * p_enc // bits_per_symbol(ms)))
     p_syms_max = max(p_syms_list)
     max_pl = max(c[0] for c in configs)
+    h_sym_len, _hm = _header_syms_len()
     region = h_sym_len + p_syms_max
     need_hist = _K * (_n_lead() + region) + 2
-    pilots = np.asarray(qpilot_pilots(h_mod_len, 16))
-    cfg = StreamRxConfig(
-        template=_detector_template(), bank=_mf_bank(),
-        region_start=_n_lead(), region_len=region,
-        pilots=pilots, pilot_spacing=16,
-        pilot_nfft=_pilot_nfft(len(pilots)),
-        # re-arm after the SHORTEST registered frame: a longer frame's
-        # interior may then admit spurious candidates, which fail the
-        # header CRC and only occupy a slot (the reference's re-arm is
-        # per-frame exact because it consumes serially)
-        suppress_span=_K * (64 + h_sym_len + min(p_syms_list)) - 8,
-        k=_K)
+    # re-arm after the SHORTEST registered frame: a longer frame's
+    # interior may then admit spurious candidates, which fail the
+    # header CRC and only occupy a slot (the reference's re-arm is
+    # per-frame exact because it consumes serially)
+    h_sym_len, cfg, nonpil_idx, hdr_dec, hdr_tab = _flex_stream_common(
+        region, h_sym_len + min(p_syms_list))
     base = preamble_stream(int(block_len), cfg, threshold=threshold,
                            max_frames=max_frames,
                            name="flexframe_rx_multi",
                            hist=max(STREAM_HIST, need_hist))
-    pil_mask = np.zeros(h_sym_len, bool)
-    pil_pos = np.nonzero(np.arange(h_sym_len) % 16 == 0)[0][:len(pilots)]
-    pil_mask[pil_pos] = True
-    nonpil_idx = np.nonzero(~pil_mask)[0].astype(np.int32)
-    hdr_dec = packetizer2_soft_decoder(FLEXFRAME_H_USER + 6, _H_CRC,
-                                       _H_FEC0, _H_FEC1)
-    hdr_tab = np.asarray(constellation(_H_MOD), np.complex64)
-    ku = FLEXFRAME_H_USER
     # per-config payload decoders + expected header fields
     pay_stages = []
     for j, (pl, crc, fec0, fec1, ms) in enumerate(configs):
@@ -456,15 +462,7 @@ def flexframe_rx_stream_multi(block_len: int, configs,
         except ValueError:
             dfn, _ = qpacket_conv_soft_decoder(pl, crc, fec0, fec1, ms)
         fin = device_packet_finish(pl, crc, fec0, fec1)
-        _exp = {ku + 0: _PROTOCOL,
-                ku + 1: (pl >> 8) & 0xFF,
-                ku + 2: pl & 0xFF,
-                ku + 3: modem_to_wire(ms),
-                ku + 4: ((crc_to_wire(crc) & 0x07) << 5) |
-                        (fec_to_wire(fec0) & 0x1F),
-                ku + 5: fec_to_wire(fec1) & 0x1F}
-        exp_idx = np.asarray(sorted(_exp), np.int32)
-        exp_val = np.asarray([_exp[i] for i in sorted(_exp)], np.int32)
+        exp_idx, exp_val = _exp_header_fields(pl, crc, fec0, fec1, ms)
         pay_stages.append((dfn, fin, p_syms_list[j], pl,
                            exp_idx, exp_val))
 

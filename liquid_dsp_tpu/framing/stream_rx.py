@@ -409,10 +409,17 @@ def _seg_peak_at(buf, dc: dict, start: int):
 
 def _advance_watermark(carry, det, span: int, T: int):
     """Fold this block's detections into the next block's suppression
-    watermark (shifted into the next block's buffer coordinates)."""
+    watermark (shifted into the next block's buffer coordinates).
+
+    Gates on any(det['cand']) — NOT det['n_cand'] — because in the
+    time-sharded receiver det['cand'] is the all-gathered GLOBAL keep
+    mask while n_cand is the local shard's count; gating on the local
+    count let carry['last_end'] diverge across shards (caught by the
+    r5 self-review, reproduced on a 4-shard mesh)."""
     last_n0 = jnp.max(jnp.where(det["cand"], det["n0_seg"], -(1 << 30)))
     new_last = jnp.maximum(carry["last_end"],
-                           jnp.where(det["n_cand"] > 0, last_n0 + span,
+                           jnp.where(jnp.any(det["cand"]),
+                                     last_n0 + span,
                                      -(1 << 30))) - T
     return jnp.maximum(new_last, -(1 << 30))
 

@@ -252,7 +252,11 @@ def symtrack_stream(ftype: str = "arkaiser", k: int = 2, m: int = 7,
                     "eq_buf": lax.complex(pc["eb_re"], pc["eb_im"]),
                     "eq_x2": pc["eq_x2"], "eq_n": pc["eq_n"]}
 
-        if _use_fused(x.shape[:-1]):
+        from ..ops.symsync import _hoist_chunk
+        if _use_fused(x.shape[:-1]) and _hoist_chunk(
+                int(x.shape[-1])) <= 4096:
+            # (the chunk guard mirrors symsync_run's: prime-ish block
+            # lengths would materialize the whole branch-output buffer)
             # FUSED path (PERF.md r5): the PLL+LMS stage rides inside
             # the hoisted symsync scan as its post-emit hook — one pass
             # over the block instead of symsync scan + a second

@@ -80,6 +80,12 @@ def preamble_stream_time_sharded(block_len: int, cfg: StreamRxConfig,
     if hist is None:
         hist = STREAM_HIST
     hist = -(-int(hist) // _DET_HOP) * _DET_HOP
+    # same build-time validation preamble_stream enforces: a too-short
+    # history silently zero-pads frame tails near each shard's emit tip
+    from ..framing.stream_rx import _DET_NFFT
+    n_sym_tot = cfg.region_start + cfg.region_len
+    if hist < cfg.k * n_sym_tot + 2 or hist < _DET_NFFT:
+        raise ValueError("history window too short for this frame region")
     R = _rx_consts(Tl, cfg, Pc, hist)
     halo = hist + R["Lb"]
     if Tl < halo:
@@ -127,7 +133,12 @@ def preamble_stream_time_sharded(block_len: int, cfg: StreamRxConfig,
             flat_n = alln.reshape(-1)
             _, keeps = lax.scan(_sup, last_end, (flat_c, flat_n),
                                 unroll=32)
-            return keeps.reshape(n, -1)[idx], keeps, flat_n
+            # own-shard slice at a traced offset: dynamic_slice, never
+            # a traced-index gather (CLAUDE.md)
+            own = lax.dynamic_slice(
+                keeps.reshape(n, -1), (idx, 0),
+                (1, keeps.shape[0] // n))[0]
+            return own, keeps, flat_n
 
         det = _detect_refine(buf, carry["last_end"], R["dc"], threshold,
                              Pc, Tl, R["starts"], R["span"],

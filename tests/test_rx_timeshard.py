@@ -137,3 +137,23 @@ class TestFrame64TimeShard:
         assert set(got) == set(ref) and len(ref) == 2
         for si in ref:
             np.testing.assert_allclose(got[si], ref[si], atol=2e-5)
+
+    def test_watermark_replicates_across_shards(self):
+        # regression (r5 review): a frame detected on shard j>0 must
+        # advance last_end IDENTICALLY on every shard and match the
+        # single-device receiver (the gate used the LOCAL candidate
+        # count before the fix, so only the detecting shard advanced)
+        rng = np.random.default_rng(0)
+        T, n = 16384, 4
+        x = np.zeros(T, np.complex64)
+        x[2 * 4096:2 * 4096 + FRAME64_LEN] = np.asarray(framegen64(
+            np.arange(8, dtype=np.uint8), np.arange(64, dtype=np.uint8)))
+        x += (0.004 * (rng.standard_normal(T)
+                       + 1j * rng.standard_normal(T))).astype(np.complex64)
+        init, step = framesync64_time_sharded(T, _mesh(n))
+        out, c = jax.jit(step)(init(), jnp.asarray(x))
+        vals = {int(np.asarray(s.data))
+                for s in c["last_end"].addressable_shards}
+        rx1 = framesync64_stream(T, max_frames=16)
+        _, c1 = rx1.apply((), rx1.init(), jnp.asarray(x))
+        assert vals == {int(np.asarray(c1["last_end"]))}

@@ -205,17 +205,23 @@ def main():
 
 
 def _print_results(cases):
-    base_path = pathlib.Path(__file__).parent.parent / \
-        "tests/baseline_measured.json"
+    # reference-C denominators: the r5 per-op baseline table first
+    # (tools/bench_reference_perop.py), the r2 chain file as fallback
+    root = pathlib.Path(__file__).parent.parent
+    perop_path = root / "tests/baseline_perop.json"
+    perop = json.loads(perop_path.read_text()) if perop_path.exists() \
+        else {}
+    base_path = root / "tests/baseline_measured.json"
     base = json.loads(base_path.read_text()) if base_path.exists() else {}
     ref = {"firfilt64": base.get("firfilt64_msps_cpu"),
            "fftfilt57": base.get("fftfilt57_msps_cpu"),
            "firpfbch2_64": base.get("firpfbch2_64_msps_cpu")}
+    alias = {"msresamp_0.5": "msresamp_0.5", "resamp_3_2": "resamp_3_2"}
     for name, msps in cases.items():
         if msps is None:
             print(f"{name:16s} {'n/a':>12s}")
             continue
-        r = ref.get(name)
+        r = perop.get(alias.get(name, name)) or ref.get(name)
         extra = f"  ({msps / r:8.0f}x reference C)" if r else ""
         print(f"{name:16s} {msps:12.1f} Msamples/s{extra}")
 

@@ -337,10 +337,9 @@ def flexframe_rx_stream(block_len: int, payload_len: int,
     The sync REGION covers header + payload (the header-pilot carrier
     correction extends across the payload as a linear phase ramp, the
     same extension the host path's _payload_gather_jit applies)."""
-    from ..modem.linear import bits_per_symbol, constellation
+    from ..modem.linear import bits_per_symbol
     from ..fec.packetizer import packetizer_compute_enc_msg_len
-    from ..fec.device import (packetizer2_soft_decoder,
-                              qpacket_soft_decoder,
+    from ..fec.device import (qpacket_soft_decoder,
                               qpacket_conv_soft_decoder,
                               device_packet_finish)
     from .stream_rx import STREAM_HIST
@@ -424,10 +423,9 @@ def flexframe_rx_stream_multi(block_len: int, configs,
     Reference analog: flexframesync.c reconfigures its payload
     demod/FEC from each header at runtime on the host CPU.
     """
-    from ..modem.linear import bits_per_symbol, constellation
+    from ..modem.linear import bits_per_symbol
     from ..fec.packetizer import packetizer_compute_enc_msg_len
-    from ..fec.device import (packetizer2_soft_decoder,
-                              qpacket_soft_decoder,
+    from ..fec.device import (qpacket_soft_decoder,
                               qpacket_conv_soft_decoder,
                               device_packet_finish)
     from .stream_rx import STREAM_HIST

@@ -177,10 +177,38 @@ def symtrack_stream(ftype: str = "arkaiser", k: int = 2, m: int = 7,
         tij = jnp.asarray(tab_im)
         iota = jnp.arange(tab_re.shape[0], dtype=jnp.int32)
 
+        # QPSK specialization: the nearest point is the QUADRANT, so the
+        # slicer is sign arithmetic instead of an argmin + one-hot pair
+        # (~half the PLL/LMS body ops; decisions identical off the
+        # measure-zero axis ties, and BOTH the fused and sequential
+        # paths share this function so they stay mutually exact)
+        s2v = float(np.abs(tab_re[0]))
+        qpsk_like = (tab_re.shape[0] == 4
+                     and np.allclose(np.abs(tab_re), s2v)
+                     and np.allclose(np.abs(tab_im), s2v))
+        if qpsk_like:
+            qmap = np.zeros(4, np.int32)       # [2*(re<0)+(im<0)] -> idx
+            for a in (0, 1):
+                for b in (0, 1):
+                    pt = ((-1 if a else 1) * s2v, (-1 if b else 1) * s2v)
+                    qmap[2 * a + b] = int(np.argmin(
+                        (tab_re - pt[0]) ** 2 + (tab_im - pt[1]) ** 2))
+            k00, k01, k10, k11 = (int(qmap[0]), int(qmap[1]),
+                                  int(qmap[2]), int(qmap[3]))
+
         def nearest(v_re, v_im):
             """Nearest constellation point on PLANES, gather-free
-            (CLAUDE.md): argmin of |v - t|^2 + one-hot reduce — exact,
-            since each one-hot product is value*1 or value*0."""
+            (CLAUDE.md): QPSK takes the sign path; other tables argmin
+            |v - t|^2 + one-hot reduce — exact, since each one-hot
+            product is value*1 or value*0."""
+            if qpsk_like:
+                a = (v_re < 0).astype(jnp.int32)
+                b = (v_im < 0).astype(jnp.int32)
+                idx = (k00 + (k10 - k00) * a + (k01 - k00) * b
+                       + (k11 - k10 - k01 + k00) * a * b)
+                r_re = jnp.where(v_re < 0, -s2v, s2v).astype(jnp.float32)
+                r_im = jnp.where(v_im < 0, -s2v, s2v).astype(jnp.float32)
+                return idx, r_re, r_im
             d2 = ((v_re[..., None] - trj) ** 2
                   + (v_im[..., None] - tij) ** 2)
             idx = jnp.argmin(d2, axis=-1)

@@ -531,3 +531,51 @@ def test_gmsk_full_rx_channel_dp():
     _assert_block_trees_equal(ref, got, tol=1e-3)
     valids = np.stack([np.asarray(o.valid) for o in got])
     assert (valids.sum(axis=(0, 2)) == 1).all()
+
+
+def test_flexframe_multi_rx_channel_dp():
+    """The HEADER-ADAPTIVE multi-config receiver sharded over 8 channel
+    devices: each channel carries a frame of a DIFFERENT registered
+    config; decodes must match single-device exactly (r5)."""
+    from liquid_dsp_tpu.framing.flexframe import (flexframegen,
+                                                  flexframe_rx_stream_multi)
+    configs = [(40, "crc32", "none", "golay2412", "qpsk"),
+               (64, "crc16", "none", "hamming128", "qam16")]
+    rng = np.random.default_rng(43)
+    T, n_ch = 2048, 8
+    proc = flexframe_rx_stream_multi(T, configs)
+    x = np.zeros((n_ch, 6 * T), np.complex64)
+    sent = []
+    for c in range(n_ch):
+        j = c % len(configs)
+        pl, crc, fec0, fec1, ms = configs[j]
+        h = rng.integers(0, 256, 14).astype(np.uint8)
+        p = rng.integers(0, 256, pl).astype(np.uint8)
+        f = flexframegen(h, p, crc=crc, fec0=fec0, fec1=fec1, ms=ms)
+        s0 = int(rng.integers(200, 3 * T))
+        x[c, s0:s0 + len(f)] += f
+        sent.append((j, h, p))
+    x += (0.003 * (rng.standard_normal(x.shape) +
+                   1j * rng.standard_normal(x.shape))).astype(np.complex64)
+    carry0 = proc.init(batch_shape=(n_ch,))
+    ref = _run_stream_blocks(proc, carry0, jnp.asarray(x), T)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("ch",))
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("ch", None)))
+    cs = jax.tree_util.tree_map(
+        lambda l: jax.device_put(l, NamedSharding(
+            mesh, P("ch", *([None] * (np.ndim(l) - 1))))), carry0)
+    got = _run_stream_blocks(proc, cs, xs, T)
+    _assert_block_trees_equal(ref, got, tol=1e-3)
+    decoded = [False] * n_ch
+    for c in range(n_ch):
+        for o in got:
+            v = np.asarray(o.valid)[c]
+            for s in np.nonzero(v)[0]:
+                j, h, p = sent[c]
+                assert int(np.asarray(o.cfg_idx)[c, s]) == j
+                assert bool(np.asarray(o.pay_ok)[c, s])
+                assert (np.asarray(o.pay_bytes)[c, s, :len(p)]
+                        .astype(np.uint8) == p).all()
+                decoded[c] = True
+    assert all(decoded)
